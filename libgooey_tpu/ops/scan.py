@@ -1,0 +1,146 @@
+"""Blocked linear-recurrence solvers: the reference's per-sample loops, rotated.
+
+Every recursive one-pole / two-pole structure in the reference (parameter
+smoothers, one-pole LPs, DC blockers, Chamberlin/TPT SVFs, biquads, pink-noise
+poles, envelope followers with fixed coefficients) is a *linear* recurrence
+
+    y[n] = a[n] * y[n-1] + b[n]          (first order)
+    s[n] = A[n] @ s[n-1] + b[n]          (second order, 2-vector state)
+
+which is associative under composition, so a whole block of B samples is
+solved in O(log B) parallel steps with `jax.lax.associative_scan` over the
+trailing (sample) axis — fully parallel across the leading voice axes.
+
+State is carried *between* blocks by the caller: pass the previous block's
+final value as ``y0`` / ``s0`` and keep the returned last sample.
+
+Nonlinear recurrences (tanh feedback, attack/release-switching envelope
+followers) are NOT expressible this way; see :func:`nonlinear_scan` for the
+sequential fallback used by those (once per bus, or Pallas-fused later).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def linrec1(a, b, y0, axis: int = -1):
+    """Solve ``y[n] = a[n] * y[n-1] + b[n]`` along ``axis`` with ``y[-1]=y0``.
+
+    ``a`` and ``b`` broadcast against each other; ``y0`` has the shape of a
+    slice (the array without ``axis``).  Returns y with the shape of
+    ``broadcast(a, b)``.
+    """
+    a, b = jnp.broadcast_arrays(jnp.asarray(a), jnp.asarray(b))
+
+    def combine(left, right):
+        a_l, b_l = left
+        a_r, b_r = right
+        return a_r * a_l, a_r * b_l + b_r
+
+    a_c, b_c = jax.lax.associative_scan(combine, (a, b), axis=axis)
+    return a_c * jnp.expand_dims(y0, axis) + b_c
+
+
+def onepole(coeff, x, y0, axis: int = -1):
+    """One-pole lowpass toward ``x``: ``y[n] = y[n-1] + coeff*(x[n]-y[n-1])``.
+
+    This is the reference's universal smoothing/filtering primitive
+    (src/utils/smoother.rs:120-137, one-pole LPs everywhere).
+    ``coeff`` may be scalar or per-sample (time-varying cutoff).
+    """
+    coeff = jnp.asarray(coeff)
+    return linrec1(1.0 - coeff, coeff * x, y0, axis=axis)
+
+
+def onepole_const(coeff, x_const, y0, n: int, axis: int = -1):
+    """Closed form of :func:`onepole` when the input is constant over a block.
+
+    ``y[k] = x + (y0 - x) * (1-coeff)^(k+1)`` for k = 0..n-1.  O(1) memory
+    traffic per sample instead of a scan — used for un-modulated parameter
+    smoothing, which is the overwhelmingly common case.
+
+    ``x_const`` and ``y0`` are slice-shaped; result gains a trailing ``n``
+    axis (then moved to ``axis``).
+    """
+    q = 1.0 - jnp.asarray(coeff, jnp.float32)
+    powers = jnp.power(q, jnp.arange(1, n + 1, dtype=jnp.float32))
+    y = jnp.expand_dims(x_const, -1) + jnp.expand_dims(y0 - x_const, -1) * powers
+    if axis != -1:
+        y = jnp.moveaxis(y, -1, axis)
+    return y
+
+
+def linrec2(a11, a12, a21, a22, b1, b2, s0, axis: int = -1):
+    """Solve a 2-state linear recurrence ``s[n] = A[n] s[n-1] + b[n]``.
+
+    All coefficient arrays broadcast together and include the sample axis
+    (possibly length-1 for time-invariant filters).  ``s0`` is a pair
+    ``(s1_0, s2_0)`` of slice-shaped arrays.  Returns ``(s1, s2)`` full
+    trajectories.
+
+    This is how Chamberlin/TPT SVFs and biquads run on TPU: per-sample
+    coefficient trajectories (from smoothed parameters) are computed
+    vectorized, then the state recursion collapses via associative scan
+    — 8 multiplies per combine, O(log B) depth.
+    """
+    arrs = jnp.broadcast_arrays(
+        *(jnp.asarray(v) for v in (a11, a12, a21, a22, b1, b2))
+    )
+    a11, a12, a21, a22, b1, b2 = arrs
+
+    def combine(l, r):
+        la11, la12, la21, la22, lb1, lb2 = l
+        ra11, ra12, ra21, ra22, rb1, rb2 = r
+        # A = A_r @ A_l
+        c11 = ra11 * la11 + ra12 * la21
+        c12 = ra11 * la12 + ra12 * la22
+        c21 = ra21 * la11 + ra22 * la21
+        c22 = ra21 * la12 + ra22 * la22
+        # b = A_r @ b_l + b_r
+        c1 = ra11 * lb1 + ra12 * lb2 + rb1
+        c2 = ra21 * lb1 + ra22 * lb2 + rb2
+        return c11, c12, c21, c22, c1, c2
+
+    c11, c12, c21, c22, c1, c2 = jax.lax.associative_scan(
+        combine, (a11, a12, a21, a22, b1, b2), axis=axis
+    )
+    s1_0 = jnp.expand_dims(s0[0], axis)
+    s2_0 = jnp.expand_dims(s0[1], axis)
+    s1 = c11 * s1_0 + c12 * s2_0 + c1
+    s2 = c21 * s1_0 + c22 * s2_0 + c2
+    return s1, s2
+
+
+def cumsum_reset(x, reset, reset_base, y0, axis: int = -1):
+    """Cumulative sum along ``axis`` that restarts at reset points.
+
+    ``y[n] = x[n] + (reset[n] ? reset_base[n] : y[n-1])``, ``y[-1] = y0``.
+
+    Used for oscillator-phase accumulation with phase reset at trigger
+    offsets, and for elapsed-time counters.  Implemented as a first-order
+    recurrence with a ∈ {0, 1} (exact in float).
+    """
+    reset_f = jnp.asarray(reset, x.dtype)
+    a = 1.0 - reset_f
+    b = x + reset_f * reset_base
+    return linrec1(a, b, y0, axis=axis)
+
+
+def nonlinear_scan(step_fn, state, xs, axis: int = -1):
+    """Sequential per-sample fallback for genuinely nonlinear recurrences.
+
+    ``step_fn(state, x_slice) -> (state, y_slice)`` where slices are the
+    arrays without the sample axis (i.e. ``[V]``-shaped).  ``xs`` is a pytree
+    of arrays with the sample axis at ``axis``.  Runs as ``lax.scan`` over the
+    block: B sequential steps, each fully parallel over voices.
+
+    Reference counterparts: the feedback waveshaper's tanh loop
+    (src/effects/feedback_waveshaper.rs:118-170), compressor envelope
+    follower with attack/release switching (src/effects/compressor.rs:96-99).
+    """
+    xs_t = jax.tree_util.tree_map(lambda v: jnp.moveaxis(v, axis, 0), xs)
+    state, ys_t = jax.lax.scan(step_fn, state, xs_t)
+    ys = jax.tree_util.tree_map(lambda v: jnp.moveaxis(v, 0, axis), ys_t)
+    return state, ys

@@ -1,0 +1,86 @@
+"""Scan toolkit vs per-sample oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from libgooey_tpu.ops import scan as gscan
+
+
+def test_linrec1_matches_sequential():
+    rs = np.random.RandomState(0)
+    a = rs.uniform(0.5, 0.999, size=(3, 64)).astype(np.float32)
+    b = rs.uniform(-1, 1, size=(3, 64)).astype(np.float32)
+    y0 = rs.uniform(-1, 1, size=(3,)).astype(np.float32)
+
+    y = np.asarray(gscan.linrec1(a, b, y0))
+
+    ref = np.zeros_like(b)
+    prev = y0.copy()
+    for n in range(64):
+        prev = a[:, n] * prev + b[:, n]
+        ref[:, n] = prev
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_onepole_matches_smoother_tick():
+    # reference smoother: current += coeff * (target - current)
+    coeff = 0.0066225
+    x = np.full((1, 128), 0.8, np.float32)
+    y = np.asarray(gscan.onepole(coeff, x, np.zeros(1, np.float32)))[0]
+    cur = 0.0
+    for n in range(128):
+        cur += coeff * (0.8 - cur)
+        assert abs(y[n] - cur) < 1e-5
+
+
+def test_onepole_const_closed_form():
+    coeff = 0.01
+    y0 = np.array([0.0, 1.0], np.float32)
+    x = np.array([1.0, 1.0], np.float32)
+    y = np.asarray(gscan.onepole_const(coeff, x, y0, 32))
+    y_scan = np.asarray(gscan.onepole(coeff, np.broadcast_to(x[:, None], (2, 32)), y0))
+    np.testing.assert_allclose(y, y_scan, rtol=1e-5, atol=1e-6)
+
+
+def test_linrec2_matches_sequential():
+    rs = np.random.RandomState(1)
+    B = 48
+    mats = rs.uniform(-0.9, 0.9, size=(B, 2, 2)).astype(np.float32) * 0.7
+    vecs = rs.uniform(-1, 1, size=(B, 2)).astype(np.float32)
+    s0 = rs.uniform(-1, 1, size=(2,)).astype(np.float32)
+
+    s1, s2 = gscan.linrec2(
+        mats[:, 0, 0], mats[:, 0, 1], mats[:, 1, 0], mats[:, 1, 1],
+        vecs[:, 0], vecs[:, 1],
+        (jnp.asarray(s0[0]), jnp.asarray(s0[1])),
+    )
+    s1, s2 = np.asarray(s1), np.asarray(s2)
+
+    s = s0.copy()
+    for n in range(B):
+        s = mats[n] @ s + vecs[n]
+        assert abs(s1[n] - s[0]) < 1e-4
+        assert abs(s2[n] - s[1]) < 1e-4
+
+
+def test_cumsum_reset():
+    x = np.ones((1, 10), np.float32)
+    reset = np.zeros((1, 10), bool)
+    reset[0, 4] = True
+    y = np.asarray(
+        gscan.cumsum_reset(x, reset, np.zeros((1, 10), np.float32), np.asarray([100.0], np.float32))
+    )[0]
+    np.testing.assert_allclose(y[:4], [101, 102, 103, 104])
+    np.testing.assert_allclose(y[4:], [1, 2, 3, 4, 5, 6])
+
+
+def test_nonlinear_scan_shapes():
+    def step(carry, x):
+        carry = np.tanh(1.0) * 0 + carry * 0.5 + x
+        return carry, carry * 2.0
+
+    state = jnp.zeros(3)
+    xs = jnp.ones((3, 16))
+    new_state, ys = gscan.nonlinear_scan(step, state, xs)
+    assert ys.shape == (3, 16)
+    assert new_state.shape == (3,)
