@@ -191,7 +191,7 @@ def test_dc_block_oracle():
     for n, xn in enumerate(x):
         y = xn - x1 + 0.995 * y1
         x1, y1 = xn, y
-        assert abs(got[n] - y) < 1e-5
+        assert abs(got[n] - y) < 5e-5  # f32 scan reassociation tolerance
     # removes DC: mean of tail near zero
     assert abs(got[128:].mean()) < 0.05
 

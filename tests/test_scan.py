@@ -39,7 +39,7 @@ def test_onepole_const_closed_form():
     x = np.array([1.0, 1.0], np.float32)
     y = np.asarray(gscan.onepole_const(coeff, x, y0, 32))
     y_scan = np.asarray(gscan.onepole(coeff, np.broadcast_to(x[:, None], (2, 32)), y0))
-    np.testing.assert_allclose(y, y_scan, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(y, y_scan, atol=1e-5)
 
 
 def test_linrec2_matches_sequential():
