@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: aggregate real-time factor at 44.1 kHz on one chip.
+
+Renders a 4,096-voice kick bank (tight preset, 16-step sequencer at 120 BPM,
+staggered per-voice pattern phases) through the full engine step — trigger
+latching, parameter smoothing, pitch/amp envelopes, click filter, pink-noise
+layer, resonant SVF, feedback-waveshaper overdrive, equal-power pan mix,
+master gain, soft limiter — in 512-sample blocks via one scanned XLA program.
+
+Metric: audio-seconds rendered per wall second per chip = RTF × voices.
+Baseline target (BASELINE.json): 5,000× on one TPU v5e.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from libgooey_tpu.core.smoother import smoothing_coeff
+from libgooey_tpu.engine import engine as eng
+from libgooey_tpu.engine.sequencer import Sequencer
+from libgooey_tpu.core.smoother import SmootherBank
+from libgooey_tpu.instruments import kick as kick_mod
+
+VOICES = 4096
+BLOCK = 512
+SR = 44100.0
+N_BLOCKS = 128          # ~1.49 s of audio per call
+WARMUP = 2
+ITERS = 5
+BASELINE_RTF = 5000.0
+
+
+def build_events():
+    """Sequencer events for N_BLOCKS, per-voice staggered pattern phases."""
+    offs = np.full((N_BLOCKS, VOICES), BLOCK, np.int32)
+    vels = np.zeros((N_BLOCKS, VOICES), np.float32)
+    # one exact host sequencer; each voice offsets its phase by a fixed lag
+    seq = Sequencer(120.0, SR, 16)
+    seq.set_pattern([True] * 16)
+    seq.start()
+    base_hits = []  # absolute sample indices
+    done = 0
+    for b in range(N_BLOCKS):
+        for t in seq.tick_block(BLOCK):
+            base_hits.append(done + t.offset)
+        done += BLOCK
+    rng = np.random.RandomState(0)
+    lags = rng.randint(0, int(SR * 0.5), size=VOICES)
+    total = N_BLOCKS * BLOCK
+    for v in range(VOICES):
+        for h in base_hits:
+            s = h + int(lags[v])
+            if s < total:
+                offs[s // BLOCK, v] = s % BLOCK
+                vels[s // BLOCK, v] = 0.5 + 0.5 * ((v % 7) / 6.0)
+    starts = (np.arange(N_BLOCKS) * BLOCK).astype(np.int32)
+    return offs, vels, starts
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    state = eng.EngineState(
+        kick=kick_mod.init_state(VOICES, kick_mod.KickConfig.tight()),
+        pan=SmootherBank.init(np.linspace(0.2, 0.8, VOICES).astype(np.float32)),
+        gain=SmootherBank.init(np.full(VOICES, 1.0 / VOICES, np.float32)),
+        master=SmootherBank.init(np.float32(0.25)),
+    )
+    offs, vels, starts = build_events()
+    offs, vels, starts = map(jax.numpy.asarray, (offs, vels, starts))
+
+    static = dict(
+        sample_rate=SR,
+        block_size=BLOCK,
+        smooth_coeff=smoothing_coeff(SR),
+        max_harmonics=0,   # tight preset: punch == 0 (additive osc inactive)
+        feedback_path=False,
+        limiter_threshold=1.0,
+    )
+
+    # warmup / compile
+    st = state
+    for _ in range(WARMUP):
+        st, out = eng.render_many(st, offs, vels, starts, **static)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(ITERS):
+        st = state
+        t0 = time.perf_counter()
+        st, out = eng.render_many(st, offs, vels, starts, **static)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    wall = min(times)
+    audio_seconds = VOICES * N_BLOCKS * BLOCK / SR
+    rtf = audio_seconds / wall
+    print(
+        json.dumps(
+            {
+                "metric": "aggregate_rtf_4096_voices_44k1",
+                "value": round(rtf, 1),
+                "unit": "audio-seconds/sec/chip (RTF x voices)",
+                "vs_baseline": round(rtf / BASELINE_RTF, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

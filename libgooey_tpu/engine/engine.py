@@ -54,18 +54,7 @@ class BlockEvents(NamedTuple):
     block_start: jnp.ndarray    # scalar i32
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "sample_rate",
-        "block_size",
-        "smooth_coeff",
-        "max_harmonics",
-        "feedback_path",
-        "limiter_threshold",
-    ),
-)
-def _engine_step(
+def _engine_step_core(
     state: EngineState,
     events: BlockEvents,
     *,
@@ -112,10 +101,72 @@ def _engine_step(
     return new_state, out, mono
 
 
+_engine_step = jax.jit(
+    _engine_step_core,
+    static_argnames=(
+        "sample_rate",
+        "block_size",
+        "smooth_coeff",
+        "max_harmonics",
+        "feedback_path",
+        "limiter_threshold",
+    ),
+)
+
+
 def _smooth(bank: SmootherBank, coeff: float, block: int):
     from libgooey_tpu.core.smoother import smooth_block
 
     return smooth_block(bank, coeff, block)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "sample_rate",
+        "block_size",
+        "smooth_coeff",
+        "max_harmonics",
+        "feedback_path",
+        "limiter_threshold",
+    ),
+)
+def render_many(
+    state: EngineState,
+    trig_offsets,     # [N, V] i32
+    trig_velocities,  # [N, V] f32
+    block_starts,     # [N] i32
+    *,
+    sample_rate: float,
+    block_size: int,
+    smooth_coeff: float,
+    max_harmonics: int,
+    feedback_path: bool,
+    limiter_threshold: float,
+):
+    """Render N blocks in one device program (lax.scan over blocks).
+
+    The offline/bench path: the host precomputes all sequencer events
+    up-front (exact f64 control arithmetic), then the whole render runs as
+    one XLA program with zero per-block dispatch.  Returns
+    ``(final_state, stereo[N, 2, B])``.
+    """
+
+    def step(st, ev):
+        off, vel, start = ev
+        st2, out, _mono = _engine_step_core(
+            st,
+            BlockEvents(off, vel, start),
+            sample_rate=sample_rate,
+            block_size=block_size,
+            smooth_coeff=smooth_coeff,
+            max_harmonics=max_harmonics,
+            feedback_path=feedback_path,
+            limiter_threshold=limiter_threshold,
+        )
+        return st2, out
+
+    return jax.lax.scan(step, state, (trig_offsets, trig_velocities, block_starts))
 
 
 class Engine:

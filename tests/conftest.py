@@ -6,6 +6,12 @@ the driver's compile checks.
 """
 
 import os
+import sys
+
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _p in (_repo_root, os.path.dirname(os.path.abspath(__file__))):
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
 
 # jax is pre-imported in this image with JAX_PLATFORMS=axon; the env var is
 # therefore ignored — override through the config API (backend not yet
