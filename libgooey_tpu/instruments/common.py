@@ -1,0 +1,100 @@
+"""Shared per-block trigger/latch machinery for batched instruments.
+
+Every reference instrument follows the same Config/Params pattern
+(SURVEY.md §2.5): smoothed normalized params, trigger-time snapshots,
+per-sample time-based evaluation.  ``VoiceBlock`` packages the TPU
+realization used by all instrument banks:
+
+* closed-form smoothed-parameter trajectories with the reference's exact
+  settle-snap (one-pole, smoother.rs:120-137);
+* the value a trigger reads = smoother state after ``offset`` ticks
+  (triggers are processed before the instrument's own tick of that sample,
+  ffi.rs:1152-1205);
+* per-sample latched values via ``after``-masks; elapsed-time arrays from a
+  carried last-trigger sample index.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from libgooey_tpu.core.smoother import SmootherBank
+
+NEVER = np.int32(-(2**30))  # "never triggered" sentinel
+
+
+class VoiceBlock:
+    """Per-block context for a V-voice instrument bank."""
+
+    def __init__(self, bank: SmootherBank, trig_offset, block_start,
+                 block_size: int, smooth_coeff: float, param_index: dict):
+        self.bank = bank
+        self.B = block_size
+        self.q = np.float32(1.0 - smooth_coeff)
+        self.param_index = param_index
+        self.powers = jnp.power(self.q, jnp.arange(1, block_size + 1, dtype=jnp.float32))
+
+        self.n_local = jnp.arange(block_size, dtype=jnp.int32)
+        self.trig_offset = jnp.asarray(trig_offset, jnp.int32)
+        self.block_start = jnp.asarray(block_start, jnp.int32)
+        self.has_trig = self.trig_offset < block_size                      # [V]
+        off = self.trig_offset[:, None]
+        self.after = (self.n_local[None, :] >= off) & self.has_trig[:, None]   # [V,B]
+        self.at_trig = (self.n_local[None, :] == off) & self.has_trig[:, None]  # [V,B]
+
+    def ptraj(self, name: str):
+        """Smoothed per-sample trajectory of one param, ``[V, B]``."""
+        idx = self.param_index[name]
+        tgt = self.bank.target[:, idx, None]
+        delta = (self.bank.current[:, idx] - self.bank.target[:, idx])[:, None]
+        decayed = delta * self.powers
+        return tgt + jnp.where(jnp.abs(decayed) < 1e-4, 0.0, decayed)
+
+    def value_at_trigger(self, name: str):
+        """Smoothed value as read by this block's trigger ([V])."""
+        idx = self.param_index[name]
+        tgt = self.bank.target[:, idx]
+        delta = self.bank.current[:, idx] - tgt
+        decayed = delta * jnp.power(self.q, self.trig_offset.astype(jnp.float32))
+        return tgt + jnp.where(jnp.abs(decayed) < 1e-4, 0.0, decayed)
+
+    def eff(self, new, old):
+        """Per-sample latched value ([V,B]): `new` from the trigger offset on."""
+        return jnp.where(self.after, new[:, None], old[:, None])
+
+    def latch(self, new, old):
+        """End-of-block latched state ([V]): `new` where a trigger occurred."""
+        return jnp.where(self.has_trig, new, old)
+
+    def elapsed(self, prev_trig_sample, sample_rate: float):
+        """(trig_eff, elapsed_i[V,B] int32, idx_f[V,B] f32, elapsed_s[V,B] s)."""
+        trig_eff = jnp.where(
+            self.after,
+            (self.block_start + self.trig_offset)[:, None],
+            prev_trig_sample[:, None],
+        )
+        n_global = self.block_start + self.n_local
+        elapsed_i = n_global[None, :] - trig_eff
+        idx_f = elapsed_i.astype(jnp.float32)
+        return trig_eff, elapsed_i, idx_f, idx_f * np.float32(1.0 / sample_rate)
+
+    def advance_bank(self) -> SmootherBank:
+        """Smoother state at the end of the block (closed form + settle)."""
+        delta = self.bank.current - self.bank.target
+        decayed = delta * self.q ** np.float32(self.B)
+        new_current = self.bank.target + jnp.where(jnp.abs(decayed) < 1e-4, 0.0, decayed)
+        return SmootherBank(current=new_current, target=self.bank.target)
+
+
+def phase_mod_env(elapsed, active_mask):
+    """DS-style PhaseModulator envelope (fm_snap.rs:102-169).
+
+    1 ms rise ``p^0.3``, 5 ms fall ``1 - p^0.4``, zero outside [0, 6 ms];
+    gated by ``active_mask`` (armed at trigger when amount > 0.001)."""
+    rise = jnp.power(jnp.maximum(elapsed / 0.001, 0.0), 0.3)
+    fall = 1.0 - jnp.power(jnp.maximum((elapsed - 0.001) / 0.005, 0.0), 0.4)
+    env = jnp.where(elapsed < 0.001, rise, fall)
+    return jnp.where((elapsed >= 0.0) & (elapsed <= 0.006) & active_mask, env, 0.0)

@@ -33,6 +33,7 @@ from libgooey_tpu.core import dsp
 from libgooey_tpu.core.envelope import ADSR, amplitude
 from libgooey_tpu.core.smoother import SmootherBank
 from libgooey_tpu.effects import feedback_waveshaper as fbws
+from libgooey_tpu.instruments.common import NEVER, VoiceBlock, phase_mod_env
 from libgooey_tpu.ops import filters, noise, osc
 
 # --- parameter table ---------------------------------------------------------
@@ -170,8 +171,6 @@ PRESETS = {
     "dirt": KickConfig.dirt,
 }
 
-NEVER = np.int32(-(2**30))  # "never triggered" sentinel
-
 
 class KickState(NamedTuple):
     """Device pytree for a bank of V kick voices."""
@@ -219,18 +218,6 @@ def init_state(num_voices: int, config: Optional[KickConfig] = None, targets=Non
     )
 
 
-def _ptraj(bank: SmootherBank, powers, idx: int):
-    """Closed-form smoothed trajectory of one param: ``[V, B]``.
-
-    powers = (1-coeff)^(1..B) — shared across params.  Includes the
-    reference's exact settle-snap at 1e-4 (smoother.rs:120-137).
-    """
-    tgt = bank.target[:, idx, None]
-    delta = (bank.current[:, idx] - bank.target[:, idx])[:, None]
-    decayed = delta * powers
-    return tgt + jnp.where(jnp.abs(decayed) < 1e-4, 0.0, decayed)
-
-
 def render_block(
     state: KickState,
     trig_offset,
@@ -259,27 +246,9 @@ def render_block(
     """
     B = block_size
     sr = sample_rate
-    bank = state.params
-    q = np.float32(1.0 - smooth_coeff)
-    powers = jnp.power(q, jnp.arange(1, B + 1, dtype=jnp.float32))  # [B]
-
-    n_local = jnp.arange(B, dtype=jnp.int32)                         # [B]
-    trig_offset = jnp.asarray(trig_offset, jnp.int32)
-    has_trig = trig_offset < B                                       # [V]
-    off = trig_offset[:, None]                                       # [V,1]
-    after = (n_local[None, :] >= off) & has_trig[:, None]            # [V,B]
-    at_trig = (n_local[None, :] == off) & has_trig[:, None]          # [V,B]
-
-    def ptraj(name):
-        return _ptraj(bank, powers, PARAM_INDEX[name])
-
-    def value_at_trigger(name):
-        """Smoothed value the trigger snapshot reads ([V])."""
-        idx = PARAM_INDEX[name]
-        tgt = bank.target[:, idx]
-        delta = bank.current[:, idx] - tgt
-        decayed = delta * jnp.power(q, trig_offset.astype(jnp.float32))
-        return tgt + jnp.where(jnp.abs(decayed) < 1e-4, 0.0, decayed)
+    vb = VoiceBlock(state.params, trig_offset, block_start, B, smooth_coeff, PARAM_INDEX)
+    ptraj, value_at_trigger, eff = vb.ptraj, vb.value_at_trigger, vb.eff
+    at_trig = vb.at_trig
 
     # --- trigger-time snapshots (kick.rs:971-1086) --------------------------
     vel_new = jnp.clip(jnp.asarray(trig_velocity, jnp.float32), 0.0, 1.0)
@@ -294,14 +263,6 @@ def render_block(
     amp_curve_new = jnp.where(jnp.abs(ac - 1.0) < 0.01, 1.0, ac)
     pm_active_new = (value_at_trigger("phase_mod_amount") > 0.001).astype(jnp.float32)
 
-    def eff(new, old):
-        """Per-sample latched value: new after the trigger offset, else old."""
-        return jnp.where(after, new[:, None], old[:, None])
-
-    trig_eff = jnp.where(
-        after, (jnp.asarray(block_start, jnp.int32) + trig_offset)[:, None],
-        state.trig_sample[:, None],
-    )                                                                # [V,B]
     vel = eff(vel_new, state.velocity)
     pitch_mult = eff(pitch_mult_new, state.pitch_mult)
     pitch_curve = eff(pitch_curve_new, state.pitch_curve)
@@ -309,10 +270,7 @@ def render_block(
     amp_curve = eff(amp_curve_new, state.amp_curve)
     pm_active = eff(pm_active_new, state.pm_active)
 
-    n_global = jnp.asarray(block_start, jnp.int32) + n_local         # [B]
-    elapsed_i = n_global[None, :] - trig_eff                          # [V,B] int32
-    idx_f = elapsed_i.astype(jnp.float32)                             # sample index
-    elapsed = idx_f * np.float32(1.0 / sr)                            # seconds
+    _trig_eff, elapsed_i, idx_f, elapsed = vb.elapsed(state.trig_sample, sr)
 
     # --- live smoothed params (kick.rs:1097-1232) ---------------------------
     decay_scale = 1.0 - VELOCITY_TO_DECAY * vel * vel
@@ -329,20 +287,9 @@ def render_block(
     )
     fmult = 1.0 + (pitch_mult - 1.0) * pitch_env
 
-    # phase-modulator transient (fm_snap.rs:102-169): 1 ms rise ^0.3,
-    # 5 ms fall 1-p^0.4, up to 3x boost at full amount
+    # phase-modulator transient: up to 3x freq boost at full amount
     pm_amt = ptraj("phase_mod_amount")
-    pm_prog_a = elapsed / 0.001
-    pm_prog_d = (elapsed - 0.001) / 0.005
-    pm_env = jnp.where(
-        (elapsed >= 0.0) & (elapsed <= 0.006) & (pm_active > 0.5),
-        jnp.where(
-            elapsed < 0.001,
-            jnp.power(jnp.maximum(pm_prog_a, 0.0), 0.3),
-            1.0 - jnp.power(jnp.maximum(pm_prog_d, 0.0), 0.4),
-        ),
-        0.0,
-    )
+    pm_env = phase_mod_env(elapsed, pm_active > 0.5)
     fmult = fmult * jnp.where(
         pm_amt > 0.001, 1.0 + pm_env * pm_amt * 2.0, 1.0
     )
@@ -415,20 +362,15 @@ def render_block(
     out = shaped * amp_env * jnp.sqrt(vel) * ptraj("volume")
 
     # --- state advance --------------------------------------------------------
-    delta_all = bank.current - bank.target
-    decayed_all = delta_all * np.float32(q) ** np.float32(B)
-    new_current = bank.target + jnp.where(jnp.abs(decayed_all) < 1e-4, 0.0, decayed_all)
     new_state = KickState(
-        params=SmootherBank(current=new_current, target=bank.target),
-        trig_sample=jnp.where(
-            has_trig, jnp.asarray(block_start, jnp.int32) + trig_offset, state.trig_sample
-        ),
-        velocity=jnp.where(has_trig, vel_new, state.velocity),
-        pitch_mult=jnp.where(has_trig, pitch_mult_new, state.pitch_mult),
-        pitch_curve=jnp.where(has_trig, pitch_curve_new, state.pitch_curve),
-        amp_decay=jnp.where(has_trig, ad, state.amp_decay),
-        amp_curve=jnp.where(has_trig, amp_curve_new, state.amp_curve),
-        pm_active=jnp.where(has_trig, pm_active_new, state.pm_active),
+        params=vb.advance_bank(),
+        trig_sample=vb.latch(vb.block_start + vb.trig_offset, state.trig_sample),
+        velocity=vb.latch(vel_new, state.velocity),
+        pitch_mult=vb.latch(pitch_mult_new, state.pitch_mult),
+        pitch_curve=vb.latch(pitch_curve_new, state.pitch_curve),
+        amp_decay=vb.latch(ad, state.amp_decay),
+        amp_curve=vb.latch(amp_curve_new, state.amp_curve),
+        pm_active=vb.latch(pm_active_new, state.pm_active),
         click_hp=click_hp,
         noise_svf=noise_svf,
         pink=pink_state,

@@ -191,18 +191,20 @@ class ChamberlinState(NamedTuple):
         return ChamberlinState(low=z, band=z)
 
 
-def chamberlin_block(state: ChamberlinState, x, cutoff_hz, q, sample_rate, reset=None):
+def chamberlin_block(state: ChamberlinState, x, cutoff_hz, resonance, sample_rate, reset=None):
     """Chamberlin SVF, 2x-iterated per sample (state_variable.rs:53-91).
 
-    Returns (state, low, band, high, notch) trajectories.
+    ``f = 2 sin(pi * min(fc/sr, 0.45))``, ``q = 1/max(resonance, 0.5)``; each
+    audio sample runs the core update twice with the same input for
+    stability.  Per sample the two iterations compose into one affine map on
+    (low, band), which scans in O(log B).
 
-    Each audio sample runs the core update twice at half the frequency
-    coefficient for stability; per-sample the two iterations form a composed
-    affine map on (low, band) — we express the composition directly and scan.
+    Returns (state, low, band, high, notch) — the post-update taps, matching
+    `process_all` / `process_mode` (filter_type 0=LP 1=BP 2=HP 3=notch).
     """
-    ratio = jnp.minimum(cutoff_hz / sample_rate, 0.45)
-    f = 2.0 * jnp.sin(PI * ratio * 0.5)  # half-f, applied twice
-    qq = 1.0 / jnp.clip(q, 0.5, 20.0)
+    ratio = jnp.minimum(jnp.clip(cutoff_hz, 20.0, 20_000.0) / sample_rate, 0.45)
+    f = 2.0 * jnp.sin(PI * ratio)
+    qq = 1.0 / jnp.maximum(resonance, 0.5)
     f, qq, x = jnp.broadcast_arrays(f, qq, x)
 
     # one Chamberlin iteration as affine map on s=(low, band) with input x:

@@ -1,0 +1,125 @@
+"""Snare: blocked bank vs per-sample oracle + Chamberlin SVF oracle."""
+
+import numpy as np
+
+from libgooey_tpu.core.smoother import smoothing_coeff
+from libgooey_tpu.instruments import snare as sn
+from libgooey_tpu.ops import filters
+
+from snare_oracle import SnareOracle
+
+SR = 44100.0
+B = 128
+
+
+def render_bank(config, n_samples, trigger_at, velocity, max_harmonics=128):
+    coeff = smoothing_coeff(SR)
+    state = sn.init_state(1, config)
+    out = []
+    for start in range(0, n_samples, B):
+        off = np.full(1, B, np.int32)
+        vel = np.zeros(1, np.float32)
+        if start <= trigger_at < start + B:
+            off[0] = trigger_at - start
+            vel[0] = velocity
+        state, y = sn.render_block(
+            state, off, vel, np.int32(start), sample_rate=SR, block_size=B,
+            smooth_coeff=coeff, max_harmonics=max_harmonics,
+        )
+        out.append(np.asarray(y[0]))
+    return np.concatenate(out)[:n_samples]
+
+
+def run_oracle(config, n_samples, trigger_at, velocity):
+    cfg = {k: getattr(config, k) for k in sn.PARAM_NAMES}
+    o = SnareOracle(cfg, filter_type=config.filter_type, sample_rate=SR)
+    out = np.zeros(n_samples, np.float32)
+    for n in range(n_samples):
+        if n == trigger_at:
+            o.trigger(n, velocity)
+        out[n] = o.tick(n)
+    return out
+
+
+def test_chamberlin_matches_reference_loop():
+    rs = np.random.RandomState(7)
+    x = rs.uniform(-1, 1, 400).astype(np.float32)
+    st = filters.ChamberlinState.init(())
+    st, lo, bp, hp, notch = filters.chamberlin_block(st, x, 3000.0, 2.0, SR)
+    lo, bp, hp = map(np.asarray, (lo, bp, hp))
+
+    f = 2.0 * np.sin(np.pi * min(3000.0 / SR, 0.45))
+    q = 1.0 / 2.0
+    low = band = 0.0
+    for n, xn in enumerate(x):
+        for _ in range(2):
+            low = low + f * band
+            high = xn - low - q * band
+            band = f * high + band
+        assert abs(lo[n] - low) < 2e-4, n
+        assert abs(bp[n] - band) < 2e-4, n
+        assert abs(hp[n] - high) < 4e-4, n
+
+
+def test_chamberlin_bandpass_selectivity():
+    """The 2x-iterated Chamberlin peaks near 2x the nominal cutoff (a quirk
+    the reference inherits by running the core update twice with the full f
+    coefficient, state_variable.rs:70-76)."""
+    t = np.arange(int(SR // 2), dtype=np.float32)
+    rms = lambda v: np.sqrt(np.mean(v[len(v) // 2:] ** 2))
+    outs = {}
+    for freq in [200.0, 4000.0, 16000.0]:
+        x = np.sin(2 * np.pi * freq * t / SR).astype(np.float32)
+        _, lo, bp, hp, _ = filters.chamberlin_block(
+            filters.ChamberlinState.init(()), x, 2000.0, 2.0, SR
+        )
+        outs[freq] = rms(np.asarray(bp))
+    assert outs[4000.0] > 3 * outs[200.0]
+    assert outs[4000.0] > 3 * outs[16000.0]
+
+
+def test_snare_matches_oracle_tight():
+    cfg = sn.SnareConfig.tight()
+    got = render_bank(cfg, 1500, trigger_at=23, velocity=0.7)
+    want = run_oracle(cfg, 1500, trigger_at=23, velocity=0.7)
+    err = np.max(np.abs(got - want))
+    assert err < 3e-4, f"max err {err}"
+
+
+def test_snare_matches_oracle_smack():
+    cfg = sn.SnareConfig.smack()
+    got = render_bank(cfg, 1500, trigger_at=0, velocity=1.0)
+    want = run_oracle(cfg, 1500, trigger_at=0, velocity=1.0)
+    err = np.max(np.abs(got - want))
+    assert err < 3e-4, f"max err {err}"
+
+
+def test_snare_matches_oracle_hiss_overdriven():
+    cfg = sn.SnareConfig.hiss()
+    got = render_bank(cfg, 1200, trigger_at=5, velocity=0.6)
+    want = run_oracle(cfg, 1200, trigger_at=5, velocity=0.6)
+    err = np.max(np.abs(got - want))
+    assert err < 3e-4, f"max err {err}"
+
+
+def test_snare_filter_types_differ():
+    import dataclasses
+
+    base = sn.SnareConfig.smack()
+    outs = {}
+    for ft in (sn.FILTER_LP, sn.FILTER_BP, sn.FILTER_HP, sn.FILTER_NOTCH):
+        cfg = dataclasses.replace(base, filter_type=ft)
+        outs[ft] = render_bank(cfg, 800, 0, 1.0, max_harmonics=0)
+    for a in outs:
+        for b in outs:
+            if a < b:
+                assert np.max(np.abs(outs[a] - outs[b])) > 1e-4, (a, b)
+
+
+def test_snare_volume_linearity():
+    import dataclasses
+
+    cfg = sn.SnareConfig.tight()
+    full = render_bank(dataclasses.replace(cfg, volume=1.0), 1000, 0, 0.7)
+    half = render_bank(dataclasses.replace(cfg, volume=0.5), 1000, 0, 0.7)
+    np.testing.assert_allclose(half, full * 0.5, atol=1e-5)
