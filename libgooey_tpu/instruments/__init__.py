@@ -1,3 +1,11 @@
-from libgooey_tpu.instruments import kick
+from libgooey_tpu.instruments import (
+    bass,
+    hihat,
+    hihat2,
+    kick,
+    snare,
+    tom,
+    tom2,
+)
 
-__all__ = ["kick"]
+__all__ = ["bass", "hihat", "hihat2", "kick", "snare", "tom", "tom2"]

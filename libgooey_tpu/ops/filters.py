@@ -113,12 +113,12 @@ def svf_tpt_outputs(state: SVFState, x, cutoff_hz, q, sample_rate, reset=None):
     """
     cutoff = jnp.clip(cutoff_hz, 20.0, sample_rate * 0.45)
     g = jnp.tan(PI * cutoff / sample_rate)
-    r = 1.0 / jnp.clip(q, 0.5, 10.0)
+    r = 1.0 / jnp.maximum(q, 0.5)  # only a lower clamp (state_variable_tpt.rs:44)
     h = 1.0 / (1.0 + r * g + g * g)
     state, v1, v2 = svf_tpt_block(state, x, g, h, reset=reset)
     lp = v2
     bp = v1
-    hp = x - r * v1 - v2
+    hp = x - (r * v1 + v2)
     return state, lp, bp, hp
 
 
@@ -176,6 +176,175 @@ def dc_block(state: DCBlockState, x, coeff: float = 0.995):
     x_prev = _shift1(x, state.x1)
     y = gscan.linrec1(jnp.full_like(x, coeff), x - x_prev, state.y1)
     return DCBlockState(x1=x[..., -1], y1=y[..., -1]), y
+
+
+# --- RBJ biquads (Direct Form I) ----------------------------------------------
+
+
+class BiquadState(NamedTuple):
+    """DF-I delay line: x1, x2, y1, y2 (slice-shaped)."""
+
+    x1: jnp.ndarray
+    x2: jnp.ndarray
+    y1: jnp.ndarray
+    y2: jnp.ndarray
+
+    @staticmethod
+    def init(shape=()) -> "BiquadState":
+        z = jnp.zeros(shape, jnp.float32)
+        return BiquadState(z, z, z, z)
+
+
+def rbj_highpass_coeffs(freq, q, sample_rate: float):
+    """RBJ highpass (biquad_highpass.rs:85-104).  Returns (b0,b1,b2,a1,a2)."""
+    omega = 2.0 * PI * freq / sample_rate
+    sin_o, cos_o = jnp.sin(omega), jnp.cos(omega)
+    alpha = sin_o / (2.0 * q)
+    a0 = 1.0 + alpha
+    b0 = (1.0 + cos_o) / 2.0 / a0
+    b1 = -(1.0 + cos_o) / a0
+    b2 = (1.0 + cos_o) / 2.0 / a0
+    a1 = -2.0 * cos_o / a0
+    a2 = (1.0 - alpha) / a0
+    return b0, b1, b2, a1, a2
+
+
+def rbj_bandpass_coeffs(freq, q, gain, sample_rate: float):
+    """RBJ constant-gain bandpass (biquad_bandpass.rs:90-120)."""
+    nyquist = sample_rate * 0.5
+    freq = jnp.clip(freq, 20.0, nyquist * 0.95)
+    q = jnp.clip(q, 0.1, 100.0)
+    omega = 2.0 * PI * freq / sample_rate
+    sin_o, cos_o = jnp.sin(omega), jnp.cos(omega)
+    alpha = sin_o / (2.0 * q)
+    a0 = 1.0 + alpha
+    b0 = q * alpha * gain / a0
+    b1 = jnp.zeros_like(b0)
+    b2 = -q * alpha * gain / a0
+    a1 = -2.0 * cos_o / a0
+    a2 = (1.0 - alpha) / a0
+    return b0, b1, b2, a1, a2
+
+
+def biquad_df1_block(state: BiquadState, x, coeffs, reset=None):
+    """Direct Form I biquad over a block with per-sample coefficients.
+
+    ``y[n] = b0 x[n] + b1 x[n-1] + b2 x[n-2] - a1 y[n-1] - a2 y[n-2]``
+    (biquad_highpass.rs:110-125).  The feed-forward FIR side vectorizes with
+    shifts; the feedback side is a 2-state recurrence solved by linrec2 with
+    ``A = [[-a1, -a2], [1, 0]]``.  Output flushes denormals (state keeps the
+    unflushed value, matching the reference).
+
+    Returns ``(new_state, y)``.
+    """
+    b0, b1, b2, a1, a2 = coeffs
+    b0, b1, b2, a1, a2, x = jnp.broadcast_arrays(b0, b1, b2, a1, a2, x)
+    x_prev1 = _shift1(x, state.x1)
+    x_prev2 = _shift1(x_prev1, state.x2)
+    if reset is not None:
+        # delay line cleared at reset: x1 is 0 at the reset sample, x2 is 0
+        # at the reset sample and the one after it
+        keepm = jnp.where(reset, 0.0, 1.0)
+        reset_prev = _shift1(jnp.asarray(reset), jnp.zeros_like(state.x1, dtype=bool))
+        x_prev1 = x_prev1 * keepm
+        x_prev2 = x_prev2 * keepm * jnp.where(reset_prev, 0.0, 1.0)
+    w = b0 * x + b1 * x_prev1 + b2 * x_prev2
+    A11 = -a1
+    A12 = -a2
+    ones = jnp.ones_like(a1)
+    zeros = jnp.zeros_like(a1)
+    if reset is not None:
+        A11 = A11 * keepm
+        A12 = A12 * keepm
+        ones_eff = ones * keepm
+    else:
+        ones_eff = ones
+    y, y2 = gscan.linrec2(A11, A12, ones_eff, zeros, w, zeros, (state.y1, state.y2))
+    out = jnp.where(jnp.abs(y) < 1e-15, 0.0, y)
+    new_state = BiquadState(
+        x1=x[..., -1], x2=x_prev1[..., -1], y1=y[..., -1], y2=y2[..., -1]
+    )
+    return new_state, out
+
+
+# --- Membrane resonator ---------------------------------------------------------
+
+#: Max patch preset 1 (gain, freq_hz, q) rows (membrane_resonator.rs:13-19)
+MEMBRANE_PARAMS = np.array(
+    [
+        [275.0, 165.0, 376.0],
+        [220.0, 228.0, 205.0],
+        [79.0, 294.0, 143.0],
+        [65.0, 320.0, 129.0],
+        [57.0, 326.0, 141.0],
+    ],
+    np.float32,
+)
+
+
+class MembraneState(NamedTuple):
+    """5 parallel bandpass filters + ring-level follower."""
+
+    biquads: BiquadState      # fields shaped [..., 5]
+    ring_level: jnp.ndarray   # [...]
+
+    @staticmethod
+    def init(shape=()) -> "MembraneState":
+        return MembraneState(
+            biquads=BiquadState.init(tuple(shape) + (5,)),
+            ring_level=jnp.zeros(shape, jnp.float32),
+        )
+
+
+def membrane_block(state: MembraneState, x, q_scale, gain_scale, sample_rate,
+                   reset=None):
+    """5-band parallel resonator bank with tanh soft clip and ring follower.
+
+    membrane_resonator.rs:147-203: out = tanh(sum of 5 reson filters);
+    ring_level = 0.999*ring + 0.001*|out|.  ``q_scale``/``gain_scale`` are
+    per-voice arrays (broadcast against x without the sample axis).
+
+    Returns ``(new_state, out, ring_level_traj)``.
+    """
+    outs = []
+    new_bq = []
+    for i in range(5):
+        gain, freq, q = MEMBRANE_PARAMS[i]
+        scaled_q = jnp.clip(q * q_scale, 0.1, 100.0)
+        scaled_gain = gain * gain_scale
+        coeffs = rbj_bandpass_coeffs(
+            jnp.asarray(freq), scaled_q[..., None], scaled_gain[..., None], sample_rate
+        )
+        st_i = BiquadState(
+            x1=state.biquads.x1[..., i], x2=state.biquads.x2[..., i],
+            y1=state.biquads.y1[..., i], y2=state.biquads.y2[..., i],
+        )
+        st_i, y = biquad_df1_block(st_i, x, coeffs, reset=reset)
+        outs.append(y)
+        new_bq.append(st_i)
+    total = outs[0] + outs[1] + outs[2] + outs[3] + outs[4]
+    clipped = jnp.tanh(total)
+    a = jnp.full_like(clipped, 0.999)
+    if reset is not None:
+        a = jnp.where(reset, 0.0, a)
+    ring = gscan.linrec1(a, 0.001 * jnp.abs(clipped), state.ring_level)
+    new_state = MembraneState(
+        biquads=BiquadState(
+            x1=jnp.stack([s.x1 for s in new_bq], axis=-1),
+            x2=jnp.stack([s.x2 for s in new_bq], axis=-1),
+            y1=jnp.stack([s.y1 for s in new_bq], axis=-1),
+            y2=jnp.stack([s.y2 for s in new_bq], axis=-1),
+        ),
+        ring_level=ring[..., -1],
+    )
+    return new_state, clipped, ring
+
+
+def membrane_fade(ring_level):
+    """Smooth fade multiplier from ring level (membrane_resonator.rs:162-180)."""
+    FADE_START, FADE_END = 0.005, 0.0001
+    frac = (ring_level - FADE_END) / (FADE_START - FADE_END)
+    return jnp.clip(frac, 0.0, 1.0)
 
 
 # --- Chamberlin SVF (snare tone shaping) --------------------------------------

@@ -128,6 +128,43 @@ def cumsum_reset(x, reset, reset_base, y0, axis: int = -1):
     return linrec1(a, b, y0, axis=axis)
 
 
+def maxlin(a, b, c, y0, axis: int = -1):
+    """Solve ``y[n] = max(a[n], b[n]*y[n-1] + c[n])`` by associative scan.
+
+    Max-affine maps with one linear piece are closed under composition:
+    ``f2∘f1 = (max(a2, b2*a1 + c2), b2*b1, b2*c1 + c2)`` — so "instant up,
+    smoothed down" trackers (the HiHat2 envelope smoother,
+    src/instruments/hihat2.rs:290-320: ``y = target if target >= y else
+    y + k*(target - y)`` ≡ ``max(target, (1-k)y + k*target)`` for b ≥ 0)
+    run in O(log B) like any linear recurrence.
+    """
+    a, b, c = jnp.broadcast_arrays(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c))
+
+    def combine(l, r):
+        a_l, b_l, c_l = l
+        a_r, b_r, c_r = r
+        return jnp.maximum(a_r, b_r * a_l + c_r), b_r * b_l, b_r * c_l + c_r
+
+    a_c, b_c, c_c = jax.lax.associative_scan(combine, (a, b, c), axis=axis)
+    return jnp.maximum(a_c, b_c * jnp.expand_dims(y0, axis) + c_c)
+
+
+def asym_smooth(target, down_coeff, y0, reset=None, axis: int = -1):
+    """Asymmetric smoother: instant up, one-pole down (hihat2.rs:290-320).
+
+    ``reset`` forces the state to 0 at masked samples *before* processing
+    (the trigger resets the smoother to 0, hihat2.rs:443)."""
+    k = jnp.asarray(down_coeff, jnp.float32)
+    a = target
+    b = jnp.broadcast_to(1.0 - k, jnp.shape(target)).astype(jnp.float32)
+    c = k * target
+    if reset is not None:
+        # at a reset sample: y = max(t, (1-k)*0 + k*t) = t... the reference
+        # resets then processes, giving y = max(t, k*t) = t for t >= 0.
+        b = jnp.where(reset, 0.0, b)
+    return maxlin(a, b, c, y0, axis=axis)
+
+
 def nonlinear_scan(step_fn, state, xs, axis: int = -1):
     """Sequential per-sample fallback for genuinely nonlinear recurrences.
 
