@@ -25,10 +25,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from libgooey_tpu.core.smoother import smoothing_coeff
+from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff
 from libgooey_tpu.engine import engine as eng
 from libgooey_tpu.engine.sequencer import Sequencer
-from libgooey_tpu.core.smoother import SmootherBank
 from libgooey_tpu.instruments import kick as kick_mod
 
 VOICES = 4096
@@ -44,13 +43,12 @@ def build_events():
     """Sequencer events for N_BLOCKS, per-voice staggered pattern phases."""
     offs = np.full((N_BLOCKS, VOICES), BLOCK, np.int32)
     vels = np.zeros((N_BLOCKS, VOICES), np.float32)
-    # one exact host sequencer; each voice offsets its phase by a fixed lag
     seq = Sequencer(120.0, SR, 16)
     seq.set_pattern([True] * 16)
     seq.start()
-    base_hits = []  # absolute sample indices
+    base_hits = []
     done = 0
-    for b in range(N_BLOCKS):
+    for _b in range(N_BLOCKS):
         for t in seq.tick_block(BLOCK):
             base_hits.append(done + t.offset)
         done += BLOCK
@@ -71,35 +69,39 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    state = eng.EngineState(
-        kick=kick_mod.init_state(VOICES, kick_mod.KickConfig.tight()),
-        pan=SmootherBank.init(np.linspace(0.2, 0.8, VOICES).astype(np.float32)),
-        gain=SmootherBank.init(np.full(VOICES, 1.0 / VOICES, np.float32)),
-        master=SmootherBank.init(np.float32(0.25)),
-    )
+    state = {
+        "kick": kick_mod.init_state(VOICES, kick_mod.KickConfig.tight()),
+        "pan": SmootherBank.init(np.linspace(0.2, 0.8, VOICES).astype(np.float32)),
+        "gain": SmootherBank.init(np.full(VOICES, 1.0 / VOICES, np.float32)),
+        "master": SmootherBank.init(np.float32(0.25)),
+    }
     offs, vels, starts = build_events()
-    offs, vels, starts = map(jax.numpy.asarray, (offs, vels, starts))
+    events = {
+        "kick_off": jax.numpy.asarray(offs),
+        "kick_vel": jax.numpy.asarray(vels),
+        "block_start": jax.numpy.asarray(starts),
+    }
 
     static = dict(
+        kinds=("kick",),
         sample_rate=SR,
         block_size=BLOCK,
         smooth_coeff=smoothing_coeff(SR),
-        max_harmonics=0,   # tight preset: punch == 0 (additive osc inactive)
-        feedback_path=False,
         limiter_threshold=1.0,
+        # tight preset: punch == 0, so the additive oscillator is inactive
+        family_static=(("kick", (("feedback_path", False), ("max_harmonics", 0))),),
     )
 
-    # warmup / compile
     st = state
     for _ in range(WARMUP):
-        st, out = eng.render_many(st, offs, vels, starts, **static)
+        st, out = eng.render_many(st, events, **static)
     jax.block_until_ready(out)
 
     times = []
     for _ in range(ITERS):
         st = state
         t0 = time.perf_counter()
-        st, out = eng.render_many(st, offs, vels, starts, **static)
+        st, out = eng.render_many(st, events, **static)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
 

@@ -20,244 +20,232 @@ callback; nothing audio-rate ever runs in Python.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, NamedTuple, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from libgooey_tpu.core import dsp
-from libgooey_tpu.core.constants import (
-    DEFAULT_BLOCK_SIZE,
-    DEFAULT_SAMPLE_RATE,
-)
-from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff
+from libgooey_tpu.core.constants import DEFAULT_BLOCK_SIZE, DEFAULT_SAMPLE_RATE
+from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff, smooth_block
 from libgooey_tpu.effects import limiter
 from libgooey_tpu.engine.sequencer import Sequencer
-from libgooey_tpu.instruments import kick as kick_mod
+from libgooey_tpu.instruments import bass, hihat, hihat2, kick, snare, tom, tom2
+
+#: Instrument family registry: kind -> module.  Every module implements
+#: ``init_state(V, config)`` and ``render_block(state, off, vel, start,
+#: sample_rate=, block_size=, smooth_coeff=, **static)`` plus PARAM_NAMES /
+#: PARAM_INDEX / PRESETS.
+FAMILIES = {
+    "kick": kick,
+    "snare": snare,
+    "hihat": hihat,
+    "hihat2": hihat2,
+    "tom": tom,
+    "tom2": tom2,
+    "bass": bass,
+}
+
+#: Per-family extra static kwargs for render_block.
+FAMILY_STATIC = {
+    "kick": dict(max_harmonics=128, feedback_path=False),
+    "snare": dict(max_harmonics=192),
+    "hihat": dict(),
+    "hihat2": dict(),
+    "tom": dict(max_harmonics=128),
+    "tom2": dict(),
+    "bass": dict(),
+}
 
 
-class EngineState(NamedTuple):
-    """Full device-side engine state (one pytree, donated every block)."""
-
-    kick: kick_mod.KickState
-    pan: SmootherBank      # [V] per-voice pan (0..1)
-    gain: SmootherBank     # [V] per-voice gain (mixer strip, default 1)
-    master: SmootherBank   # [] master gain
-
-
-class BlockEvents(NamedTuple):
-    """Host-compiled per-block event arrays."""
-
-    trig_offset: jnp.ndarray    # [V] i32, block_size = none
-    trig_velocity: jnp.ndarray  # [V] f32
-    block_start: jnp.ndarray    # scalar i32
-
-
-def _engine_step_core(
-    state: EngineState,
-    events: BlockEvents,
+def _render_all(
+    state: dict,
+    events: dict,
     *,
+    kinds: Tuple[str, ...],
     sample_rate: float,
     block_size: int,
     smooth_coeff: float,
-    max_harmonics: int,
-    feedback_path: bool,
     limiter_threshold: float,
+    family_static: Tuple[Tuple[str, Tuple[Tuple[str, object], ...]], ...],
 ):
-    """One block: render all banks, pan-mix, master gain, global FX."""
-    kick_state, voice_out = kick_mod.render_block(
-        state.kick,
-        events.trig_offset,
-        events.trig_velocity,
-        events.block_start,
-        sample_rate=sample_rate,
-        block_size=block_size,
-        smooth_coeff=smooth_coeff,
-        max_harmonics=max_harmonics,
-        feedback_path=feedback_path,
+    """One block over every instrument bank + mix + master + global FX."""
+    static = {k: dict(v) for k, v in family_static}
+    new_state = dict(state)
+    voice_outs = []
+    for kind in kinds:
+        mod = FAMILIES[kind]
+        bank_state, out = mod.render_block(
+            state[kind],
+            events[kind + "_off"],
+            events[kind + "_vel"],
+            events["block_start"],
+            sample_rate=sample_rate,
+            block_size=block_size,
+            smooth_coeff=smooth_coeff,
+            **static.get(kind, {}),
+        )
+        new_state[kind] = bank_state
+        voice_outs.append(out)
+    all_voices = jnp.concatenate(voice_outs, axis=0) if voice_outs else jnp.zeros(
+        (0, block_size), jnp.float32
     )
 
-    # per-voice gain + equal-power pan, then mix: the stereo seam
-    pan_bank, pan_traj = _smooth(state.pan, smooth_coeff, block_size)     # [V,B]
-    gain_bank, gain_traj = _smooth(state.gain, smooth_coeff, block_size)  # [V,B]
+    pan_bank, pan_traj = smooth_block(state["pan"], smooth_coeff, block_size)
+    gain_bank, gain_traj = smooth_block(state["gain"], smooth_coeff, block_size)
     gl, gr = dsp.pan_gains(pan_traj)
-    shaped = voice_out * gain_traj
-    # [2, B] — reduction over voices rides the MXU when pans are settled
+    shaped = all_voices * gain_traj
     mix = jnp.stack(
         [jnp.sum(shaped * gl, axis=0), jnp.sum(shaped * gr, axis=0)], axis=0
     )
 
-    master_bank, master_traj = _smooth(state.master, smooth_coeff, block_size)
-    out = mix * master_traj[None, :]
-    out = limiter.soft_limit(out, limiter_threshold)
+    master_bank, master_traj = smooth_block(state["master"], smooth_coeff, block_size)
+    out = limiter.soft_limit(mix * master_traj[None, :], limiter_threshold)
+    mono = limiter.soft_limit(jnp.sum(shaped, axis=0) * master_traj, limiter_threshold)
 
-    new_state = EngineState(
-        kick=kick_state, pan=pan_bank, gain=gain_bank, master=master_bank
-    )
-    # mono sum for bounce parity (native tick: unpanned sum, mod.rs:400-415)
-    mono = jnp.sum(shaped, axis=0) * master_traj
-    mono = limiter.soft_limit(mono, limiter_threshold)
+    new_state["pan"] = pan_bank
+    new_state["gain"] = gain_bank
+    new_state["master"] = master_bank
     return new_state, out, mono
 
 
-_engine_step = jax.jit(
-    _engine_step_core,
-    static_argnames=(
-        "sample_rate",
-        "block_size",
-        "smooth_coeff",
-        "max_harmonics",
-        "feedback_path",
-        "limiter_threshold",
-    ),
+_STATIC_NAMES = (
+    "kinds",
+    "sample_rate",
+    "block_size",
+    "smooth_coeff",
+    "limiter_threshold",
+    "family_static",
 )
 
-
-def _smooth(bank: SmootherBank, coeff: float, block: int):
-    from libgooey_tpu.core.smoother import smooth_block
-
-    return smooth_block(bank, coeff, block)
+_render_all_jit = jax.jit(_render_all, static_argnames=_STATIC_NAMES)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "sample_rate",
-        "block_size",
-        "smooth_coeff",
-        "max_harmonics",
-        "feedback_path",
-        "limiter_threshold",
-    ),
-)
-def render_many(
-    state: EngineState,
-    trig_offsets,     # [N, V] i32
-    trig_velocities,  # [N, V] f32
-    block_starts,     # [N] i32
-    *,
-    sample_rate: float,
-    block_size: int,
-    smooth_coeff: float,
-    max_harmonics: int,
-    feedback_path: bool,
-    limiter_threshold: float,
-):
-    """Render N blocks in one device program (lax.scan over blocks).
+@partial(jax.jit, static_argnames=_STATIC_NAMES)
+def render_many(state: dict, events_stacked: dict, **static):
+    """Render N blocks in one XLA program (lax.scan over blocks).
 
+    ``events_stacked`` carries a leading block axis on every event array.
     The offline/bench path: the host precomputes all sequencer events
-    up-front (exact f64 control arithmetic), then the whole render runs as
-    one XLA program with zero per-block dispatch.  Returns
-    ``(final_state, stereo[N, 2, B])``.
+    up-front in exact arithmetic; the render runs with zero per-block
+    dispatch.  Returns ``(final_state, stereo[N, 2, B])``.
     """
 
     def step(st, ev):
-        off, vel, start = ev
-        st2, out, _mono = _engine_step_core(
-            st,
-            BlockEvents(off, vel, start),
-            sample_rate=sample_rate,
-            block_size=block_size,
-            smooth_coeff=smooth_coeff,
-            max_harmonics=max_harmonics,
-            feedback_path=feedback_path,
-            limiter_threshold=limiter_threshold,
-        )
+        st2, out, _mono = _render_all(st, ev, **static)
         return st2, out
 
-    return jax.lax.scan(step, state, (trig_offsets, trig_velocities, block_starts))
+    return jax.lax.scan(step, state, events_stacked)
 
 
 class Engine:
     """Host control plane over the device-resident render graph.
 
     Mirrors the reference Engine API (src/engine/mod.rs:84-127): named
-    instruments, `add_sequencer`, `trigger`, master gain, per-instrument
-    pan — plus a `voices` capacity for TPU-scale banks.
+    instruments of any family, `add_sequencer`, `trigger`, master gain,
+    per-instrument pan/gain — each named instrument occupying one voice lane
+    of its family's bank.
     """
 
     def __init__(
         self,
         sample_rate: float = DEFAULT_SAMPLE_RATE,
         block_size: int = DEFAULT_BLOCK_SIZE,
-        voices: int = 8,
-        max_harmonics: int = 0,
+        family_static: Optional[dict] = None,
     ):
         self.sample_rate = float(sample_rate)
         self.block_size = int(block_size)
-        self.voices = int(voices)
-        self.max_harmonics = int(max_harmonics)
         self.smooth_coeff = smoothing_coeff(self.sample_rate)
         self.limiter_threshold = 1.0
+        self.family_static = {**FAMILY_STATIC, **(family_static or {})}
 
-        self._names: Dict[str, int] = {}
-        self._next_voice = 0
-        self._kick_targets = np.broadcast_to(
-            kick_mod.KickConfig.tight().as_array(), (self.voices, kick_mod.NUM_PARAMS)
-        ).copy()
-        self._params_dirty = False
-        self._pan_targets = np.full(self.voices, 0.5, np.float32)
-        self._gain_targets = np.ones(self.voices, np.float32)
+        # host mirrors
+        self._names: Dict[str, Tuple[str, int]] = {}   # name -> (kind, slot)
+        self._targets: Dict[str, List[np.ndarray]] = {k: [] for k in FAMILIES}
+        self._configs: Dict[str, List[object]] = {k: [] for k in FAMILIES}
+        self._dirty: Dict[str, bool] = {k: False for k in FAMILIES}
+        self._pan: List[float] = []
+        self._gain: List[float] = []
         self._mix_dirty = False
-        self._master_target = 0.25  # engine/mod.rs default master gain
+        self._master_target = 0.25   # engine/mod.rs default master gain
         self._master_dirty = False
 
         self.sequencers: List[Sequencer] = []
-        self._trigger_queue: List = []  # (voice, velocity)
-        self.sample_count = 0  # global sample counter (block-aligned)
+        self._trigger_queue: List = []
+        self.sample_count = 0
+        self._state: Optional[dict] = None  # built lazily at first render
 
-        self.state = EngineState(
-            kick=kick_mod.init_state(self.voices),
-            pan=SmootherBank.init(self._pan_targets),
-            gain=SmootherBank.init(self._gain_targets),
-            master=SmootherBank.init(np.float32(self._master_target)),
-        )
+    # --- instrument management --------------------------------------------------
 
-    # --- instrument management -------------------------------------------------
+    def add_instrument(self, name: str, kind: str, config=None) -> int:
+        if self._state is not None:
+            raise RuntimeError("add instruments before the first render")
+        if kind not in FAMILIES:
+            raise KeyError(f"unknown instrument family {kind!r}")
+        mod = FAMILIES[kind]
+        cfg = config if config is not None else mod.PRESETS["default"]()
+        slot = len(self._targets[kind])
+        self._targets[kind].append(cfg.as_array())
+        self._configs[kind].append(cfg)
+        self._names[name] = (kind, slot)
+        # mixer strip slot (global voice order: family order, then slot)
+        self._pan.append(0.5)
+        self._gain.append(1.0)
+        return slot
 
-    def add_kick(self, name: str, config: Optional[kick_mod.KickConfig] = None) -> int:
-        """Register a named kick voice; returns its voice index."""
-        if self._next_voice >= self.voices:
-            raise RuntimeError("voice capacity exceeded; construct with more voices")
-        v = self._next_voice
-        self._next_voice += 1
-        self._names[name] = v
-        if config is not None:
-            self.set_kick_config(name, config)
-        return v
+    def add_kick(self, name: str, config=None) -> int:
+        return self.add_instrument(name, "kick", config)
 
-    def voice_index(self, name: str) -> int:
-        return self._names[name]
+    def instrument_kinds(self) -> Tuple[str, ...]:
+        return tuple(k for k in FAMILIES if self._targets[k])
 
-    def set_kick_config(self, name: str, config: kick_mod.KickConfig):
-        self._kick_targets[self._names[name]] = config.as_array()
-        self._params_dirty = True
+    def _global_voice_index(self, name: str) -> int:
+        kind, slot = self._names[name]
+        idx = 0
+        for k in FAMILIES:
+            if k == kind:
+                return idx + slot
+            idx += len(self._targets[k])
+        raise KeyError(name)
 
-    def set_kick_param(self, name: str, param: str, value: float):
-        """Smoothed parameter target (the KICK_PARAM_* setter family)."""
-        self._kick_targets[self._names[name], kick_mod.PARAM_INDEX[param]] = np.clip(
-            value, 0.0, 1.0
-        )
-        self._params_dirty = True
+    # --- parameters ----------------------------------------------------------------
 
-    def get_kick_param(self, name: str, param: str) -> float:
-        """Round-trip getter for host state recovery (tests/param_getters.rs)."""
-        return float(self._kick_targets[self._names[name], kick_mod.PARAM_INDEX[param]])
+    def set_param(self, name: str, param: str, value: float):
+        """Smoothed normalized param target (the *_PARAM_* setter family)."""
+        kind, slot = self._names[name]
+        mod = FAMILIES[kind]
+        self._targets[kind][slot][mod.PARAM_INDEX[param]] = value
+        self._dirty[kind] = True
+        if self._state is not None:
+            self._stage_kind(kind)
+
+    def get_param(self, name: str, param: str) -> float:
+        """Round-trip getter (host mirror — realtime-safe, no device read)."""
+        kind, slot = self._names[name]
+        return float(self._targets[kind][slot][FAMILIES[kind].PARAM_INDEX[param]])
+
+    def set_config(self, name: str, config):
+        kind, slot = self._names[name]
+        self._targets[kind][slot] = config.as_array()
+        self._configs[kind][slot] = config
+        self._dirty[kind] = True
+        if self._state is not None:
+            self._stage_kind(kind)
 
     def set_pan(self, name: str, pan: float):
-        self._pan_targets[self._names[name]] = np.clip(pan, 0.0, 1.0)
+        self._pan[self._global_voice_index(name)] = float(np.clip(pan, 0.0, 1.0))
         self._mix_dirty = True
 
     def set_gain(self, name: str, gain: float):
-        self._gain_targets[self._names[name]] = max(float(gain), 0.0)
+        self._gain[self._global_voice_index(name)] = max(float(gain), 0.0)
         self._mix_dirty = True
 
     def set_master_gain(self, gain: float):
         self._master_target = float(gain)
         self._master_dirty = True
 
-    # --- control ---------------------------------------------------------------
+    # --- control ----------------------------------------------------------------------
 
     def add_sequencer(self, seq: Sequencer):
         if seq.name not in self._names:
@@ -270,73 +258,121 @@ class Engine:
         return seq
 
     def trigger(self, name: str, velocity: float = 0.5):
-        """Queue a manual trigger for the next block start (offset 0),
-        mirroring the FFI's atomics-drained-at-sample-0 contract
-        (ffi.rs:1078-1095)."""
+        """Queue a manual trigger for the next block start (ffi.rs:1078-1095)."""
         self._trigger_queue.append((self._names[name], float(velocity)))
 
-    # --- rendering ----------------------------------------------------------------
+    # --- device state ---------------------------------------------------------------------
+
+    def _build_state(self):
+        state = {}
+        for kind in self.instrument_kinds():
+            mod = FAMILIES[kind]
+            targets = np.stack(self._targets[kind])
+            state[kind] = mod.init_state(len(self._targets[kind]), targets=targets)
+            # non-smoothed static per-voice fields from configs
+            if kind == "snare":
+                state[kind] = state[kind]._replace(
+                    filter_type=jnp.asarray(
+                        [c.filter_type for c in self._configs[kind]], jnp.int32
+                    )
+                )
+            if kind == "hihat":
+                state[kind] = state[kind]._replace(
+                    is_open=jnp.asarray(
+                        [1.0 if c.is_open else 0.0 for c in self._configs[kind]],
+                        jnp.float32,
+                    )
+                )
+            if kind == "hihat2":
+                state[kind] = state[kind]._replace(
+                    noise_color=jnp.asarray(
+                        [c.noise_color for c in self._configs[kind]], jnp.int32
+                    ),
+                    filter_slope=jnp.asarray(
+                        [c.filter_slope for c in self._configs[kind]], jnp.int32
+                    ),
+                )
+        state["pan"] = SmootherBank.init(np.asarray(self._pan, np.float32))
+        state["gain"] = SmootherBank.init(np.asarray(self._gain, np.float32))
+        state["master"] = SmootherBank.init(np.float32(self._master_target))
+        self._state = state
+
+    def _stage_kind(self, kind: str):
+        if not self._dirty[kind] or self._state is None:
+            return
+        targets = np.stack(self._targets[kind])
+        st = self._state[kind]
+        if hasattr(st, "params") and isinstance(st.params, SmootherBank):
+            self._state[kind] = st._replace(params=st.params.with_targets(targets))
+        else:  # tom2: plain params
+            self._state[kind] = st._replace(params=jnp.asarray(targets, jnp.float32))
+        self._dirty[kind] = False
 
     def _stage(self):
-        if self._params_dirty:
-            self.state = self.state._replace(
-                kick=self.state.kick._replace(
-                    params=self.state.kick.params.with_targets(self._kick_targets)
-                )
-            )
-            self._params_dirty = False
+        if self._state is None:
+            self._build_state()
+        for kind in self.instrument_kinds():
+            self._stage_kind(kind)
         if self._mix_dirty:
-            self.state = self.state._replace(
-                pan=self.state.pan.with_targets(self._pan_targets),
-                gain=self.state.gain.with_targets(self._gain_targets),
+            self._state["pan"] = self._state["pan"].with_targets(
+                np.asarray(self._pan, np.float32)
+            )
+            self._state["gain"] = self._state["gain"].with_targets(
+                np.asarray(self._gain, np.float32)
             )
             self._mix_dirty = False
         if self._master_dirty:
-            self.state = self.state._replace(
-                master=self.state.master.with_targets(np.float32(self._master_target))
+            self._state["master"] = self._state["master"].with_targets(
+                np.float32(self._master_target)
             )
             self._master_dirty = False
 
-    def _collect_events(self) -> BlockEvents:
+    def _collect_events(self) -> dict:
         B = self.block_size
-        off = np.full(self.voices, B, np.int32)
-        vel = np.zeros(self.voices, np.float32)
-        for voice, velocity in self._trigger_queue:
-            off[voice] = 0
-            vel[voice] = velocity
+        kinds = self.instrument_kinds()
+        offs = {k: np.full(len(self._targets[k]), B, np.int32) for k in kinds}
+        vels = {k: np.zeros(len(self._targets[k]), np.float32) for k in kinds}
+        for (kind, slot), velocity in self._trigger_queue:
+            offs[kind][slot] = 0
+            vels[kind][slot] = velocity
         self._trigger_queue.clear()
         for seq in self.sequencers:
-            voice = self._names[seq.name]
+            kind, slot = self._names[seq.name]
             for trig in seq.tick_block(B):
-                # last trigger in a block wins per voice (reference fires all,
-                # but retrigger replaces envelopes; <1 trigger/block at sane BPM)
-                off[voice] = trig.offset
-                vel[voice] = trig.velocity
-        return BlockEvents(
-            trig_offset=jnp.asarray(off),
-            trig_velocity=jnp.asarray(vel),
-            block_start=jnp.asarray(np.int32(self.sample_count)),
+                offs[kind][slot] = trig.offset
+                vels[kind][slot] = trig.velocity
+        events = {"block_start": jnp.asarray(np.int32(self.sample_count))}
+        for k in kinds:
+            events[k + "_off"] = jnp.asarray(offs[k])
+            events[k + "_vel"] = jnp.asarray(vels[k])
+        return events
+
+    def _static_key(self):
+        return tuple(
+            (k, tuple(sorted(self.family_static.get(k, {}).items())))
+            for k in self.instrument_kinds()
         )
 
+    # --- rendering ---------------------------------------------------------------------------
+
     def render_block(self):
-        """Render one block → ``(stereo[2,B], mono[B])`` numpy arrays."""
+        """Render one block → ``(stereo[2,B], mono[B])`` device arrays."""
         self._stage()
         events = self._collect_events()
-        self.state, out, mono = _engine_step(
-            self.state,
+        self._state, out, mono = _render_all_jit(
+            self._state,
             events,
+            kinds=self.instrument_kinds(),
             sample_rate=self.sample_rate,
             block_size=self.block_size,
             smooth_coeff=self.smooth_coeff,
-            max_harmonics=self.max_harmonics,
-            feedback_path=False,
             limiter_threshold=self.limiter_threshold,
+            family_static=self._static_key(),
         )
         self.sample_count += self.block_size
         return out, mono
 
     def render(self, num_samples: int) -> np.ndarray:
-        """Render stereo ``[2, num_samples]``."""
         blocks = []
         rendered = 0
         while rendered < num_samples:
@@ -346,7 +382,7 @@ class Engine:
         return np.concatenate(blocks, axis=1)[:, :num_samples]
 
     def render_mono(self, num_samples: int) -> np.ndarray:
-        """Render mono (unpanned sum — the reference's bounce path)."""
+        """Mono (unpanned sum) — the reference's bounce path (mod.rs:400-415)."""
         blocks = []
         rendered = 0
         while rendered < num_samples:
@@ -355,14 +391,14 @@ class Engine:
             rendered += self.block_size
         return np.concatenate(blocks)[:num_samples]
 
-    # --- bounce (src/bounce.rs) ---------------------------------------------------
+    # --- bounce (src/bounce.rs) -----------------------------------------------------------------
 
     def prepare_for_bounce(self):
         """Reset sequencers/transport and snap master gain (mod.rs:464-477)."""
         for seq in self.sequencers:
             seq.reset()
         self._stage()
-        self.state = self.state._replace(master=self.state.master.snapped())
+        self._state["master"] = self._state["master"].snapped()
         self.sample_count = 0
 
     def bounce_samples_for(self, bpm: float, bars: Optional[int] = None,
