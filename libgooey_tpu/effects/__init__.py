@@ -1,3 +1,25 @@
-from libgooey_tpu.effects import feedback_waveshaper, limiter
+from libgooey_tpu.effects import (
+    compressor,
+    delay,
+    feedback_waveshaper,
+    limiter,
+    lowpass,
+    reverb_plate,
+    reverb_spring,
+    saturation,
+    tilt,
+    waveshaper,
+)
 
-__all__ = ["feedback_waveshaper", "limiter"]
+__all__ = [
+    "compressor",
+    "delay",
+    "feedback_waveshaper",
+    "limiter",
+    "lowpass",
+    "reverb_plate",
+    "reverb_spring",
+    "saturation",
+    "tilt",
+    "waveshaper",
+]
