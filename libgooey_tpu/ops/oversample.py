@@ -1,0 +1,191 @@
+"""2x/4x oversampling via polyphase IIR half-band allpass pairs.
+
+Behavioral reference: src/utils/oversampler.rs (the reference wraps the
+`halfband` crate's polyphase IIR half-band up/down-samplers, 94 dB
+attenuation, around a memoryless nonlinearity; modes Off/X2/X4, default X4).
+
+Design: the classic elliptic half-band decomposition H(z) = (A0(z^2) +
+z^-1 A1(z^2))/2 where A0/A1 are chains of first-order (per phase) allpass
+sections ``y[k] = a*x[k] + x[k-1] - a*y[k-1]``.  Coefficients come from the
+standard analytic elliptic design (Valenzuela & Constantinides; the same
+algorithm behind the hiir library), computed here and verified by the test
+suite to exceed 90 dB stop-band attenuation.
+
+TPU mapping: each allpass section is a first-order linear recurrence at the
+*low* rate — associative scans — so up/down-sampling a whole block is a
+handful of linrec1 passes; the nonlinearity runs vectorized at the high
+rate.  State (one value per section per path) is threaded explicitly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from libgooey_tpu.ops import scan as gscan
+
+
+def design_halfband(n_coefs: int, transition: float):
+    """Analytic elliptic half-band allpass coefficients.
+
+    ``transition``: normalized transition bandwidth (fraction of fs, e.g.
+    0.04 → passband up to 0.25-0.02 of fs after decimation).  Returns
+    ``n_coefs`` allpass coefficients, split even/odd across the two phases.
+    """
+    k = math.tan((1.0 - transition * 2.0) * math.pi / 4.0)
+    k *= k
+    ksqrt4 = (1.0 - k * k) ** 0.25
+    e = 0.5 * (1.0 - ksqrt4) / (1.0 + ksqrt4)
+    q = e * (1.0 + e**4 * (2.0 + e**4 * (15.0 + 150.0 * e**4)))
+    order = n_coefs * 2 + 1
+
+    def acc_num(c):
+        acc, i, sign = 0.0, 0, 1.0
+        while True:
+            term = sign * (q ** (i * (i + 1))) * math.sin((2 * i + 1) * c)
+            acc += term
+            if abs(term) < 1e-100:
+                break
+            i += 1
+            sign = -sign
+        return acc
+
+    def acc_den(c):
+        acc, i, sign = 0.0, 1, -1.0
+        while True:
+            term = sign * (q ** (i * i)) * math.cos(2 * i * c)
+            acc += term
+            if abs(term) < 1e-100:
+                break
+            i += 1
+            sign = -sign
+        return acc
+
+    coefs = []
+    for idx in range(1, n_coefs + 1):
+        c = math.pi * idx / order
+        ww = (q**0.25) * acc_num(c) / (acc_den(c) + 0.5)
+        wwsq = ww * ww
+        x = math.sqrt((1.0 - wwsq * k) * (1.0 - wwsq / k)) / (1.0 + wwsq)
+        coefs.append((1.0 - x) / (1.0 + x))
+    return coefs
+
+
+#: Stage designs: (n_coefs, transition).  The first (audio-band) stage does
+#: the steep work; the second stage of a 4x chain has a full octave of slack.
+STAGE1 = design_halfband(8, 0.04)    # ~>95 dB, passband to ~0.21 fs
+STAGE2 = design_halfband(4, 0.20)    # wide-transition cleanup stage
+
+
+def _split(coefs):
+    """hiir phase split: even-indexed coefs drive the z^-1-delayed branch."""
+    return coefs[0::2], coefs[1::2]
+
+
+class HalfbandState(NamedTuple):
+    """Per-section states for one half-band (both phases + input delay)."""
+
+    ap0: jnp.ndarray   # [..., n0]
+    ap0x: jnp.ndarray  # [..., n0] previous-input memories
+    ap1: jnp.ndarray
+    ap1x: jnp.ndarray
+    x1: jnp.ndarray    # [...] previous input sample (odd-phase delay)
+
+    @staticmethod
+    def init(coefs, batch=()) -> "HalfbandState":
+        c0, c1 = _split(coefs)
+        z = lambda n: jnp.zeros(tuple(batch) + (n,), jnp.float32)
+        return HalfbandState(
+            ap0=z(len(c0)), ap0x=z(len(c0)), ap1=z(len(c1)), ap1x=z(len(c1)),
+            x1=jnp.zeros(batch, jnp.float32),
+        )
+
+
+def _allpass_chain(x, coefs, y0s, x0s):
+    """Run a chain of first-order allpasses ``y = a*x + x_prev - a*y_prev``.
+
+    Returns (y, new_y0s, new_x0s) where states are the chain's per-section
+    final (y, x) values.  All sections are linrec1 scans.
+    """
+    new_y, new_x = [], []
+    sig = x
+    for i, a in enumerate(coefs):
+        x_prev = jnp.concatenate([y0s[..., i : i + 1] * 0 + x0s[..., i : i + 1],
+                                  sig[..., :-1]], axis=-1)
+        b = a * sig + x_prev
+        y = gscan.linrec1(jnp.full_like(sig, -a), b, y0s[..., i])
+        new_x.append(sig[..., -1])
+        new_y.append(y[..., -1])
+        sig = y
+    return sig, jnp.stack(new_y, axis=-1), jnp.stack(new_x, axis=-1)
+
+
+def upsample2(state: HalfbandState, x, coefs):
+    """x[..., B] → [..., 2B] interpolated at twice the rate.
+
+    Polyphase: even outputs = A0(x) (coefs 0,2,..), odd outputs = A1(x)
+    (coefs 1,3,.. — the half-sample-delayed branch)."""
+    c0, c1 = _split(coefs)
+    e, y0, x0 = _allpass_chain(x, c0, state.ap0, state.ap0x)
+    o, y1, x1_ = _allpass_chain(x, c1, state.ap1, state.ap1x)
+    up = jnp.stack([e, o], axis=-1).reshape(x.shape[:-1] + (2 * x.shape[-1],))
+    new_state = HalfbandState(ap0=y0, ap0x=x0, ap1=y1, ap1x=x1_, x1=state.x1)
+    return new_state, up
+
+
+def downsample2(state: HalfbandState, x, coefs):
+    """x[..., 2B] → [..., B] decimated with the half-band filter."""
+    c0, c1 = _split(coefs)
+    even = x[..., 0::2]
+    odd = x[..., 1::2]
+    # phase alignment: the z^-1 branch processes the *previous* odd sample
+    odd_d = jnp.concatenate([state.x1[..., None], odd[..., :-1]], axis=-1)
+    a_out, y0, x0 = _allpass_chain(even, c0, state.ap0, state.ap0x)
+    b_out, y1, x1_ = _allpass_chain(odd_d, c1, state.ap1, state.ap1x)
+    down = 0.5 * (a_out + b_out)
+    new_state = HalfbandState(ap0=y0, ap0x=x0, ap1=y1, ap1x=x1_, x1=odd[..., -1])
+    return new_state, down
+
+
+class OversamplerState(NamedTuple):
+    """Full 4x-capable state: two up stages + two down stages."""
+
+    up1: HalfbandState
+    up2: HalfbandState
+    down2: HalfbandState
+    down1: HalfbandState
+
+    @staticmethod
+    def init(batch=()) -> "OversamplerState":
+        return OversamplerState(
+            up1=HalfbandState.init(STAGE1, batch),
+            up2=HalfbandState.init(STAGE2, batch),
+            down2=HalfbandState.init(STAGE2, batch),
+            down1=HalfbandState.init(STAGE1, batch),
+        )
+
+
+def process(state: OversamplerState, fn, x, mode: int = 4):
+    """Evaluate ``fn`` at 1x/2x/4x around up/down half-band stages.
+
+    mode: 1 (off), 2, or 4 (reference OversamplingMode, oversampler.rs:8-31).
+    Returns ``(new_state, y)`` with y at the input rate.
+    """
+    if mode == 1:
+        return state, fn(x)
+    if mode == 2:
+        u1, hi = upsample2(state.up1, x, STAGE1)
+        shaped = fn(hi)
+        d1, y = downsample2(state.down1, shaped, STAGE1)
+        return state._replace(up1=u1, down1=d1), y
+    if mode == 4:
+        u1, hi2 = upsample2(state.up1, x, STAGE1)
+        u2, hi4 = upsample2(state.up2, hi2, STAGE2)
+        shaped = fn(hi4)
+        d2, lo2 = downsample2(state.down2, shaped, STAGE2)
+        d1, y = downsample2(state.down1, lo2, STAGE1)
+        return OversamplerState(up1=u1, up2=u2, down2=d2, down1=d1), y
+    raise ValueError(f"unsupported oversampling mode {mode}")
