@@ -29,9 +29,41 @@ import numpy as np
 from libgooey_tpu.core import dsp
 from libgooey_tpu.core.constants import DEFAULT_BLOCK_SIZE, DEFAULT_SAMPLE_RATE
 from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff, smooth_block
-from libgooey_tpu.effects import limiter
+from libgooey_tpu.effects import (
+    compressor as fx_compressor,
+    delay as fx_delay,
+    limiter,
+    lowpass as fx_lowpass,
+    reverb_plate as fx_plate,
+    reverb_spring as fx_spring,
+    saturation as fx_saturation,
+    tilt as fx_tilt,
+)
+from libgooey_tpu.engine import lfo as lfo_mod
 from libgooey_tpu.engine.sequencer import Sequencer
 from libgooey_tpu.instruments import bass, hihat, hihat2, kick, snare, tom, tom2
+
+#: Global-FX registry: name -> (module, default targets builder).
+#: Order here is the default FFI effect order (saturation, LP, tilt, delay,
+#: compressor, spring, plate; SoftLimiter pinned last — ffi.rs:1313-1372).
+FX_MODULES = {
+    "saturation": fx_saturation,
+    "lowpass": fx_lowpass,
+    "tilt": fx_tilt,
+    "delay": fx_delay,
+    "compressor": fx_compressor,
+    "spring": fx_spring,
+    "plate": fx_plate,
+}
+FX_DEFAULT_TARGETS = {
+    "saturation": [0.3, 0.3, 1.0],
+    "lowpass": [8000.0, 0.2],
+    "tilt": [0.5, 0.0],
+    "delay": [0.5, 0.3, 0.3, 8000.0],
+    "compressor": [-20.0, 4.0, 10.0, 100.0, 1.0],
+    "spring": [0.5, 0.3, 0.5],
+    "plate": [0.5, 0.3, 0.5, 0.0, 1.0, 0.5],
+}
 
 #: Instrument family registry: kind -> module.  Every module implements
 #: ``init_state(V, config)`` and ``render_block(state, off, vel, start,
@@ -69,13 +101,55 @@ def _render_all(
     smooth_coeff: float,
     limiter_threshold: float,
     family_static: Tuple[Tuple[str, Tuple[Tuple[str, object], ...]], ...],
+    lfo_routes: Tuple = (),
+    fx_order: Tuple[str, ...] = (),
+    sidechain_voice: int = -1,
 ):
-    """One block over every instrument bank + mix + master + global FX."""
+    """One block over every instrument bank + mix + master + global FX.
+
+    ``lfo_routes``: static tuple of (lfo_index, kind, slot, param, depth).
+    ``fx_order``: static tuple of enabled global-effect names, applied in
+    order on the stereo bus before the pinned soft limiter.
+    ``sidechain_voice``: global voice index feeding the compressor detector
+    (-1 = self-keyed), mirroring the FFI's per-instrument sidechain source.
+    """
     static = {k: dict(v) for k, v in family_static}
     new_state = dict(state)
+
+    # --- LFO value trajectories (device-side, from host-carried phases) ------
+    lfo_trajs = None
+    if lfo_routes:
+        n = jnp.arange(block_size, dtype=jnp.float32)
+        lfo_trajs = events["lfo_offset"][:, None] + jnp.sin(
+            2.0 * np.pi
+            * (events["lfo_phase"][:, None] + n[None, :] * events["lfo_inc"][:, None])
+        ) * events["lfo_amount"][:, None]          # [8, B]
+
     voice_outs = []
     for kind in kinds:
         mod = FAMILIES[kind]
+        overrides = None
+        kind_routes = [r for r in lfo_routes if r[1] == kind]
+        if kind_routes:
+            bank = state[kind].params
+            overrides = {}
+            routed_params = sorted({r[3] for r in kind_routes})
+            for pname in routed_params:
+                idx = mod.PARAM_INDEX[pname]
+                tgt = jnp.broadcast_to(
+                    bank.target[:, idx, None],
+                    (bank.target.shape[0], block_size),
+                )
+                for (li, _k, slot, rp, depth) in kind_routes:
+                    if rp != pname:
+                        continue
+                    val = lfo_mod.bipolar_to_target(lfo_trajs[li] * depth)
+                    tgt = tgt.at[slot].set(val)
+                from libgooey_tpu.ops import scan as gscan
+
+                overrides[pname] = gscan.onepole(
+                    smooth_coeff, tgt, bank.current[:, idx]
+                )
         bank_state, out = mod.render_block(
             state[kind],
             events[kind + "_off"],
@@ -84,6 +158,7 @@ def _render_all(
             sample_rate=sample_rate,
             block_size=block_size,
             smooth_coeff=smooth_coeff,
+            overrides=overrides,
             **static.get(kind, {}),
         )
         new_state[kind] = bank_state
@@ -101,8 +176,23 @@ def _render_all(
     )
 
     master_bank, master_traj = smooth_block(state["master"], smooth_coeff, block_size)
-    out = limiter.soft_limit(mix * master_traj[None, :], limiter_threshold)
-    mono = limiter.soft_limit(jnp.sum(shaped, axis=0) * master_traj, limiter_threshold)
+    bus = mix * master_traj[None, :]
+    mono = jnp.sum(shaped, axis=0) * master_traj
+
+    # --- global FX chain (user-ordered; limiter pinned last) -------------------
+    for fx_name in fx_order:
+        mod = FX_MODULES[fx_name]
+        kw = {}
+        if fx_name == "compressor" and sidechain_voice >= 0:
+            sc = all_voices[sidechain_voice]
+            kw["sidechain"] = jnp.stack([sc, sc], axis=0)
+        new_state["fx_" + fx_name], bus = mod.process_block(
+            state["fx_" + fx_name], bus, events["fx_" + fx_name],
+            sample_rate=sample_rate, **kw,
+        )
+
+    out = limiter.soft_limit(bus, limiter_threshold)
+    mono = limiter.soft_limit(mono, limiter_threshold)
 
     new_state["pan"] = pan_bank
     new_state["gain"] = gain_bank
@@ -117,6 +207,9 @@ _STATIC_NAMES = (
     "smooth_coeff",
     "limiter_threshold",
     "family_static",
+    "lfo_routes",
+    "fx_order",
+    "sidechain_voice",
 )
 
 _render_all_jit = jax.jit(_render_all, static_argnames=_STATIC_NAMES)
@@ -175,6 +268,23 @@ class Engine:
         self._trigger_queue: List = []
         self.sample_count = 0
         self._state: Optional[dict] = None  # built lazily at first render
+
+        # LFO pool (8, ffi.rs:33) + routes
+        self.lfos = [lfo_mod.LfoConfig() for _ in range(8)]
+        self.lfo_routes: List[lfo_mod.LfoRoute] = []
+
+        # global FX chain: ordered names + staged targets; limiter pinned last
+        self.fx_order: List[str] = []
+        self.fx_targets: Dict[str, np.ndarray] = {}
+        self.fx_extra: Dict[str, dict] = {}   # e.g. delay pingpong, timing
+        self.sidechain_source: Optional[str] = None
+
+        # MIDI-out event queue with per-block sample offsets (ffi.rs:2146-2168)
+        self.midi_out: List[Tuple[int, str, float]] = []
+
+        # per-instrument X/Y preset blenders (ChannelBlender, ffi.rs:409-440)
+        self.blenders: Dict[str, object] = {}
+        self._snap_queue: List[Tuple[str, int]] = []
 
     # --- instrument management --------------------------------------------------
 
@@ -261,6 +371,82 @@ class Engine:
         """Queue a manual trigger for the next block start (ffi.rs:1078-1095)."""
         self._trigger_queue.append((self._names[name], float(velocity)))
 
+    # --- LFOs (engine/lfo.rs; 8-LFO pool ffi.rs:33-67) ---------------------------
+
+    def set_lfo(self, index: int, *, frequency_hz=None, division=None, bpm=None,
+                amount=None, offset=None):
+        cfg = self.lfos[index]
+        if frequency_hz is not None:
+            cfg.frequency_hz = frequency_hz
+        if division is not None:
+            cfg.division = division
+            cfg.frequency_hz = None
+        if bpm is not None:
+            cfg.bpm = bpm
+        if amount is not None:
+            cfg.amount = amount
+        if offset is not None:
+            cfg.offset = offset
+
+    def add_lfo_route(self, lfo_index: int, name: str, parameter: str,
+                      depth: float = 1.0):
+        """Route LFO → (instrument, param); max 16 routes/LFO (ffi.rs:34)."""
+        if sum(1 for r in self.lfo_routes if r.lfo == lfo_index) >= 16:
+            raise RuntimeError("route capacity exceeded (16 per LFO)")
+        kind, _slot = self._names[name]
+        if kind == "tom2":
+            raise ValueError("tom2 is not modulatable (tom2.rs as_modulatable)")
+        mod = FAMILIES[kind]
+        if parameter not in mod.PARAM_INDEX:
+            raise KeyError(parameter)
+        self.lfo_routes.append(lfo_mod.LfoRoute(lfo_index, name, parameter, depth))
+
+    def clear_lfo_routes(self, lfo_index: Optional[int] = None):
+        self.lfo_routes = [
+            r for r in self.lfo_routes if lfo_index is not None and r.lfo != lfo_index
+        ]
+
+    def _routes_static(self) -> Tuple:
+        out = []
+        for r in self.lfo_routes:
+            kind, slot = self._names[r.instrument]
+            out.append((r.lfo, kind, slot, r.parameter, float(r.depth)))
+        return tuple(out)
+
+    # --- global FX chain ----------------------------------------------------------
+
+    def add_global_effect(self, name: str, targets=None, **extra):
+        """Append a global effect (reorderable; SoftLimiter stays pinned last)."""
+        if name not in FX_MODULES:
+            raise KeyError(name)
+        if name not in self.fx_order:
+            self.fx_order.append(name)
+        self.fx_targets[name] = np.asarray(
+            targets if targets is not None else FX_DEFAULT_TARGETS[name], np.float32
+        )
+        self.fx_extra[name] = extra
+        if self._state is not None and "fx_" + name not in self._state:
+            self._state["fx_" + name] = FX_MODULES[name].init_state(self.sample_rate)
+
+    def remove_global_effect(self, name: str):
+        if name in self.fx_order:
+            self.fx_order.remove(name)
+
+    def set_effect_order(self, order: List[str]):
+        """Reorder the chain (ffi effect_order; limiter pinned last)."""
+        assert all(n in FX_MODULES for n in order)
+        self.fx_order = [n for n in order if n in self.fx_targets]
+
+    def set_effect_param(self, name: str, index: int, value: float):
+        self.fx_targets[name][index] = value
+
+    def get_effect_param(self, name: str, index: int) -> float:
+        return float(self.fx_targets[name][index])
+
+    def set_sidechain_source(self, name: Optional[str]):
+        """Compressor detector keyed from an instrument (ffi sidechain)."""
+        self.sidechain_source = name
+
     # --- device state ---------------------------------------------------------------------
 
     def _build_state(self):
@@ -295,6 +481,8 @@ class Engine:
         state["pan"] = SmootherBank.init(np.asarray(self._pan, np.float32))
         state["gain"] = SmootherBank.init(np.asarray(self._gain, np.float32))
         state["master"] = SmootherBank.init(np.float32(self._master_target))
+        for name in self.fx_order:
+            state["fx_" + name] = FX_MODULES[name].init_state(self.sample_rate)
         self._state = state
 
     def _stage_kind(self, kind: str):
@@ -303,7 +491,15 @@ class Engine:
         targets = np.stack(self._targets[kind])
         st = self._state[kind]
         if hasattr(st, "params") and isinstance(st.params, SmootherBank):
-            self._state[kind] = st._replace(params=st.params.with_targets(targets))
+            bank = st.params.with_targets(targets)
+            snaps = [s for k, s in self._snap_queue if k == kind]
+            if snaps:
+                cur = bank.current
+                for slot in snaps:
+                    cur = cur.at[slot].set(bank.target[slot])
+                bank = SmootherBank(current=cur, target=bank.target)
+                self._snap_queue = [e for e in self._snap_queue if e[0] != kind]
+            self._state[kind] = st._replace(params=bank)
         else:  # tom2: plain params
             self._state[kind] = st._replace(params=jnp.asarray(targets, jnp.float32))
         self._dirty[kind] = False
@@ -341,11 +537,42 @@ class Engine:
             for trig in seq.tick_block(B):
                 offs[kind][slot] = trig.offset
                 vels[kind][slot] = trig.velocity
+                # per-step blend override: SNAP the voice to the blended
+                # config (ffi.rs:1163-1205 snap_params on step blends)
+                blender = self.blenders.get(seq.name)
+                if trig.blend is not None and blender is not None:
+                    cfg = blender.blend(*trig.blend)
+                    self._targets[kind][slot] = cfg.as_array()
+                    self._dirty[kind] = True
+                    self._snap_queue.append((kind, slot))
+                self.midi_out.append((self.sample_count + trig.offset, seq.name,
+                                      trig.velocity))
+        if len(self.midi_out) > 64:   # MIDI_EVENT_CAPACITY, silent overflow drop
+            self.midi_out = self.midi_out[-64:]
         events = {"block_start": jnp.asarray(np.int32(self.sample_count))}
         for k in kinds:
             events[k + "_off"] = jnp.asarray(offs[k])
             events[k + "_vel"] = jnp.asarray(vels[k])
+        if self.lfo_routes:
+            phases, incs, amounts, offsets = [], [], [], []
+            for cfg in self.lfos:
+                phases.append(cfg.advance(B, self.sample_rate))
+                incs.append(cfg.freq() / self.sample_rate)
+                amounts.append(cfg.amount)
+                offsets.append(cfg.offset)
+            events["lfo_phase"] = jnp.asarray(np.array(phases, np.float32))
+            events["lfo_inc"] = jnp.asarray(np.array(incs, np.float32))
+            events["lfo_amount"] = jnp.asarray(np.array(amounts, np.float32))
+            events["lfo_offset"] = jnp.asarray(np.array(offsets, np.float32))
+        for name in self.fx_order:
+            events["fx_" + name] = jnp.asarray(self.fx_targets[name])
         return events
+
+    def drain_midi_out(self):
+        """Host MIDI-out drain (ffi.rs:2146-2168): (sample, name, velocity)."""
+        out = self.midi_out
+        self.midi_out = []
+        return out
 
     def _static_key(self):
         return tuple(
@@ -359,6 +586,12 @@ class Engine:
         """Render one block → ``(stereo[2,B], mono[B])`` device arrays."""
         self._stage()
         events = self._collect_events()
+        self._stage()  # per-step blends may have re-dirtied targets
+        sc_voice = (
+            self._global_voice_index(self.sidechain_source)
+            if self.sidechain_source is not None
+            else -1
+        )
         self._state, out, mono = _render_all_jit(
             self._state,
             events,
@@ -368,6 +601,9 @@ class Engine:
             smooth_coeff=self.smooth_coeff,
             limiter_threshold=self.limiter_threshold,
             family_static=self._static_key(),
+            lfo_routes=self._routes_static(),
+            fx_order=tuple(self.fx_order),
+            sidechain_voice=sc_voice,
         )
         self.sample_count += self.block_size
         return out, mono

@@ -168,6 +168,7 @@ def render_block(
     smooth_coeff: float,
     note_freq=None,
     oversample=None,
+    overrides=None,
 ):
     """Render one block for the bass bank → ``(new_state, out[V, B])``.
 
@@ -176,7 +177,7 @@ def render_block(
     """
     sr = sample_rate
     vb = VoiceBlock(state.params, trig_offset, block_start, block_size,
-                    smooth_coeff, PARAM_INDEX)
+                    smooth_coeff, PARAM_INDEX, overrides=overrides)
     ptraj, vat, eff = vb.ptraj, vb.value_at_trigger, vb.eff
 
     # --- trigger snapshots (bass.rs:747-791) -----------------------------------

@@ -30,11 +30,16 @@ class VoiceBlock:
     """Per-block context for a V-voice instrument bank."""
 
     def __init__(self, bank: SmootherBank, trig_offset, block_start,
-                 block_size: int, smooth_coeff: float, param_index: dict):
+                 block_size: int, smooth_coeff: float, param_index: dict,
+                 overrides=None):
         self.bank = bank
         self.B = block_size
         self.q = np.float32(1.0 - smooth_coeff)
         self.param_index = param_index
+        #: LFO-modulated parameter trajectories ``{name: [V, B]}`` — computed
+        #: by the engine as one-pole scans toward per-sample targets
+        #: (ffi.rs:1237-1250 applies LFO routes before the instrument tick).
+        self.overrides = overrides or {}
         self.powers = jnp.power(self.q, jnp.arange(1, block_size + 1, dtype=jnp.float32))
 
         self.n_local = jnp.arange(block_size, dtype=jnp.int32)
@@ -47,6 +52,8 @@ class VoiceBlock:
 
     def ptraj(self, name: str):
         """Smoothed per-sample trajectory of one param, ``[V, B]``."""
+        if name in self.overrides:
+            return self.overrides[name]
         idx = self.param_index[name]
         tgt = self.bank.target[:, idx, None]
         delta = (self.bank.current[:, idx] - self.bank.target[:, idx])[:, None]
@@ -56,6 +63,11 @@ class VoiceBlock:
     def value_at_trigger(self, name: str):
         """Smoothed value as read by this block's trigger ([V])."""
         idx = self.param_index[name]
+        if name in self.overrides:
+            traj = self.overrides[name]
+            off = jnp.clip(self.trig_offset - 1, 0, self.B - 1)
+            at = jnp.take_along_axis(traj, off[:, None], axis=1)[:, 0]
+            return jnp.where(self.trig_offset == 0, self.bank.current[:, idx], at)
         tgt = self.bank.target[:, idx]
         delta = self.bank.current[:, idx] - tgt
         decayed = delta * jnp.power(self.q, self.trig_offset.astype(jnp.float32))
@@ -86,6 +98,9 @@ class VoiceBlock:
         delta = self.bank.current - self.bank.target
         decayed = delta * self.q ** np.float32(self.B)
         new_current = self.bank.target + jnp.where(jnp.abs(decayed) < 1e-4, 0.0, decayed)
+        for name, traj in self.overrides.items():
+            idx = self.param_index[name]
+            new_current = new_current.at[:, idx].set(traj[:, -1])
         return SmootherBank(current=new_current, target=self.bank.target)
 
 

@@ -142,11 +142,12 @@ def render_block(
     sample_rate: float,
     block_size: int,
     smooth_coeff: float,
+    overrides=None,
 ):
     """Render one block for the hi-hat bank → ``(new_state, out[V, B])``."""
     sr = sample_rate
     vb = VoiceBlock(state.params, trig_offset, block_start, block_size,
-                    smooth_coeff, PARAM_INDEX)
+                    smooth_coeff, PARAM_INDEX, overrides=overrides)
     ptraj, vat, eff = vb.ptraj, vb.value_at_trigger, vb.eff
 
     # --- trigger snapshots (hihat.rs:498-573) --------------------------------

@@ -140,11 +140,12 @@ def render_block(
     sample_rate: float,
     block_size: int,
     smooth_coeff: float,
+    overrides=None,
 ):
     """Render one block for the HiHat2 bank → ``(new_state, out[V, B])``."""
     sr = sample_rate
     vb = VoiceBlock(state.params, trig_offset, block_start, block_size,
-                    smooth_coeff, PARAM_INDEX)
+                    smooth_coeff, PARAM_INDEX, overrides=overrides)
     ptraj, eff = vb.ptraj, vb.eff
 
     vel_new = jnp.clip(jnp.asarray(trig_velocity, jnp.float32), 0.0, 1.0)

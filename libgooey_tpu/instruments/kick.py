@@ -230,6 +230,7 @@ def render_block(
     max_harmonics: int = 256,
     feedback_path: bool = False,
     oversample=None,
+    overrides=None,
 ):
     """Render one block for the whole voice bank.
 
@@ -246,7 +247,8 @@ def render_block(
     """
     B = block_size
     sr = sample_rate
-    vb = VoiceBlock(state.params, trig_offset, block_start, B, smooth_coeff, PARAM_INDEX)
+    vb = VoiceBlock(state.params, trig_offset, block_start, B, smooth_coeff, PARAM_INDEX,
+                    overrides=overrides)
     ptraj, value_at_trigger, eff = vb.ptraj, vb.value_at_trigger, vb.eff
     at_trig = vb.at_trig
 

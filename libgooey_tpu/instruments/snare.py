@@ -191,11 +191,12 @@ def render_block(
     smooth_coeff: float,
     max_harmonics: int = 256,
     oversample=None,
+    overrides=None,
 ):
     """Render one block for the snare bank → ``(new_state, out[V, B])``."""
     sr = sample_rate
     vb = VoiceBlock(state.params, trig_offset, block_start, block_size,
-                    smooth_coeff, PARAM_INDEX)
+                    smooth_coeff, PARAM_INDEX, overrides=overrides)
     ptraj, vat, eff = vb.ptraj, vb.value_at_trigger, vb.eff
 
     # --- trigger snapshots (snare.rs:873-1027) -------------------------------

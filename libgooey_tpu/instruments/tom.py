@@ -125,11 +125,12 @@ def render_block(
     block_size: int,
     smooth_coeff: float,
     max_harmonics: int = 128,
+    overrides=None,
 ):
     """Render one block for the tom bank → ``(new_state, out[V, B])``."""
     sr = sample_rate
     vb = VoiceBlock(state.params, trig_offset, block_start, block_size,
-                    smooth_coeff, PARAM_INDEX)
+                    smooth_coeff, PARAM_INDEX, overrides=overrides)
     ptraj, vat, eff = vb.ptraj, vb.value_at_trigger, vb.eff
 
     # trigger snapshots: decay_scale = 0.5 + 0.5v (tom.rs trigger)

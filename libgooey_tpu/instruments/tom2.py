@@ -130,6 +130,7 @@ def render_block(
     block_size: int,
     smooth_coeff: float = 0.0,  # unused; uniform instrument signature
     triangle_enabled: bool = True,
+    overrides=None,  # Tom2 is not Modulatable in the reference; accepted+ignored
 ):
     """Render one block for the Tom2 bank → ``(new_state, out[V, B])``."""
     del trig_velocity, smooth_coeff
