@@ -41,7 +41,8 @@ from libgooey_tpu.effects import (
 )
 from libgooey_tpu.engine import lfo as lfo_mod
 from libgooey_tpu.engine.sequencer import Sequencer
-from libgooey_tpu.instruments import bass, hihat, hihat2, kick, snare, tom, tom2
+from libgooey_tpu import music
+from libgooey_tpu.instruments import bass, hihat, hihat2, kick, poly, snare, tom, tom2
 
 #: Global-FX registry: name -> (module, default targets builder).
 #: Order here is the default FFI effect order (saturation, LP, tilt, delay,
@@ -77,7 +78,13 @@ FAMILIES = {
     "tom": tom,
     "tom2": tom2,
     "bass": bass,
+    "poly": poly,
 }
+
+#: Event lanes per named instrument: poly allocates NUM_VOICES device lanes
+#: per synth; all other families are one lane per instrument.
+def _lanes_per_slot(kind: str) -> int:
+    return poly.NUM_VOICES if kind == "poly" else 1
 
 #: Per-family extra static kwargs for render_block.
 FAMILY_STATIC = {
@@ -150,6 +157,17 @@ def _render_all(
                 overrides[pname] = gscan.onepole(
                     smooth_coeff, tgt, bank.current[:, idx]
                 )
+        extra = {}
+        if kind == "poly":
+            extra["trig_freq"] = events["poly_freq"]
+            extra["release_offset"] = events["poly_rel"]
+            if overrides is not None:
+                overrides = {
+                    k: jnp.repeat(v, poly.NUM_VOICES, axis=0)
+                    for k, v in overrides.items()
+                }
+        if kind == "bass" and "bass_freq" in events:
+            extra["note_freq"] = events["bass_freq"]
         bank_state, out = mod.render_block(
             state[kind],
             events[kind + "_off"],
@@ -159,6 +177,7 @@ def _render_all(
             block_size=block_size,
             smooth_coeff=smooth_coeff,
             overrides=overrides,
+            **extra,
             **static.get(kind, {}),
         )
         new_state[kind] = bank_state
@@ -285,6 +304,11 @@ class Engine:
         # per-instrument X/Y preset blenders (ChannelBlender, ffi.rs:409-440)
         self.blenders: Dict[str, object] = {}
         self._snap_queue: List[Tuple[str, int]] = []
+
+        # poly host voice allocator: per synth slot, per lane metadata
+        self._poly_lanes: Dict[int, list] = {}
+        self._poly_queue: List[Tuple[int, int, str, int, float]] = []
+        self._poly_order = 0
 
     # --- instrument management --------------------------------------------------
 
@@ -447,6 +471,60 @@ class Engine:
         """Compressor detector keyed from an instrument (ffi sidechain)."""
         self.sidechain_source = name
 
+    # --- poly note interface (poly_synth.rs trigger/release, FFI chord API) ------
+
+    def _poly_allocate(self, slot: int, note: int) -> int:
+        """Prefer an inactive lane, else steal the oldest (poly_synth.rs:421-434)."""
+        lanes = self._poly_lanes.setdefault(
+            slot, [dict(note=-1, order=-1, end=0) for _ in range(poly.NUM_VOICES)]
+        )
+        now = self.sample_count
+        idx = next((i for i, l in enumerate(lanes) if l["end"] <= now), None)
+        if idx is None:
+            idx = min(range(poly.NUM_VOICES), key=lambda i: lanes[i]["order"])
+        self._poly_order += 1
+        cfg = self._targets["poly"][slot]
+        sustain = cfg[poly.PARAM_INDEX["amp_sustain"]]
+        a = 0.001 * 5000.0 ** cfg[poly.PARAM_INDEX["amp_attack"]]
+        d = 0.001 * 5000.0 ** cfg[poly.PARAM_INDEX["amp_decay"]]
+        end = 2**62 if sustain > 0.0 else now + int((a + d) * self.sample_rate) + 1
+        lanes[idx].update(note=note, order=self._poly_order, end=end)
+        return idx
+
+    def poly_note_on(self, name: str, note: int, velocity: float = 1.0):
+        kind, slot = self._names[name]
+        assert kind == "poly", name
+        lane = self._poly_allocate(slot, note)
+        self._poly_queue.append((slot, lane, "on", int(note), float(velocity)))
+
+    def poly_note_off(self, name: str, note: int):
+        kind, slot = self._names[name]
+        lanes = self._poly_lanes.get(slot, [])
+        cfg = self._targets["poly"][slot]
+        r = 0.001 * 5000.0 ** cfg[poly.PARAM_INDEX["amp_release"]]
+        for lane, meta in enumerate(lanes):
+            if meta["note"] == note and meta["end"] > self.sample_count:
+                meta["end"] = self.sample_count + int(r * self.sample_rate) + 1
+                self._poly_queue.append((slot, lane, "off", int(note), 0.0))
+
+    def poly_release_all(self, name: str):
+        kind, slot = self._names[name]
+        for lane, meta in enumerate(self._poly_lanes.get(slot, [])):
+            if meta["end"] > self.sample_count:
+                self.poly_note_off(name, meta["note"])
+
+    def poly_chord_on(self, name: str, root: str, quality: str = "major",
+                      voicing: str = "root", octave: int = 4,
+                      velocity: float = 1.0):
+        """Chord interface via the music layer (FFI chord API)."""
+        for note in music.apply_voicing(music.Chord(root, quality), voicing, octave):
+            self.poly_note_on(name, note, velocity)
+
+    def poly_chord_off(self, name: str, root: str, quality: str = "major",
+                       voicing: str = "root", octave: int = 4):
+        for note in music.apply_voicing(music.Chord(root, quality), voicing, octave):
+            self.poly_note_off(name, note)
+
     # --- device state ---------------------------------------------------------------------
 
     def _build_state(self):
@@ -526,17 +604,64 @@ class Engine:
     def _collect_events(self) -> dict:
         B = self.block_size
         kinds = self.instrument_kinds()
-        offs = {k: np.full(len(self._targets[k]), B, np.int32) for k in kinds}
-        vels = {k: np.zeros(len(self._targets[k]), np.float32) for k in kinds}
+        offs = {
+            k: np.full(len(self._targets[k]) * _lanes_per_slot(k), B, np.int32)
+            for k in kinds
+        }
+        vels = {
+            k: np.zeros(len(self._targets[k]) * _lanes_per_slot(k), np.float32)
+            for k in kinds
+        }
+        poly_freq = (
+            np.zeros(len(self._targets["poly"]) * poly.NUM_VOICES, np.float32)
+            if "poly" in kinds else None
+        )
+        poly_rel = (
+            np.full(len(self._targets["poly"]) * poly.NUM_VOICES, B, np.int32)
+            if "poly" in kinds else None
+        )
+        bass_freq = (
+            np.zeros(len(self._targets["bass"]), np.float32) if "bass" in kinds else None
+        )
+        # drain poly note events (host voice allocation already chose lanes)
+        for (slot, lane, kind_ev, note, velocity) in self._poly_queue:
+            flat = slot * poly.NUM_VOICES + lane
+            if kind_ev == "on":
+                offs["poly"][flat] = 0
+                vels["poly"][flat] = velocity
+                poly_freq[flat] = music.midi_to_freq(note)
+            else:
+                poly_rel[flat] = 0
+        self._poly_queue.clear()
         for (kind, slot), velocity in self._trigger_queue:
-            offs[kind][slot] = 0
-            vels[kind][slot] = velocity
+            if kind == "poly":
+                lane = self._poly_allocate(slot, 60)
+                flat = slot * poly.NUM_VOICES + lane
+                offs[kind][flat] = 0
+                vels[kind][flat] = velocity
+                poly_freq[flat] = music.midi_to_freq(60)
+            else:
+                offs[kind][slot] = 0
+                vels[kind][slot] = velocity
         self._trigger_queue.clear()
         for seq in self.sequencers:
             kind, slot = self._names[seq.name]
             for trig in seq.tick_block(B):
-                offs[kind][slot] = trig.offset
-                vels[kind][slot] = trig.velocity
+                if kind == "poly":
+                    note = trig.note if trig.note is not None else 60
+                    lane = self._poly_allocate(slot, note)
+                    flat = slot * poly.NUM_VOICES + lane
+                    offs[kind][flat] = trig.offset
+                    vels[kind][flat] = trig.velocity
+                    poly_freq[flat] = music.midi_to_freq(note)
+                elif kind == "bass" and trig.note is not None:
+                    # per-step note override sets the trigger frequency
+                    offs[kind][slot] = trig.offset
+                    vels[kind][slot] = trig.velocity
+                    bass_freq[slot] = music.midi_to_freq(trig.note)
+                else:
+                    offs[kind][slot] = trig.offset
+                    vels[kind][slot] = trig.velocity
                 # per-step blend override: SNAP the voice to the blended
                 # config (ffi.rs:1163-1205 snap_params on step blends)
                 blender = self.blenders.get(seq.name)
@@ -553,6 +678,11 @@ class Engine:
         for k in kinds:
             events[k + "_off"] = jnp.asarray(offs[k])
             events[k + "_vel"] = jnp.asarray(vels[k])
+        if poly_freq is not None:
+            events["poly_freq"] = jnp.asarray(poly_freq)
+            events["poly_rel"] = jnp.asarray(poly_rel)
+        if bass_freq is not None:
+            events["bass_freq"] = jnp.asarray(bass_freq)
         if self.lfo_routes:
             phases, incs, amounts, offsets = [], [], [], []
             for cfg in self.lfos:
