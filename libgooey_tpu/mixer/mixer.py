@@ -1,0 +1,170 @@
+"""Mixer: 4 loop channels + clip grid, with stem rendering.
+
+Behavioral reference: src/mixer/mod.rs (655 LoC) — owns the loop channels
+and the ClipGrid; `tick()` runs grid.before_tick (transport + scheduled
+actions), solo-aware channel gating, the channel sum, grid.after_tick;
+propagates BPM to channel effects + grid (rs:80-87); offline single-channel
+render with effect-warming preroll (`render_channel_to_interleaved`,
+rs:444-476).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff, smooth_block
+from libgooey_tpu.mixer import chain as chain_mod
+from libgooey_tpu.mixer.clip_grid import CLIP_COLUMNS, ClipGrid
+from libgooey_tpu.mixer.loop_channel import LoopChannelHost
+from libgooey_tpu.mixer.stereo_buffer import read_cubic
+
+NUM_CHANNELS = 4  # mixer/mod.rs:31
+
+
+@partial(jax.jit, static_argnames=("wrap", "chain_key", "sample_rate", "coeff"))
+def _channel_block(buffer, pos, weights, base, length, gain_bank, chain_states,
+                   chain_targets, *, wrap: bool, chain_key, sample_rate: float,
+                   coeff: float):
+    """One loop channel: OLA cubic reads → gain → chain → active gate.
+
+    ``buffer`` holds two capacity regions (active + staged) so a quantized
+    swap can land mid-block; ``base``/``length`` locate each sample's region.
+    """
+    B = pos.shape[-1]
+    dry = (
+        read_cubic(buffer, pos[0], wrap, length, base) * weights[0][None, :]
+        + read_cubic(buffer, pos[1], wrap, length, base) * weights[1][None, :]
+    )
+    bank, traj = smooth_block(gain_bank, coeff, B)      # [2, B]: gain, active
+    gained = dry * traj[0][None, :]
+    new_states, wet = chain_mod.process_chain(
+        chain_states, gained, chain_targets, chain_key, sample_rate=sample_rate
+    )
+    return bank, new_states, wet * traj[1][None, :]
+
+
+class Mixer:
+    def __init__(self, sample_rate: float, bpm: float = 120.0,
+                 block_size: int = 512, buffer_capacity: int = 1 << 21):
+        self.sr = sample_rate
+        self.block = block_size
+        self.bpm = bpm
+        self.channels: List[LoopChannelHost] = [
+            LoopChannelHost(sample_rate, buffer_capacity) for _ in range(NUM_CHANNELS)
+        ]
+        self.clip_grid = ClipGrid(sample_rate, bpm)
+        self.capacity = buffer_capacity
+        self._dev_buffers = [
+            jnp.zeros((2, 2 * buffer_capacity), jnp.float32)
+            for _ in range(NUM_CHANNELS)
+        ]
+        self._gain_banks = [
+            SmootherBank.init(np.array([1.0, 1.0], np.float32))
+            for _ in range(NUM_CHANNELS)
+        ]
+        self._coeff = smoothing_coeff(sample_rate)
+
+    def set_bpm(self, bpm: float):
+        """Propagate BPM to channels' delay timings + grid (mod.rs:80-87)."""
+        self.bpm = bpm
+        self.clip_grid.set_bpm(bpm)
+        for ch in self.channels:
+            ch.engine_bpm = bpm
+            ch.chain.set_bpm(bpm)
+
+    def _upload_if_dirty(self, i: int):
+        ch = self.channels[i]
+        for r in range(2):
+            if ch.region_dirty[r] and ch.region_buffers[r] is not None:
+                arr = ch.region_buffers[r].device_array()
+                self._dev_buffers[i] = (
+                    self._dev_buffers[i]
+                    .at[:, r * self.capacity : r * self.capacity + arr.shape[-1]]
+                    .set(jnp.asarray(arr))
+                )
+                ch.region_dirty[r] = False
+
+    def render_block(self):
+        """One block → stereo sum ``[2, B]`` (device array)."""
+        B = self.block
+        self.clip_grid.before_tick(self.channels)
+        any_solo = any(ch.soloed for ch in self.channels)
+        total = jnp.zeros((2, B), jnp.float32)
+        for i, ch in enumerate(self.channels):
+            ch.audible = (not ch.muted) and ((not any_solo) or ch.soloed)
+            self._upload_if_dirty(i)  # staged swaps upload before the sweep lands
+            pos, weights, region, length, wraps = ch.sweep_positions(B)
+            self._upload_if_dirty(i)
+            self._gain_banks[i] = self._gain_banks[i].with_targets(
+                np.array([ch.gain_target, 1.0 if ch.audible else 0.0], np.float32)
+            )
+            bank, new_states, wet = _channel_block(
+                self._dev_buffers[i], jnp.asarray(pos), jnp.asarray(weights),
+                jnp.asarray(region * self.capacity), jnp.asarray(length),
+                self._gain_banks[i], tuple(ch.chain.states),
+                tuple(ch.chain.targets_list()),
+                wrap=bool(wraps), chain_key=ch.chain.static_key(),
+                sample_rate=self.sr, coeff=self._coeff,
+            )
+            self._gain_banks[i] = bank
+            ch.chain.states = list(new_states)
+            total = total + wet
+        self.clip_grid.after_tick(B)
+        return total
+
+    # --- offline stem render (mod.rs:444-476) -----------------------------------
+
+    def render_channel_to_buffer(self, index: int, frames: int,
+                                 preroll_blocks: int = 8) -> np.ndarray:
+        """Render one channel solo to ``[2, frames]``: reset its effects, warm
+        them with a discarded preroll, restart the cursor, capture exactly
+        ``frames`` (gain baked from sample 0; mute/solo ignored)."""
+        ch = self.channels[index]
+        if ch.buffer is None:
+            return np.zeros((2, frames), np.float32)
+        ch.chain.reset()
+        saved_cursor = ch.cursor
+        saved_playing = ch.playing
+        ch.playing = True
+        bank = SmootherBank.init(np.array([ch.gain_target, 1.0], np.float32))
+        self._upload_if_dirty(index)
+
+        def run(n_samples, collect):
+            nonlocal bank
+            out = []
+            done = 0
+            while done < n_samples:
+                pos, weights, region, length, wraps = ch.sweep_positions(self.block)
+                bank2, new_states, wet = _channel_block(
+                    self._dev_buffers[index], jnp.asarray(pos), jnp.asarray(weights),
+                    jnp.asarray(region * self.capacity), jnp.asarray(length),
+                    bank, tuple(ch.chain.states), tuple(ch.chain.targets_list()),
+                    wrap=bool(wraps), chain_key=ch.chain.static_key(),
+                    sample_rate=self.sr, coeff=self._coeff,
+                )
+                bank = bank2
+                ch.chain.states = list(new_states)
+                if collect:
+                    out.append(np.asarray(wet))
+                done += self.block
+            return np.concatenate(out, axis=-1)[:, :n_samples] if collect else None
+
+        # preroll warms the effect tails, then restart and capture
+        run(preroll_blocks * self.block, collect=False)
+        ch.restart()
+        result = run(frames, collect=True)
+        ch.cursor = saved_cursor
+        ch.playing = saved_playing
+        return result
+
+    def render_channel_to_wav(self, index: int, frames: int, path, bits: int = 32):
+        from libgooey_tpu.io_wav import write_wav
+
+        buf = self.render_channel_to_buffer(index, frames)
+        write_wav(path, buf, int(self.sr), bits=bits)
+        return buf
