@@ -111,6 +111,7 @@ def _render_all(
     lfo_routes: Tuple = (),
     fx_order: Tuple[str, ...] = (),
     sidechain_voice: int = -1,
+    collect_sources: bool = False,
 ):
     """One block over every instrument bank + mix + master + global FX.
 
@@ -194,6 +195,16 @@ def _render_all(
         [jnp.sum(shaped * gl, axis=0), jnp.sum(shaped * gr, axis=0)], axis=0
     )
 
+    if collect_sources:
+        # panned per-voice stereo frames routed through a [S, V] matrix into
+        # mixer-graph source buses (the FFI pipeline's scatter, ffi.rs:1301)
+        panned = jnp.stack([shaped * gl, shaped * gr], axis=1)       # [V,2,B]
+        sources = jnp.einsum("sv,vcb->scb", events["source_matrix"], panned)
+        voice_peaks = jnp.max(jnp.abs(shaped), axis=-1)              # [V]
+        new_state["pan"] = pan_bank
+        new_state["gain"] = gain_bank
+        return new_state, sources, all_voices, voice_peaks
+
     master_bank, master_traj = smooth_block(state["master"], smooth_coeff, block_size)
     bus = mix * master_traj[None, :]
     mono = jnp.sum(shaped, axis=0) * master_traj
@@ -229,6 +240,7 @@ _STATIC_NAMES = (
     "lfo_routes",
     "fx_order",
     "sidechain_voice",
+    "collect_sources",
 )
 
 _render_all_jit = jax.jit(_render_all, static_argnames=_STATIC_NAMES)

@@ -1,0 +1,519 @@
+"""GooeyEngine: the full product engine behind the `gooey_engine_*` C API.
+
+Behavioral reference: src/ffi.rs (8,048 LoC) — the engine the iOS host
+drives: a DrumKit of 4 hot-swappable VoiceStrips + a bass strip (VoiceStrip
+= instrument + own sequencer + X/Y blender + gain/mute/solo/pan + peak +
+pending triggers, ffi.rs:594-658), PolySynth, Granulator, the loop Mixer
+(+ ClipGrid), a MixerGraph, up to 4 sampler racks, a PerformanceRecorder,
+9 reorderable global effects with a pinned SoftLimiter, 8 LFOs × 16 routes,
+and a terminal error latch (panic → silence + error callback,
+ffi.rs:2086-2122).
+
+The per-sample FFI pipeline (ffi.rs:1043-1380) runs here per block:
+sequencers → triggers (blend/note overrides) → performance clip replay →
+LFO routes → instrument banks → source frames → sampler racks + loop mixer
+→ mixer graph → master gain → global FX chain → limiter.
+
+Hot-swapping (INSTRUMENT_* 0-4): every channel pre-allocates one voice in
+*each* family bank; swapping flips which voice is triggered/routed — no
+state rebuild, no recompilation.
+"""
+
+from __future__ import annotations
+
+import traceback
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from libgooey_tpu import music
+from libgooey_tpu.core.blendable import PresetBlender
+from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff
+from libgooey_tpu.engine import engine as eng
+from libgooey_tpu.engine.engine import FAMILIES, Engine
+from libgooey_tpu.engine.sequencer import Sequencer
+from libgooey_tpu.instruments import granulator as gran_mod
+from libgooey_tpu.instruments import poly as poly_mod
+from libgooey_tpu.instruments import sampler as samp_mod
+from libgooey_tpu.mixer import chain as chain_mod
+from libgooey_tpu.mixer import graph as graph_mod
+from libgooey_tpu.mixer.mixer import Mixer
+from libgooey_tpu.performance import PerformanceRecorder
+
+# INSTRUMENT_* ids (ffi.rs:1843-1851)
+INSTRUMENT_KICK, INSTRUMENT_SNARE, INSTRUMENT_HIHAT, INSTRUMENT_TOM, INSTRUMENT_BASS = range(5)
+INSTRUMENT_KINDS = ("kick", "snare", "hihat2", "tom2", "bass")
+
+NUM_KIT_CHANNELS = 4
+SAMPLER_RACK_MAX = 4
+DEFAULT_CHANNEL_KINDS = ("kick", "snare", "hihat2", "tom2")
+
+
+class GooeyEngine:
+    def __init__(self, sample_rate: float = 44100.0, block_size: int = 512):
+        self.sr = float(sample_rate)
+        self.block = int(block_size)
+        self.bpm = 120.0
+        self.error: Optional[str] = None
+        self.error_callback = None
+        self.sample_count = 0
+
+        # instrument layer: 4 kit channels × 5 kinds + dedicated bass strip
+        self.engine = Engine(sample_rate, block_size)
+        for ch in range(NUM_KIT_CHANNELS):
+            for kind in INSTRUMENT_KINDS:
+                self.engine.add_instrument(f"ch{ch}_{kind}", kind)
+        self.engine.add_instrument("bass", "bass")
+        self.channel_kind: List[str] = list(DEFAULT_CHANNEL_KINDS)
+
+        # strip control (sequencer + blender + mixer strip per kit channel + bass)
+        self.sequencers: List[Sequencer] = [
+            Sequencer(self.bpm, self.sr, 16, f"strip{c}") for c in range(NUM_KIT_CHANNELS + 1)
+        ]
+        self.blenders: List[Optional[PresetBlender]] = [None] * (NUM_KIT_CHANNELS + 1)
+        self.strip_gain = np.ones(NUM_KIT_CHANNELS + 1, np.float32)
+        self.strip_pan = np.full(NUM_KIT_CHANNELS + 1, 0.5, np.float32)
+        self.strip_mute = np.zeros(NUM_KIT_CHANNELS + 1, bool)
+        self.strip_solo = np.zeros(NUM_KIT_CHANNELS + 1, bool)
+        self.strip_peak = np.zeros(NUM_KIT_CHANNELS + 1, np.float32)
+        self._pending_triggers: List = []   # (strip, velocity)
+
+        # poly / granulator / loops / racks / graph / performance
+        self.engine.add_instrument("poly", "poly")
+        gr_buf = np.zeros(1024, np.float32)
+        self.gran_host = gran_mod.GranulatorHost(self.sr, gr_buf, self.sr)
+        self.gran_state = gran_mod.init_state(gr_buf, self.sr)
+        self.mixer = Mixer(self.sr, self.bpm, self.block)
+        self.graph = graph_mod.MixerGraph.with_default_layout(self.sr, self.bpm)
+        self.racks: List[Optional[samp_mod.SamplerRackHost]] = [None] * SAMPLER_RACK_MAX
+        self.rack_states: List[Optional[samp_mod.SamplerState]] = [None] * SAMPLER_RACK_MAX
+        self.performance = PerformanceRecorder()
+        self.perf_chord_target = "poly"
+        self._perf_sounding = None
+
+        # global FX: reorderable chain entries + enabled flags; limiter pinned
+        self.fx = chain_mod.EffectChain(self.sr, self.bpm)
+        for eid in (
+            chain_mod.EFFECT_SATURATION, chain_mod.EFFECT_LOWPASS_FILTER,
+            chain_mod.EFFECT_TILT_FILTER, chain_mod.EFFECT_DELAY,
+            chain_mod.EFFECT_COMPRESSOR, chain_mod.EFFECT_WAVESHAPER,
+            chain_mod.EFFECT_FEEDBACK_WAVESHAPER, chain_mod.EFFECT_REVERB,
+            chain_mod.EFFECT_PLATE_REVERB,
+        ):
+            self.fx.add(eid)
+        self.fx_enabled: Dict[int, bool] = {e.effect_id: False for e in self.fx.entries}
+        self.limiter_enabled = True
+        self.limiter_threshold = 1.0
+        self.sidechain_strip: Optional[int] = None
+        self.master = SmootherBank.init(np.float32(1.0))
+        self.midi_out: List = []
+
+        self._smooth_coeff = smoothing_coeff(self.sr)
+        self._source_matrix = None
+
+    # --- naming helpers ----------------------------------------------------------
+
+    def _strip_name(self, strip: int) -> str:
+        if strip < NUM_KIT_CHANNELS:
+            return f"ch{strip}_{self.channel_kind[strip]}"
+        return "bass"
+
+    def set_channel_instrument(self, channel: int, instrument_id: int) -> bool:
+        """Hot-swap a kit channel's instrument (ffi.rs:2290-2335)."""
+        if not (0 <= channel < NUM_KIT_CHANNELS) or not (0 <= instrument_id < 5):
+            return False
+        self.channel_kind[channel] = INSTRUMENT_KINDS[instrument_id]
+        self._source_matrix = None
+        return True
+
+    def get_channel_instrument(self, channel: int) -> int:
+        return INSTRUMENT_KINDS.index(self.channel_kind[channel])
+
+    # --- params / triggers ---------------------------------------------------------
+
+    def set_param(self, strip: int, param: str, value: float):
+        self.engine.set_param(self._strip_name(strip), param, value)
+
+    def get_param(self, strip: int, param: str) -> float:
+        return self.engine.get_param(self._strip_name(strip), param)
+
+    def trigger_channel(self, strip: int, velocity: float = 0.5):
+        """Queued like the FFI's atomics, drained at sample 0 (ffi.rs:1078)."""
+        self._pending_triggers.append((strip, float(velocity)))
+
+    def set_blender(self, strip: int, blender: PresetBlender):
+        self.blenders[strip] = blender
+
+    def blend_to(self, strip: int, x: float, y: float):
+        """Apply the X/Y pad blend immediately (snap, ffi ChannelBlender)."""
+        b = self.blenders[strip]
+        if b is None:
+            return False
+        name = self._strip_name(strip)
+        kind, slot = self.engine._names[name]
+        self.engine.set_config(name, b.blend(x, y))
+        self.engine._snap_queue.append((kind, slot))
+        return True
+
+    # --- transport / BPM ---------------------------------------------------------------
+
+    def set_bpm(self, bpm: float):
+        self.bpm = float(bpm)
+        for seq in self.sequencers:
+            seq.set_bpm(bpm)
+        self.mixer.set_bpm(bpm)
+        self.fx.set_bpm(bpm)
+        for rack in self.racks:
+            if rack:
+                rack.sequencer.set_bpm(bpm)
+
+    def transport_beat(self) -> float:
+        return self.mixer.clip_grid.transport_beat
+
+    # --- sampler racks ---------------------------------------------------------------------
+
+    def register_sampler_rack(self, index: int, arena_frames: int = 1 << 20) -> bool:
+        if not (0 <= index < SAMPLER_RACK_MAX):
+            return False
+        self.racks[index] = samp_mod.SamplerRackHost(
+            self.sr, self.bpm, f"rack{index}", arena_frames
+        )
+        self.rack_states[index] = samp_mod.init_state(arena_frames)
+        return True
+
+    def sampler_trigger(self, rack: int, slot: int, velocity: float,
+                        from_playback: bool = False) -> bool:
+        r = self.racks[rack]
+        if r is None:
+            return False
+        ok = r.trigger(slot, velocity)
+        if ok and not from_playback:
+            self.performance.record_sampler_hit(rack, slot, velocity)
+        return ok
+
+    # --- granulator --------------------------------------------------------------------------
+
+    def granulator_load(self, samples: np.ndarray, sample_rate: float):
+        buf = np.asarray(samples, np.float32)
+        old_cfg = self.gran_host.cfg
+        self.gran_host = gran_mod.GranulatorHost(
+            self.sr, buf, sample_rate, seed=self.gran_host.rng.state
+        )
+        self.gran_host.cfg = old_cfg  # loading a buffer keeps the knob state
+        self.gran_state = gran_mod.init_state(buf, sample_rate)._replace(
+            params=self.gran_state.params
+        )
+
+    def granulator_set_param(self, name: str, value: float):
+        self.gran_host.set_param(name, value)
+        idx = gran_mod.PARAM_INDEX[name]
+        tgt = np.asarray(self.gran_state.params.target)
+        tgt[idx] = np.clip(value, 0.0, 1.0)
+        self.gran_state = self.gran_state._replace(
+            params=self.gran_state.params.with_targets(tgt)
+        )
+
+    def granulator_trigger(self, velocity: float = 1.0):
+        self.gran_host.trigger(self.sample_count / self.sr, velocity)
+
+    # --- performance recorder ------------------------------------------------------------------
+
+    def perf_chord_on(self, root: int, scale_type: int, degree: int, voicing: int,
+                      preset: int, octave: int, velocity: float):
+        self._apply_chord(root, scale_type, degree, voicing, octave, velocity)
+        self.performance.record_chord_on(
+            root, scale_type, degree, voicing, preset, octave, velocity
+        )
+
+    def perf_chord_off(self):
+        self._release_chord()
+        self.performance.record_chord_off()
+
+    def _apply_chord(self, root, scale_type, degree, voicing, octave, velocity):
+        key = music.Key(
+            music.NOTE_NAMES[root % 12],
+            "major" if scale_type == 0 else "natural_minor",
+        )
+        chord = key.diatonic_triads()[degree % 7]
+        notes = music.apply_voicing(chord, music.VOICINGS[voicing % len(music.VOICINGS)],
+                                    octave)
+        self._perf_sounding = notes
+        for n in notes:
+            self.engine.poly_note_on(self.perf_chord_target, n, velocity)
+
+    def _release_chord(self):
+        if self._perf_sounding:
+            for n in self._perf_sounding:
+                self.engine.poly_note_off(self.perf_chord_target, n)
+            self._perf_sounding = None
+
+    # --- global FX -----------------------------------------------------------------------------
+
+    def set_effect_enabled(self, effect_id: int, enabled: bool):
+        if effect_id == chain_mod.EFFECT_LIMITER:
+            self.limiter_enabled = enabled
+        else:
+            self.fx_enabled[effect_id] = bool(enabled)
+
+    def set_effect_param(self, effect_id: int, param: int, value: float) -> bool:
+        for i, e in enumerate(self.fx.entries):
+            if e.effect_id == effect_id:
+                return self.fx.set_param(i, param, value)
+        return False
+
+    def get_effect_param(self, effect_id: int, param: int) -> float:
+        for i, e in enumerate(self.fx.entries):
+            if e.effect_id == effect_id:
+                return self.fx.get_param(i, param)
+        raise KeyError(effect_id)
+
+    def set_effect_order(self, order: List[int]) -> bool:
+        """Reorder the 9 reorderable effects (limiter pinned last)."""
+        if sorted(order) != sorted(e.effect_id for e in self.fx.entries):
+            return False
+        by_id = {e.effect_id: (e, s) for e, s in zip(self.fx.entries, self.fx.states)}
+        self.fx.entries = [by_id[i][0] for i in order]
+        self.fx.states = [by_id[i][1] for i in order]
+        return True
+
+    # --- source routing ----------------------------------------------------------------------------
+
+    def _build_source_matrix(self) -> np.ndarray:
+        """[SOURCE_CAPACITY, V_total] matrix: strips → drumkit/bass, poly →
+        polysynth source; granulator/loops/racks enter separately."""
+        total = sum(
+            len(self.engine._targets[k]) * eng._lanes_per_slot(k)
+            for k in self.engine.instrument_kinds()
+        )
+        # voice rows in engine order; but mixer strips count = named slots
+        n_named = sum(len(self.engine._targets[k]) for k in self.engine.instrument_kinds())
+        m = np.zeros((graph_mod.SOURCE_CAPACITY, n_named), np.float32)
+        for ch in range(NUM_KIT_CHANNELS):
+            idx = self.engine._global_voice_index(self._strip_name(ch))
+            m[graph_mod.SOURCE_DRUMKIT, idx] = 1.0
+        m[graph_mod.SOURCE_BASS, self.engine._global_voice_index("bass")] = 1.0
+        m[graph_mod.SOURCE_POLYSYNTH, self.engine._global_voice_index("poly")] = 1.0
+        return m
+
+    # --- the render pipeline (ffi.rs:1043-1380) ------------------------------------------------------
+
+    def render(self, frames: int) -> np.ndarray:
+        """Render interleaved stereo ``[frames*2]`` like gooey_engine_render.
+
+        On an internal error the engine latches a terminal error state and
+        outputs silence forever (ffi.rs:2086-2122)."""
+        if self.error is not None:
+            return np.zeros(frames * 2, np.float32)
+        try:
+            out = self._render_blocks(frames)
+            return out.T.reshape(-1)
+        except Exception as exc:  # the catch_unwind panic fence
+            self.error = f"{exc}\n{traceback.format_exc()}"
+            if self.error_callback:
+                try:
+                    self.error_callback(str(exc))
+                except Exception:
+                    pass
+            return np.zeros(frames * 2, np.float32)
+
+    def _render_blocks(self, frames: int) -> np.ndarray:
+        outs = []
+        rendered = 0
+        while rendered < frames:
+            outs.append(np.asarray(self._render_one_block()))
+            rendered += self.block
+        return np.concatenate(outs, axis=-1)[:, :frames]
+
+    def _render_one_block(self):
+        B = self.block
+        e = self.engine
+
+        # 2. sampler rack transport-due activation (ffi.rs:1143-1150)
+        beat = self.mixer.clip_grid.transport_beat
+        for rack in self.racks:
+            if rack:
+                rack.activate_start_if_due(beat)
+
+        # 3+4. strip sequencers → engine triggers with blend/note handling
+        for strip, seq in enumerate(self.sequencers):
+            name = self._strip_name(strip)
+            kind, slot = e._names[name]
+            for trig in seq.tick_block(B):
+                if trig.blend is not None and self.blenders[strip] is not None:
+                    cfg = self.blenders[strip].blend(*trig.blend)
+                    e.set_config(name, cfg)
+                    e._snap_queue.append((kind, slot))
+                if trig.note is not None and kind != "bass":
+                    # per-step MIDI note → param-0 override (save/restore):
+                    # the trigger latches the note-derived frequency
+                    mod = FAMILIES[kind]
+                    pname = mod.PARAM_NAMES[0]
+                    saved = e.get_param(name, pname)
+                    freq = music.midi_to_freq(trig.note)
+                    lo, hi = getattr(mod, "FREQ_RANGE", (30.0, 120.0))
+                    e.set_param(name, pname, float(np.clip((freq - lo) / (hi - lo), 0, 1)))
+                    e._snap_queue.append((kind, slot))
+                    e._trigger_queue.append(((kind, slot), trig.velocity))
+                    self._post_restore = (name, pname, saved)
+                else:
+                    e._trigger_queue.append(((kind, slot), trig.velocity))
+                self.midi_out.append((self.sample_count + trig.offset, name,
+                                      trig.velocity))
+        for strip, velocity in self._pending_triggers:
+            name = self._strip_name(strip)
+            e._trigger_queue.append((e._names[name], velocity))
+        self._pending_triggers.clear()
+
+        # 5. performance clip replay (ffi.rs:1212-1235)
+        action = self.performance.update_clock(
+            beat, self.mixer.clip_grid.transport_running
+        )
+        self.performance.applying_playback = True
+        if action is not None:
+            if action[0] == "trigger":
+                ev = action[1]
+                self._release_chord()
+                self._apply_chord(ev.root, ev.scale_type, ev.degree, ev.voicing,
+                                  ev.octave, ev.velocity)
+            else:
+                self._release_chord()
+        for hit in self.performance.take_sampler_hits():
+            self.sampler_trigger(hit.rack, hit.slot, hit.velocity, from_playback=True)
+        self.performance.applying_playback = False
+
+        # 6+7. instrument banks → panned source frames (LFO routes inside)
+        if self._source_matrix is None:
+            self._source_matrix = self._build_source_matrix()
+        # stage strip mixer settings into engine pan/gain (solo-aware)
+        any_solo = bool(self.strip_solo.any())
+        for strip in range(NUM_KIT_CHANNELS + 1):
+            audible = (not self.strip_mute[strip]) and (
+                (not any_solo) or self.strip_solo[strip]
+            )
+            # gate INACTIVE kit instruments of this channel to zero
+            for kind in INSTRUMENT_KINDS:
+                nm = f"ch{strip}_{kind}" if strip < NUM_KIT_CHANNELS else None
+                if nm and nm in e._names:
+                    active = kind == self.channel_kind[strip]
+                    e.set_gain(nm, self.strip_gain[strip] if (active and audible) else 0.0)
+                    e.set_pan(nm, float(self.strip_pan[strip]))
+            if strip == NUM_KIT_CHANNELS:
+                e.set_gain("bass", self.strip_gain[strip] if audible else 0.0)
+                e.set_pan("bass", float(self.strip_pan[strip]))
+        e.set_gain("poly", 1.0)
+        e.set_pan("poly", 0.5)  # poly is center-panned (ffi.rs:1291)
+
+        e._stage()
+        events = e._collect_events()
+        e._stage()
+        events["source_matrix"] = jnp.asarray(self._source_matrix)
+        new_state, sources, all_voices, voice_peaks = eng._render_all_jit(
+            e._state, events,
+            kinds=e.instrument_kinds(), sample_rate=self.sr, block_size=B,
+            smooth_coeff=e.smooth_coeff, limiter_threshold=1.0,
+            family_static=e._static_key(), lfo_routes=e._routes_static(),
+            fx_order=(), sidechain_voice=-1, collect_sources=True,
+        )
+        e._state = new_state
+        e.sample_count += B
+
+        # restore a per-step note override after the trigger latched it
+        if getattr(self, "_post_restore", None):
+            name, pname, saved = self._post_restore
+            e.set_param(name, pname, saved)
+            kind, slot = e._names[name]
+            e._snap_queue.append((kind, slot))
+            self._post_restore = None
+
+        # strip peaks
+        vp = np.asarray(voice_peaks)
+        for strip in range(NUM_KIT_CHANNELS + 1):
+            idx = e._global_voice_index(self._strip_name(strip))
+            self.strip_peak[strip] = max(self.strip_peak[strip], float(vp[idx]))
+
+        # granulator (center-panned mono source)
+        gev = self.gran_host.collect_events(self.sample_count, B)
+        self.gran_state, gout = gran_mod.render_block(
+            self.gran_state, gev, np.int32(self.sample_count),
+            sample_rate=self.sr, block_size=B, smooth_coeff=self._smooth_coeff,
+        )
+        sqrt_half = np.float32(np.sqrt(0.5))
+        gran_frame = jnp.stack([gout * sqrt_half, gout * sqrt_half])
+        sources = sources.at[graph_mod.SOURCE_GRANULATOR].set(gran_frame)
+
+        # loop mixer
+        loop_out = self.mixer.render_block()
+        sources = sources.at[graph_mod.SOURCE_LOOPMIXER].set(loop_out)
+
+        # sampler racks
+        for i, rack in enumerate(self.racks):
+            if rack is None:
+                continue
+            sev = rack.collect_events(self.sample_count, B)
+            if rack.arena_dirty:
+                self.rack_states[i] = self.rack_states[i]._replace(
+                    arena=jnp.asarray(rack.arena)
+                )
+                rack.arena_dirty = False
+            self.rack_states[i], rout = samp_mod.render_block(
+                self.rack_states[i], sev, np.int32(self.sample_count),
+                sample_rate=self.sr, block_size=B,
+            )
+            sources = sources.at[graph_mod.SOURCE_SAMPLER_BASE + i].set(rout)
+
+        # 8. mixer graph
+        master_bus, track_peaks = self.graph.render(sources, B)
+        self.graph.record_peaks(track_peaks)
+
+        # 9. master gain → global FX chain (enabled, user order) → limiter
+        from libgooey_tpu.core.smoother import smooth_block
+
+        self.master, mtraj = smooth_block(self.master, self._smooth_coeff, B)
+        bus = master_bus * mtraj[None, :]
+        enabled_entries = [
+            (i, ent) for i, ent in enumerate(self.fx.entries)
+            if self.fx_enabled.get(ent.effect_id, False)
+        ]
+        for i, ent in enabled_entries:
+            kw = {}
+            self.fx.states[i], bus = chain_mod.process_entry(
+                ent.effect_id, self.fx.states[i], bus,
+                jnp.asarray(ent.targets), sample_rate=self.sr,
+                pingpong=ent.pingpong,
+            )
+        if self.limiter_enabled:
+            from libgooey_tpu.effects import limiter as lim
+
+            bus = lim.soft_limit(bus, self.limiter_threshold)
+
+        self.sample_count += B
+        if len(self.midi_out) > 64:
+            self.midi_out = self.midi_out[-64:]
+        return bus
+
+    # --- misc API ------------------------------------------------------------------------------------
+
+    def set_master_gain(self, gain: float):
+        self.master = self.master.with_targets(np.float32(gain))
+
+    def take_strip_peak(self, strip: int) -> float:
+        p = float(self.strip_peak[strip])
+        self.strip_peak[strip] = 0.0
+        return p
+
+    def drain_midi_out(self):
+        out = self.midi_out
+        self.midi_out = []
+        return out
+
+    def bounce_to_buffer(self, frames: int) -> np.ndarray:
+        """Offline render (interleaved), like gooey_engine_bounce_to_buffer."""
+        return self.render(frames)
+
+    def bounce_to_wav(self, path, frames: int, bits: int = 16):
+        from libgooey_tpu.io_wav import write_wav
+
+        inter = self.render(frames)
+        write_wav(path, inter.reshape(-1, 2).T, int(self.sr), bits=bits)
+        return inter
