@@ -208,7 +208,7 @@ class GooeyEngine:
     def granulator_set_param(self, name: str, value: float):
         self.gran_host.set_param(name, value)
         idx = gran_mod.PARAM_INDEX[name]
-        tgt = np.asarray(self.gran_state.params.target)
+        tgt = np.array(self.gran_state.params.target)  # copy: jax views are read-only
         tgt[idx] = np.clip(value, 0.0, 1.0)
         self.gran_state = self.gran_state._replace(
             params=self.gran_state.params.with_targets(tgt)
