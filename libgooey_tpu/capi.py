@@ -9,7 +9,18 @@ interpreter; everything here must stay exception-safe per the C contract
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# Embedded hosts select the jax backend before any tracing happens (the
+# environment's site hook may pre-register a TPU backend regardless of
+# JAX_PLATFORMS, so an explicit config update is the reliable override).
+_platform = os.environ.get("LIBGOOEY_TPU_PLATFORM")
+if _platform:
+    import jax
+
+    jax.config.update("jax_platforms", _platform)
 
 from libgooey_tpu.gooey import GooeyEngine
 
