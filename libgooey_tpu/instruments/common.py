@@ -113,3 +113,32 @@ def phase_mod_env(elapsed, active_mask):
     fall = 1.0 - jnp.power(jnp.maximum((elapsed - 0.001) / 0.005, 0.0), 0.4)
     env = jnp.where(elapsed < 0.001, rise, fall)
     return jnp.where((elapsed >= 0.0) & (elapsed <= 0.006) & active_mask, env, 0.0)
+
+
+def fm_snap_block(phase0, elapsed, sample_rate, *, attack=0.001, decay=0.008,
+                  carrier_freq=50.0, modulator_freq=500.0, modulation_index=2.0):
+    """FM "snap" transient blip (fm_snap.rs:3-94) as a block function.
+
+    The reference integrates instantaneous frequency one sample at a time;
+    here the integral is a cumulative sum over the block (phase carried
+    across blocks via ``phase0``).  ``elapsed`` [..., B] is seconds since
+    trigger; negative or post-envelope samples are inactive (silent, and
+    their frequency contribution is the plain carrier, matching the
+    reference's frozen phase once is_active drops).
+
+    Returns ``(phase_out, y)`` with ``y = sin(phase) * env``.
+    """
+    t = jnp.asarray(elapsed, jnp.float32)
+    active = (t >= 0.0) & (t <= attack + decay)
+    env = jnp.where(
+        t < attack,
+        jnp.maximum(t, 0.0) / attack,
+        jnp.clip(jnp.exp(-(t - attack) / decay), 0.0, 1.0),
+    )
+    env = jnp.where(active, env, 0.0)
+    mod = jnp.sin(2.0 * jnp.pi * modulator_freq * t)
+    f_inst = carrier_freq + modulation_index * mod * env
+    dphi = jnp.where(active, 2.0 * jnp.pi * f_inst / sample_rate, 0.0)
+    phase = jnp.asarray(phase0, jnp.float32)[..., None] + jnp.cumsum(dphi, axis=-1)
+    y = jnp.sin(phase) * env
+    return jnp.mod(phase[..., -1], 2.0 * jnp.pi), y
