@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff
+from libgooey_tpu.ops import oversample as ovs_mod
 from libgooey_tpu.ops import scan as gscan
 from libgooey_tpu.ops.filters import DCBlockState, _shift1, dc_block
 
@@ -42,6 +43,7 @@ class CompressorState(NamedTuple):
     gain: jnp.ndarray           # [2] smoothed gain (init 1)
     dc: DCBlockState            # [2]
     smooth: SmootherBank        # [2, 5]
+    ovs: ovs_mod.OversamplerState  # [2, ...] tube-coloring oversampler
 
 
 def init_state(sample_rate: float, threshold_db=-20.0, ratio=4.0, attack_ms=10.0,
@@ -56,6 +58,7 @@ def init_state(sample_rate: float, threshold_db=-20.0, ratio=4.0, attack_ms=10.0
         gain=jnp.ones(2, jnp.float32),
         dc=DCBlockState.init((2,)),
         smooth=SmootherBank.init(vals),
+        ovs=ovs_mod.OversamplerState.init((2,)),
     )
 
 
@@ -76,7 +79,7 @@ def process_block(
     *,
     sample_rate: float,
     sidechain=None,    # optional [2, B] detector source
-    oversample=None,
+    os_mode: int = 4,
 ):
     """One block of the stereo compressor → ``(new_state, out[2, B])``."""
     B = x.shape[-1]
@@ -131,9 +134,8 @@ def process_block(
     def color_fn(v):
         return jnp.arctan(v) * (FRAC_2_PI * 1.1)
 
-    colored_os = color_fn(compressed) if oversample is None else oversample(
-        color_fn, compressed
-    )
+    # always fed so the half-band history stays warm (compressor.rs:197-199)
+    new_ovs, colored_os = ovs_mod.process(state.ovs, color_fn, compressed, os_mode)
     colored = jnp.where(gain < 0.99, colored_os, compressed)
 
     # DC blocker frozen on bypass
@@ -153,6 +155,7 @@ def process_block(
         envelope=env_state,
         gain=gain[:, -1],
         dc=DCBlockState(x1=x1[:, -1], y1=y1[:, -1]),
+        ovs=new_ovs,
         smooth=SmootherBank(
             current=jnp.stack(
                 [thr[:, -1], ratio[:, -1], att_ms[:, -1], rel_ms[:, -1], mix[:, -1]],

@@ -24,8 +24,12 @@ TPU mapping: two paths, chosen statically by the caller:
 * general path: the loop is a true nonlinear recurrence; runs via
   ``nonlinear_scan`` (per-sample lax.scan carrying 5 per-voice floats).
 
-Oversampling of the tanh (reference default 4x) is handled by the caller
-passing an ``oversample`` callable; None processes at the engine rate.
+The tanh runs through the polyphase half-band oversampler at ``os_mode``×
+(reference default 4x) on the fast path.  Deviation: the general feedback
+path evaluates the tanh at the engine rate — oversampling inside a true
+per-sample feedback recurrence would put four half-band chains in the
+sequential scan carry for an alias improvement that is masked by the
+feedback filter's own low-pass.
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from libgooey_tpu.ops import oversample as ovs_mod
 from libgooey_tpu.ops import scan as gscan
 from libgooey_tpu.ops.filters import _shift1
 
@@ -56,11 +61,13 @@ class FBShaperState(NamedTuple):
     dc_x1: jnp.ndarray
     dc_y1: jnp.ndarray
     env: jnp.ndarray
+    ovs: ovs_mod.OversamplerState
 
     @staticmethod
     def init(shape=()) -> "FBShaperState":
+        shape = (shape,) if isinstance(shape, int) else tuple(shape)
         z = jnp.zeros(shape, jnp.float32)
-        return FBShaperState(z, z, z, z, z)
+        return FBShaperState(z, z, z, z, z, ovs_mod.OversamplerState.init(shape))
 
 
 def env_coeffs(sample_rate: float):
@@ -118,7 +125,7 @@ def process_block(
     mix,
     sample_rate: float,
     feedback_path: bool = True,
-    oversample=None,
+    os_mode: int = 4,
 ):
     """Run the feedback waveshaper over a block ``x[..., B]``.
 
@@ -126,7 +133,7 @@ def process_block(
     (per-sample trajectories from smoothed params).  ``feedback_path=False``
     selects the vectorized zero-feedback fast path — caller must guarantee
     the feedback parameter is 0 (all reference presets ship 0).
-    ``oversample(fn, x)`` optionally evaluates the nonlinearity oversampled.
+    ``os_mode`` (static): tanh oversampling factor on the fast path.
 
     Returns ``(new_state, out)``.
     """
@@ -139,11 +146,11 @@ def process_block(
     )
     att, rel = env_coeffs(sample_rate)
     bypass = (mix <= 1e-4) | (drive <= 1.0)
-    shape_fn = jnp.tanh if oversample is None else (lambda v: oversample(jnp.tanh, v))
+    new_ovs = state.ovs
 
     if not feedback_path:
         # --- zero-feedback fast path: feed-forward nonlinearity ------------
-        shaped = shape_fn(drive * x)
+        new_ovs, shaped = ovs_mod.process(state.ovs, jnp.tanh, drive * x, os_mode)
         env_state, env = _env_follow_scan(state.env, jnp.abs(x), att, rel, bypass)
         comp = gain_compensation(env, drive, feedback)
         compensated = shaped * comp
@@ -171,6 +178,7 @@ def process_block(
             dc_x1=x1[..., -1],
             dc_y1=y1[..., -1],
             env=env_state,
+            ovs=new_ovs,
         )
         return new_state, out
 
@@ -179,7 +187,7 @@ def process_block(
         xn, dn, fn_, gn, mn, byp = xs
         last_out, filt, dcx, dcy, env = st
         fb_in = dn * xn + fn_ * last_out
-        shaped = shape_fn(fb_in)
+        shaped = jnp.tanh(fb_in)  # engine-rate on the feedback path (see module doc)
         c = jnp.where(jnp.abs(xn) > env, att, rel)
         env_n = env + (1.0 - c) * (jnp.abs(xn) - env)
         env_n = jnp.where(jnp.abs(env_n) < 1e-15, 0.0, env_n)
@@ -208,4 +216,4 @@ def process_block(
 
     st0 = (state.last_out, state.filter_state, state.dc_x1, state.dc_y1, state.env)
     st, out = gscan.nonlinear_scan(step, st0, (x, drive, feedback, fbc, mix, bypass))
-    return FBShaperState(*st), out
+    return FBShaperState(*st, ovs=state.ovs), out

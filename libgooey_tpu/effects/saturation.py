@@ -8,7 +8,11 @@ Behavioral reference: src/effects/saturation.rs (382 LoC).
     sat    = soft + soft^2*sign(soft)*0.15*bias
     out    = x*(1-mix) + dc_block(sat)*mix   (bypass when mix < 1e-4)
 
-Memoryless apart from the DC blocker — fully vectorized.
+Memoryless apart from the DC blocker — fully vectorized.  The transfer
+curve is evaluated through the polyphase half-band oversampler at
+``os_mode``× (reference default 4x, saturation.rs:79).  Deviation: the
+reference's early-return bypass freezes the oversampler history; here it
+keeps running (sub-audible transient difference on re-engage).
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff
+from libgooey_tpu.ops import oversample as ovs_mod
 from libgooey_tpu.ops import scan as gscan
 from libgooey_tpu.ops.filters import DCBlockState, _shift1
 
@@ -31,12 +36,17 @@ P_DRIVE, P_WARMTH, P_MIX = range(3)
 class SaturationState(NamedTuple):
     dc: DCBlockState      # [2]
     smooth: SmootherBank  # [2, 3]
+    ovs: ovs_mod.OversamplerState  # [2, ...]
 
 
 def init_state(sample_rate: float, drive=0.3, warmth=0.3, mix=1.0) -> SaturationState:
     vals = np.array([[np.clip(drive, 0, 1), np.clip(warmth, 0, 1),
                       np.clip(mix, 0, 1)]] * 2, np.float32)
-    return SaturationState(dc=DCBlockState.init((2,)), smooth=SmootherBank.init(vals))
+    return SaturationState(dc=DCBlockState.init((2,)), smooth=SmootherBank.init(vals),
+                           ovs=ovs_mod.OversamplerState.init((2,)))
+
+
+repeat_to_rate = ovs_mod.repeat_to_rate
 
 
 def saturate(x, drive, bias):
@@ -49,7 +59,7 @@ def saturate(x, drive, bias):
 
 
 def process_block(state: SaturationState, x, targets, *, sample_rate: float,
-                  oversample=None):
+                  os_mode: int = 4):
     """One block of the stereo saturator → ``(new_state, out[2, B])``."""
     B = x.shape[-1]
     x = jnp.where(jnp.isfinite(x), x, 0.0)
@@ -69,8 +79,10 @@ def process_block(state: SaturationState, x, targets, *, sample_rate: float,
     mix = traj(P_MIX)
     bypass = mix < 1e-4
 
-    fn = lambda v: saturate(v, drive, bias)
-    sat = fn(x) if oversample is None else oversample(fn, x)
+    def fn(v):
+        return saturate(v, repeat_to_rate(drive, v, B), repeat_to_rate(bias, v, B))
+
+    new_ovs, sat = ovs_mod.process(state.ovs, fn, x, os_mode)
 
     x1 = gscan.linrec1(
         jnp.where(bypass, 1.0, 0.0), jnp.where(bypass, 0.0, sat), state.dc.x1
@@ -85,6 +97,7 @@ def process_block(state: SaturationState, x, targets, *, sample_rate: float,
 
     new_state = SaturationState(
         dc=DCBlockState(x1=x1[:, -1], y1=y1[:, -1]),
+        ovs=new_ovs,
         smooth=SmootherBank(
             current=jnp.stack(
                 [(drive[:, -1] - 1.0) / 7.0, bias[:, -1] / 0.4, mix[:, -1]], axis=-1

@@ -24,6 +24,7 @@ from libgooey_tpu.core.envelope import ADSR, amplitude
 from libgooey_tpu.core.smoother import SmootherBank
 from libgooey_tpu.effects import waveshaper as ws
 from libgooey_tpu.instruments.common import NEVER, VoiceBlock
+from libgooey_tpu.ops.oversample import OversamplerState, stateful as stateful_oversample
 from libgooey_tpu.ops import filters, osc
 from libgooey_tpu.ops import scan as gscan
 
@@ -120,6 +121,7 @@ PRESETS = {
 
 
 class BassState(NamedTuple):
+    ovs: "OversamplerState"  # pre-filter waveshaper 4x oversampler
     params: SmootherBank         # [V, NUM_PARAMS]
     trig_sample: jnp.ndarray     # [V] i32
     velocity: jnp.ndarray        # [V]
@@ -140,6 +142,7 @@ def init_state(num_voices: int, config: Optional[BassConfig] = None, targets=Non
         targets = np.broadcast_to(cfg.as_array(), (num_voices, NUM_PARAMS))
     v = (num_voices,)
     return BassState(
+        ovs=OversamplerState.init(v if isinstance(v, tuple) else (v,)),
         params=SmootherBank.init(jnp.asarray(targets, jnp.float32)),
         trig_sample=jnp.full(v, NEVER, jnp.int32),
         velocity=jnp.ones(v, jnp.float32),
@@ -167,7 +170,7 @@ def render_block(
     block_size: int,
     smooth_coeff: float,
     note_freq=None,
-    oversample=None,
+    os_mode: int = 4,
     overrides=None,
 ):
     """Render one block for the bass bank → ``(new_state, out[V, B])``.
@@ -244,8 +247,12 @@ def render_block(
 
     # --- pre-filter saturation ---------------------------------------------------
     od = ptraj("overdrive")
+    os_wrap, os_box = stateful_oversample(state.ovs, os_mode)
     saturated = jnp.where(
-        od > 0.001, ws.process(mix, 1.0 + od * 9.0, mix=1.0, oversample=oversample), mix
+        od > 0.001,
+        ws.process(mix, 1.0 + od * 9.0, mix=1.0,
+                   oversample=None if os_mode == 1 else os_wrap),
+        mix,
     )
 
     # --- swept SVF low-pass --------------------------------------------------------
@@ -263,6 +270,7 @@ def render_block(
     out = filtered * amp_env * jnp.sqrt(vel) * ptraj("volume")
 
     new_state = BassState(
+        ovs=os_box["state"],
         params=vb.advance_bank(),
         trig_sample=vb.latch(vb.block_start + vb.trig_offset, state.trig_sample),
         velocity=vb.latch(vel_new, state.velocity),

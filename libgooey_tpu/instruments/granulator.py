@@ -32,6 +32,7 @@ import numpy as np
 from libgooey_tpu.core.rng import XorShift32
 from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff
 from libgooey_tpu.ops import scan as gscan
+from libgooey_tpu.ops.oversample import OversamplerState, process as ovs_process
 
 MAX_GRAINS = 64
 RELEASE_POOL = 16
@@ -124,6 +125,7 @@ class GrainState(NamedTuple):
     gain_comp: jnp.ndarray      # scalar smoothed 1/sqrt(N)
     buffer: jnp.ndarray         # [L] mono source
     buffer_sr: jnp.ndarray      # scalar
+    ovs: OversamplerState       # drive waveshaper 4x oversampler
 
 
 class SpawnEvents(NamedTuple):
@@ -156,6 +158,7 @@ def init_state(buffer: np.ndarray, buffer_sr: float,
     z = lambda fill=0.0: jnp.full((TOTAL,), fill, jnp.float32)
     return GrainState(
         params=SmootherBank.init(cfg),
+        ovs=OversamplerState.init(()),
         spawn_sample=jnp.full((TOTAL,), -(2**30), jnp.int32),
         duration=z(1.0),
         src_pos=z(),
@@ -288,7 +291,9 @@ def render_block(
 
     mix = ptraj("drive")
     comp_ws = np.float32(np.tanh(0.5) / np.tanh(0.5 * DRIVE_INTERNAL))
-    shaped = jnp.tanh(raw * DRIVE_INTERNAL) * comp_ws
+    new_ovs, shaped = ovs_process(
+        state.ovs, lambda v: jnp.tanh(v * DRIVE_INTERNAL) * comp_ws, raw, 4
+    )
     driven = jnp.where(mix <= 1e-4, raw, raw * (1.0 - mix) + shaped * mix)
     out = driven * ptraj("volume")
 
@@ -299,7 +304,7 @@ def render_block(
         current=state.params.target + jnp.where(jnp.abs(dec) < 1e-4, 0.0, dec),
         target=state.params.target,
     )
-    new_state = st._replace(params=new_params, gain_comp=comp[-1])
+    new_state = st._replace(params=new_params, gain_comp=comp[-1], ovs=new_ovs)
     return new_state, out
 
 

@@ -229,7 +229,7 @@ def render_block(
     smooth_coeff: float,
     max_harmonics: int = 256,
     feedback_path: bool = False,
-    oversample=None,
+    os_mode: int = 4,
     overrides=None,
 ):
     """Render one block for the whole voice bank.
@@ -352,7 +352,7 @@ def render_block(
     )
     shaper_state, shaped = fbws.process_block(
         state.shaper, total, drive, fb, fbc, 1.0, sr,
-        feedback_path=feedback_path, oversample=oversample,
+        feedback_path=feedback_path, os_mode=os_mode,
     )
 
     # --- master amplitude (kick.rs:1264-1284) --------------------------------

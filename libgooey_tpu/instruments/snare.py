@@ -32,6 +32,7 @@ from libgooey_tpu.core.smoother import SmootherBank
 from libgooey_tpu.effects import waveshaper as ws
 from libgooey_tpu.instruments.common import NEVER, VoiceBlock, phase_mod_env
 from libgooey_tpu.ops import filters, osc
+from libgooey_tpu.ops.oversample import OversamplerState, stateful as stateful_oversample
 
 PARAM_NAMES = (
     "frequency",          # 0: 100-600 Hz
@@ -150,6 +151,7 @@ PRESETS = {
 
 class SnareState(NamedTuple):
     params: SmootherBank            # [V, NUM_PARAMS]
+    ovs: OversamplerState           # [V, ...] overdrive 4x oversampler
     filter_type: jnp.ndarray        # [V] i32 (u8 in the reference ABI)
     trig_sample: jnp.ndarray        # [V] i32
     velocity: jnp.ndarray           # [V]
@@ -168,6 +170,7 @@ def init_state(num_voices: int, config: Optional[SnareConfig] = None, targets=No
     v = (num_voices,)
     return SnareState(
         params=SmootherBank.init(jnp.asarray(targets, jnp.float32)),
+        ovs=OversamplerState.init(v),
         filter_type=jnp.full(v, cfg.filter_type, jnp.int32),
         trig_sample=jnp.full(v, NEVER, jnp.int32),
         velocity=jnp.full(v, 0.5, jnp.float32),
@@ -190,7 +193,7 @@ def render_block(
     block_size: int,
     smooth_coeff: float,
     max_harmonics: int = 256,
-    oversample=None,
+    os_mode: int = 4,
     overrides=None,
 ):
     """Render one block for the snare bank → ``(new_state, out[V, B])``."""
@@ -287,7 +290,9 @@ def render_block(
 
     # --- overdrive: plain tanh waveshaper, drive = 1 + od*9 (snare.rs:1166) ---
     drive = 1.0 + ptraj("overdrive") * 9.0
-    shaped = ws.process(total, drive, mix=1.0, oversample=oversample)
+    os_wrap, os_box = stateful_oversample(state.ovs, os_mode)
+    shaped = ws.process(total, drive, mix=1.0,
+                        oversample=None if os_mode == 1 else os_wrap)
 
     amp_env = amplitude(
         ADSR(0.001, jnp.maximum(amp_decay_s, 0.001), 0.0, 1.0, 1.0, amp_curve), elapsed
@@ -296,6 +301,7 @@ def render_block(
 
     new_state = SnareState(
         params=vb.advance_bank(),
+        ovs=os_box["state"],
         filter_type=state.filter_type,
         trig_sample=vb.latch(vb.block_start + vb.trig_offset, state.trig_sample),
         velocity=vb.latch(vel_new, state.velocity),

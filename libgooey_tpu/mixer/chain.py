@@ -29,6 +29,7 @@ from libgooey_tpu.effects import (
     tilt as fx_tilt,
     waveshaper as fx_ws,
 )
+from libgooey_tpu.ops import oversample as fx_oversample
 
 # EFFECT_* ids (ffi.rs:1548-1579)
 EFFECT_LOWPASS_FILTER = 0
@@ -86,7 +87,7 @@ def _init_device_state(effect_id: int, sample_rate: float):
     if effect_id == EFFECT_PLATE_REVERB:
         return fx_plate.init_state(sample_rate, 0.5, 0.3, 0.5)
     if effect_id == EFFECT_WAVESHAPER:
-        return jnp.zeros((0,), jnp.float32)  # stateless
+        return fx_oversample.OversamplerState.init((2,))  # 4x nonlinearity
     if effect_id == EFFECT_FEEDBACK_WAVESHAPER:
         return fx_fbws.FBShaperState.init((2,))
     return None
@@ -147,7 +148,9 @@ def process_entry(effect_id: int, state, x, targets, *, sample_rate: float,
     if effect_id == EFFECT_PLATE_REVERB:
         return fx_plate.process_block(state, x, targets, sample_rate=sample_rate)
     if effect_id == EFFECT_WAVESHAPER:
-        return state, fx_ws.process(x, targets[0], mix=targets[1])
+        wrap, box = fx_oversample.stateful(state, 4)
+        y = fx_ws.process(x, targets[0], mix=targets[1], oversample=wrap)
+        return box["state"], y
     if effect_id == EFFECT_FEEDBACK_WAVESHAPER:
         new_state, y = fx_fbws.process_block(
             state, x, targets[0], targets[1],

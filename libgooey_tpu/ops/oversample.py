@@ -189,3 +189,29 @@ def process(state: OversamplerState, fn, x, mode: int = 4):
         d1, y = downsample2(state.down1, lo2, STAGE1)
         return OversamplerState(up1=u1, up2=u2, down2=d2, down1=d1), y
     raise ValueError(f"unsupported oversampling mode {mode}")
+
+
+def stateful(state: OversamplerState, mode: int = 4):
+    """Adapter for the effects' ``oversample(fn, x)`` hook.
+
+    Returns ``(wrap, box)``: ``wrap`` evaluates fn through the up/down
+    chain, threading the state through ``box['state']`` (trace-safe — the
+    box only carries the traced output state to the caller)."""
+    box = {"state": state}
+
+    def wrap(fn, v):
+        new_state, y = process(box["state"], fn, v, mode)
+        box["state"] = new_state
+        return y
+
+    return wrap, box
+
+
+def repeat_to_rate(param, v, block_size: int):
+    """Hold an engine-rate per-sample parameter trajectory across each
+    oversampled subsample group (the reference evaluates nonlinear curves
+    2x/4x per engine sample with that sample's parameter values)."""
+    factor = v.shape[-1] // block_size
+    if factor <= 1 or jnp.ndim(param) == 0 or param.shape[-1] != block_size:
+        return param
+    return jnp.repeat(param, factor, axis=-1)

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from oversample_oracle import OracleOversampler
+
 from libgooey_tpu.core import rng
 
 F = np.float32
@@ -81,6 +83,7 @@ class KickOracle:
         self.ws_dcx = 0.0
         self.ws_dcy = 0.0
         self.ws_env = 0.0
+        self.ws_ovs = OracleOversampler(4)
 
     def trigger(self, n, velocity):
         self.vel = min(max(velocity, 0.0), 1.0)
@@ -187,11 +190,14 @@ class KickOracle:
         gcoef = F(min(max(1.0 - np.exp(-2.0 * np.pi * fc / self.sr), 0.0), 0.9))
         att = F(np.exp(-1.0 / (0.001 * self.sr)))
         rel = F(np.exp(-1.0 / (0.120 * self.sr)))
+        # the block path always feeds the oversampler (bypass only gates
+        # the output + freezes the env/DC/filter states)
+        shaped_os = self.ws_ovs.process(F(drive * total + fb * self.ws_last),
+                                        np.tanh)
         if drive <= 1.0:
-            shaped_out = total  # bypass, state frozen
+            shaped_out = total  # bypass, downstream state frozen
         else:
-            fb_in = F(drive * total + fb * self.ws_last)
-            shaped = F(np.tanh(fb_in))
+            shaped = F(shaped_os)
             rect = abs(total)
             c = att if rect > self.ws_env else rel
             self.ws_env = F(self.ws_env + (1.0 - c) * (rect - self.ws_env))

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from oversample_oracle import OracleOversampler
+
 from kick_oracle import _Smoother, _hash_white, adsr_amp, denorm
 
 F = np.float32
@@ -12,6 +14,7 @@ F = np.float32
 
 class SnareOracle:
     def __init__(self, config: dict, filter_type=1, sample_rate=44100.0):
+        self.ws_ovs = OracleOversampler(4)
         from libgooey_tpu.core.smoother import smoothing_coeff
 
         self.sr = sample_rate
@@ -110,11 +113,13 @@ class SnareOracle:
         total = F(tonal_out + noise_out + crack_out)
 
         drive = F(1.0 + vals["overdrive"] * 9.0)
-        if drive <= 1.0:
-            shaped = total
-        else:
-            comp = F(np.tanh(0.5) / np.tanh(0.5 * drive))
-            shaped = F(np.tanh(total * drive) * comp)
+        d_eff = max(drive, 1.0 + 1e-6)
+        comp = F(np.tanh(0.5) / np.tanh(0.5 * d_eff))
+        shaped_os = self.ws_ovs.process(
+            total, lambda v: np.tanh(v * d_eff) * comp
+        )  # always fed (ws.process evaluates through the oversampler
+        #    unconditionally; bypass only selects the output)
+        shaped = total if drive <= 1.0 else F(shaped_os)
 
         amp_env = adsr_amp(elapsed, 0.001, max(self.amp_decay, 0.001), 0.0, 1.0, self.amp_curve)
         return float(F(shaped * amp_env * F(np.sqrt(self.vel)) * vals["volume"]))

@@ -3,6 +3,7 @@
 import numpy as np
 
 from libgooey_tpu.effects import compressor, lowpass, saturation, tilt
+from oversample_oracle import OracleOversampler
 
 SR = 44100.0
 B = 512
@@ -32,6 +33,7 @@ def test_compressor_oracle():
     env = 0.0
     gain = 1.0
     dcx = dcy = 0.0
+    ovs = OracleOversampler(4)
     att = np.exp(-1.0 / (5.0 * 0.001 * SR))
     rel = np.exp(-1.0 / (80.0 * 0.001 * SR))
     out = np.zeros(n, np.float32)
@@ -51,7 +53,9 @@ def test_compressor_oracle():
         gl = 10 ** (-gr * 0.05)
         gain += 0.05 * (gl - gain)
         comp = xn * gain
-        colored = np.arctan(comp) * (2 / np.pi) * 1.1 if gain < 0.99 else comp
+        # tube atan through the 4x oversampler, always fed (compressor.rs:197)
+        colored_os = ovs.process(comp, lambda v: np.arctan(v) * (2 / np.pi) * 1.1)
+        colored = colored_os if gain < 0.99 else comp
         y = colored - dcx + 0.995 * dcy
         dcx, dcy = colored, y
         out[i] = y  # mix = 1
@@ -97,12 +101,17 @@ def test_saturation_oracle_and_harmonics():
     got = run_fx(saturation, dict(drive=0.5, warmth=0.5, mix=1.0), x, [0.5, 0.5, 1.0])[0]
     drive, bias = 1 + 0.5 * 7, 0.5 * 0.4
     dcx = dcy = 0.0
-    want = np.zeros(n, np.float32)
-    for i, xn in enumerate(x0):
-        driven = xn * drive
+    ovs = OracleOversampler(4)
+
+    def sat_fn(v):
+        driven = v * drive
         biased = driven + bias * abs(driven)
         soft = np.arctan(biased) * 2 / np.pi
-        sat = soft + soft**2 * np.sign(soft) * 0.15 * bias
+        return soft + soft**2 * np.sign(soft) * 0.15 * bias
+
+    want = np.zeros(n, np.float32)
+    for i, xn in enumerate(x0):
+        sat = ovs.process(xn, sat_fn)  # 4x oversampled curve
         y = sat - dcx + 0.995 * dcy
         dcx, dcy = sat, y
         want[i] = y
@@ -161,3 +170,33 @@ def test_lowpass_attenuates_highs():
     x = np.stack([hi, hi])
     out = run_fx(lowpass, dict(cutoff=500.0, resonance=0.0), x, [500.0, 0.0])[0]
     assert np.sqrt(np.mean(out[8000:] ** 2)) < 0.05
+
+
+def test_saturation_wired_oversampling_reduces_aliasing():
+    """The block path's built-in 4x oversampling must beat engine-rate
+    saturation on alias energy (oversampler.rs:373-394's assertion, applied
+    to the wired-in effect)."""
+    n = 8192
+    f0 = 10_000.5 * (SR / 48000.0)  # high fundamental, non-coherent
+    x0 = (np.sin(2 * np.pi * f0 * np.arange(n) / SR) * 0.9).astype(np.float32)
+    x = np.stack([x0, x0])
+    args = (dict(drive=1.0, warmth=0.0, mix=1.0), x, [1.0, 0.0, 1.0])
+
+    def alias_energy(sig):
+        sp = np.abs(np.fft.rfft(sig[4096:] * np.hanning(4096)))
+        f = np.fft.rfftfreq(4096, 1 / SR)
+        harmonics = [f0 * k for k in (1, 3, 5, 7, 9)]
+        mask = np.ones_like(sp, bool)
+        for h in harmonics:
+            mask &= np.abs(f - h) > 200.0
+        mask &= f > 500.0
+        return np.sqrt(np.sum(sp[mask] ** 2)), sp[np.argmin(np.abs(f - f0))]
+
+    base = run_fx(saturation, *args, os_mode=1)[0]
+    over = run_fx(saturation, *args)[0]  # default os_mode=4
+    alias_base, fund_base = alias_energy(base)
+    alias_over, fund_over = alias_energy(over)
+    reduction_db = 20 * np.log10(alias_base / alias_over)
+    assert reduction_db > 20.0, reduction_db
+    fund_change_db = abs(20 * np.log10(fund_over / fund_base))
+    assert fund_change_db < 1.0, fund_change_db

@@ -192,8 +192,12 @@ def test_dc_block_oracle():
         y = xn - x1 + 0.995 * y1
         x1, y1 = xn, y
         assert abs(got[n] - y) < 5e-5  # f32 scan reassociation tolerance
-    # removes DC: mean of tail near zero
-    assert abs(got[128:].mean()) < 0.05
+    # removes DC: after the pole settles (tau ~200 samples at R=0.995), the
+    # +0.5 input offset is gone from the output
+    x_long = (rs.uniform(-1, 1, 8192) + 0.5).astype(np.float32)
+    _, y_long = filters.dc_block(filters.DCBlockState.init(()), x_long)
+    tail = np.asarray(y_long)[4096:]
+    assert abs(tail.mean()) < 0.05 < abs(x_long[4096:].mean())
 
 
 def test_pink_noise_slope_and_reset():
