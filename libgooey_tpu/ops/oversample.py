@@ -104,23 +104,32 @@ class HalfbandState(NamedTuple):
         )
 
 
-def _allpass_chain(x, coefs, y0s, x0s):
-    """Run a chain of first-order allpasses ``y = a*x + x_prev - a*y_prev``.
+def _allpass_chain_paired(sig, coef_pairs, y0s, x0s):
+    """Run BOTH polyphase chains as one batched stack of first-order
+    allpasses ``y = a*x + x_prev - a*y_prev``.
 
-    Returns (y, new_y0s, new_x0s) where states are the chain's per-section
-    final (y, x) values.  All sections are linrec1 scans.
+    ``sig`` carries a leading phase axis [2, ..., B]; ``coef_pairs`` is
+    [n, 2] (section i's coefficient per phase); states are [2, ..., n].
+    Both phases share section index i, so each section is a single
+    double-width linrec1 scan instead of two — half the kernel launches
+    of chaining the phases separately, with identical per-lane numerics.
     """
     new_y, new_x = [], []
-    sig = x
-    for i, a in enumerate(coefs):
-        x_prev = jnp.concatenate([y0s[..., i : i + 1] * 0 + x0s[..., i : i + 1],
-                                  sig[..., :-1]], axis=-1)
+    bshape = (2,) + (1,) * (sig.ndim - 1)
+    for i in range(coef_pairs.shape[0]):
+        a = jnp.asarray(coef_pairs[i], jnp.float32).reshape(bshape)
+        x_prev = jnp.concatenate([x0s[..., i : i + 1], sig[..., :-1]], axis=-1)
         b = a * sig + x_prev
-        y = gscan.linrec1(jnp.full_like(sig, -a), b, y0s[..., i])
+        y = gscan.linrec1(jnp.broadcast_to(-a, sig.shape), b, y0s[..., i])
         new_x.append(sig[..., -1])
         new_y.append(y[..., -1])
         sig = y
     return sig, jnp.stack(new_y, axis=-1), jnp.stack(new_x, axis=-1)
+
+
+def _pairs(coefs):
+    c0, c1 = _split(coefs)
+    return np.stack([np.asarray(c0, np.float32), np.asarray(c1, np.float32)], axis=1)
 
 
 def upsample2(state: HalfbandState, x, coefs):
@@ -128,25 +137,31 @@ def upsample2(state: HalfbandState, x, coefs):
 
     Polyphase: even outputs = A0(x) (coefs 0,2,..), odd outputs = A1(x)
     (coefs 1,3,.. — the half-sample-delayed branch)."""
-    c0, c1 = _split(coefs)
-    e, y0, x0 = _allpass_chain(x, c0, state.ap0, state.ap0x)
-    o, y1, x1_ = _allpass_chain(x, c1, state.ap1, state.ap1x)
-    up = jnp.stack([e, o], axis=-1).reshape(x.shape[:-1] + (2 * x.shape[-1],))
-    new_state = HalfbandState(ap0=y0, ap0x=x0, ap1=y1, ap1x=x1_, x1=state.x1)
+    sig = jnp.stack([x, x], axis=0)
+    y0s = jnp.stack([state.ap0, state.ap1], axis=0)
+    x0s = jnp.stack([state.ap0x, state.ap1x], axis=0)
+    out, ny, nx = _allpass_chain_paired(sig, _pairs(coefs), y0s, x0s)
+    up = jnp.stack([out[0], out[1]], axis=-1).reshape(
+        x.shape[:-1] + (2 * x.shape[-1],)
+    )
+    new_state = HalfbandState(ap0=ny[0], ap0x=nx[0], ap1=ny[1], ap1x=nx[1],
+                              x1=state.x1)
     return new_state, up
 
 
 def downsample2(state: HalfbandState, x, coefs):
     """x[..., 2B] → [..., B] decimated with the half-band filter."""
-    c0, c1 = _split(coefs)
     even = x[..., 0::2]
     odd = x[..., 1::2]
     # phase alignment: the z^-1 branch processes the *previous* odd sample
     odd_d = jnp.concatenate([state.x1[..., None], odd[..., :-1]], axis=-1)
-    a_out, y0, x0 = _allpass_chain(even, c0, state.ap0, state.ap0x)
-    b_out, y1, x1_ = _allpass_chain(odd_d, c1, state.ap1, state.ap1x)
-    down = 0.5 * (a_out + b_out)
-    new_state = HalfbandState(ap0=y0, ap0x=x0, ap1=y1, ap1x=x1_, x1=odd[..., -1])
+    sig = jnp.stack([even, odd_d], axis=0)
+    y0s = jnp.stack([state.ap0, state.ap1], axis=0)
+    x0s = jnp.stack([state.ap0x, state.ap1x], axis=0)
+    out, ny, nx = _allpass_chain_paired(sig, _pairs(coefs), y0s, x0s)
+    down = 0.5 * (out[0] + out[1])
+    new_state = HalfbandState(ap0=ny[0], ap0x=nx[0], ap1=ny[1], ap1x=nx[1],
+                              x1=odd[..., -1])
     return new_state, down
 
 
