@@ -258,33 +258,88 @@ class ClipGrid:
         self.active_row[column] = row
         self.launch_beat[column] = self.transport_beat
 
+    def _make_launch_action(self, column: int, row: int, beat: float,
+                            channels: List[LoopChannelHost]):
+        """Stage the clip's buffer now (device upload pre-render) and return
+        the sample-exact apply function: the old clip keeps reading its own
+        region until the landing sample, then the channel flips regions —
+        the same double-buffer the quantized swap path uses."""
+        clip = self.slots[column][row]
+        ch = channels[column]
+        if clip is None:
+            return lambda: self._stop_now(column, channels)
+        staged = 1 - ch.active_region
+        ch.region_buffers[staged] = clip.buffer
+        ch.region_dirty[staged] = True
+
+        def apply():
+            ch.loop_start = min(max(clip.trim_start, 0.0), 1.0)
+            ch.loop_end = min(max(clip.trim_end, 0.0), 1.0)
+            ch.speed = 1.0
+            ch.pitch_mode = PITCH_PRESERVE
+            ch.pending = None
+            ch.buffer = clip.buffer
+            ch.active_region = staged
+            ch.cursor = ch.window(float(len(clip.buffer))).lo
+            ch.playing = self.transport_running
+            ch._stretcher = None
+            self.active_row[column] = row
+            self.launch_beat[column] = max(beat, 0.0)
+
+        return apply
+
     def _stop_now(self, column: int, channels: List[LoopChannelHost]):
         channels[column].set_playing(False)
         channels[column].clear_buffer()
         self.active_row[column] = None
 
-    def before_tick(self, channels: List[LoopChannelHost]):
-        """Fire due scheduled actions (called once per block; block-edge
-        tolerance mirrors the per-sample epsilon, rs before_tick)."""
+    def before_tick(self, channels: List[LoopChannelHost], block_size: int = 0):
+        """Collect actions due within the upcoming block as sample-exact
+        ``{column: [(offset, fn), ...]}`` (clip_grid.rs fires these in its
+        per-sample before_tick; here the channel sweep applies them at the
+        exact offset).  With ``block_size=0`` only actions already due at
+        the block edge fire (legacy behavior)."""
+        actions = {}
         if not self.transport_running:
-            return
-        tol = self.beats_per_sample() * 0.5 + 1e-12
+            return actions
+        bps = self.beats_per_sample()
+        tol = bps * 0.5 + 1e-12
+        horizon = self.transport_beat + block_size * bps
+
+        def due_offset(beat: float) -> Optional[int]:
+            if self.transport_beat + tol >= beat:
+                return 0
+            if block_size and beat < horizon + tol:
+                off = int(np.ceil((beat - self.transport_beat - tol) / max(bps, 1e-12)))
+                return min(max(off, 0), block_size - 1)
+            return None
+
         for col in range(CLIP_COLUMNS):
             p = self.pending[col]
-            if p is not None and self.transport_beat + tol >= p.beat:
-                self.pending[col] = None
-                self.pending_retrim[col] = None
-                if p.kind == "launch":
-                    self._activate(col, p.row, channels)
-                elif p.kind == "stop":
-                    self._stop_now(col, channels)
-                else:
-                    self._stop_now(col, channels)
-                    self.slots[col][p.row] = None
+            if p is not None:
+                off = due_offset(p.beat)
+                if off is not None:
+                    self.pending[col] = None
+                    self.pending_retrim[col] = None
+                    if p.kind == "launch":
+                        fn = self._make_launch_action(col, p.row, p.beat, channels)
+                    elif p.kind == "stop":
+                        fn = (lambda c=col: self._stop_now(c, channels))
+                    else:
+                        def fn(c=col, r=p.row):
+                            self._stop_now(c, channels)
+                            self.slots[c][r] = None
+                    actions.setdefault(col, []).append((off, fn))
             r = self.pending_retrim[col]
-            if r is not None and self.transport_beat + tol >= r.beat:
-                self.pending_retrim[col] = None
-                channels[col].set_loop_window(r.start, r.end)
+            if r is not None:
+                off = due_offset(r.beat)
+                if off is not None:
+                    self.pending_retrim[col] = None
+                    actions.setdefault(col, []).append(
+                        (off, lambda c=col, rr=r: channels[c].set_loop_window(
+                            rr.start, rr.end))
+                    )
+        return actions
 
     def after_tick(self, block_size: int):
         if self.transport_running:

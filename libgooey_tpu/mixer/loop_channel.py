@@ -171,7 +171,7 @@ class LoopChannelHost:
 
     # --- per-block position sweep (exact f64) ----------------------------------
 
-    def sweep_positions(self, block_size: int):
+    def sweep_positions(self, block_size: int, actions=()):
         """Compute the block's read plan, advancing the cursor.
 
         Returns ``(positions[2, B] f64, weights[2, B] f32, region[B] i32,
@@ -180,26 +180,51 @@ class LoopChannelHost:
         device region / valid length of each sample's source.  Handles a
         pending quantized swap mid-block by restarting the sweep from the
         landing sample on the staged region.
+
+        ``actions``: sample-exact control changes ``[(offset, fn), ...]`` —
+        the sweep runs up to each offset with the current state, applies
+        ``fn()`` (which may change buffer/window/playing), and continues.
+        This is how clip-grid launches/stops land on their exact sample
+        (clip_grid.rs before_tick fires per sample; here per segment).
         """
         B = block_size
-        if not self.playing or self.buffer is None:
-            return (np.zeros((2, B)), np.zeros((2, B), np.float32),
-                    np.zeros(B, np.int32), np.ones(B, np.float32), False)
-        if self.pitch_mode == PITCH_PRESERVE and self.speed >= 0.0:
-            return self._sweep_preserve(B)
-
+        positions = np.zeros((2, B), np.float64)
+        weights = np.zeros((2, B), np.float32)
         region = np.full(B, self.active_region, np.int32)
-        length_arr = np.full(B, float(len(self.buffer)), np.float32)
-        out = np.empty(B, np.float64)
+        length_arr = np.ones(B, np.float32)
+        wraps = False
         n0 = 0
-        while n0 < B:
+        for off, fn in sorted(actions, key=lambda a: a[0]) + [(B, None)]:
+            off = min(max(int(off), n0), B)
+            if off > n0:
+                w = self._sweep_segment(positions, weights, region, length_arr,
+                                        n0, off)
+                wraps = wraps or w
+                n0 = off
+            if fn is not None:
+                fn()
+        return positions, weights, region, length_arr, wraps
+
+    def _sweep_segment(self, positions, weights, region, length_arr, s0, s1):
+        """Fill the plan arrays for samples [s0, s1); returns the segment's
+        window wrap flag.  Silent (weights 0) when stopped or empty."""
+        region[s0:s1] = self.active_region
+        if not self.playing or self.buffer is None:
+            return False
+        if self.pitch_mode == PITCH_PRESERVE and self.speed >= 0.0:
+            return self._sweep_preserve(positions, weights, region, length_arr,
+                                        s0, s1)
+
+        length_arr[s0:s1] = float(len(self.buffer))
+        n0 = s0
+        while n0 < s1:
             length = float(len(self.buffer))
             w = self.window(length)
             span = max(w.span, 1.0)
             ratio = self.buffer.sample_rate / max(self.sr, 1.0)
             warp = self.warp_ratio() if self.pitch_mode == PITCH_RESAMPLE else 1.0
             delta = self.speed * ratio * warp
-            n = np.arange(B - n0)
+            n = np.arange(s1 - n0)
             v0 = w.to_virtual(self.cursor) if w.wraps else (self.cursor - w.lo)
             v = np.mod(v0 + n * delta, span)
             phys = np.mod(w.lo + v, w.len) if w.wraps else (w.lo + v)
@@ -215,9 +240,10 @@ class LoopChannelHost:
                 if len(crossing):
                     # the boundary is crossed by the advance of sample
                     # `crossing[0]`; the swap applies to the next read —
-                    # possibly the first sample of the next block
+                    # possibly the first sample of the next block/segment
                     land = int(crossing[0]) + 1
-                    out[n0 : n0 + land] = phys[:land]
+                    positions[0, n0 : n0 + land] = phys[:land]
+                    weights[0, n0 : n0 + land] = 1.0
                     new_buf = self.pending
                     self.pending = None
                     self.buffer = new_buf
@@ -226,43 +252,35 @@ class LoopChannelHost:
                     self.cursor = self.window(float(len(new_buf))).lo
                     self._stretcher = None
                     n0 += land
-                    region[n0:] = self.active_region
-                    length_arr[n0:] = float(len(new_buf))
-                    if n0 >= B:
-                        return (
-                            np.stack([out, np.zeros_like(out)]),
-                            np.stack([np.ones(B, np.float32),
-                                      np.zeros(B, np.float32)]),
-                            region, length_arr,
-                            self.window(float(len(new_buf))).wraps,
-                        )
+                    region[n0:s1] = self.active_region
+                    length_arr[n0:s1] = float(len(new_buf))
+                    if n0 >= s1:
+                        return self.window(float(len(new_buf))).wraps
                     continue
-            out[n0:] = phys
-            # advance cursor past the block remainder
-            v_end = np.mod(v0 + (B - n0) * delta, span)
+            positions[0, n0:s1] = phys
+            weights[0, n0:s1] = 1.0
+            # advance cursor past the segment remainder
+            v_end = np.mod(v0 + (s1 - n0) * delta, span)
             self.cursor = w.to_physical(v_end) if w.wraps else (w.lo + v_end)
             break
-        positions = np.stack([out, np.zeros_like(out)])
-        weights = np.stack(
-            [np.ones(B, np.float32), np.zeros(B, np.float32)]
-        )
-        return (positions, weights, region, length_arr,
-                self.window(float(len(self.buffer))).wraps)
+        return self.window(float(len(self.buffer))).wraps
 
-    def _sweep_preserve(self, B: int):
+    def _sweep_preserve(self, positions, weights, region, length_arr, s0, s1):
         """PreservePitch: WSOLA overlap-add read plan (mixer.wsola)."""
         from libgooey_tpu.mixer import wsola
 
         if self._stretcher is None:
             self._stretcher = wsola.WsolaHost(self.sr, self.cursor)
-        region_before = self.active_region
         length = float(len(self.buffer))
         w = self.window(length)
         ratio = self.buffer.sample_rate / max(self.sr, 1.0)
         prev = self.cursor
-        positions, weights, new_cursor = self._stretcher.plan_block(
-            B, self.buffer, w, ratio, self.speed, self.warp_ratio()
+        pos, wts, new_cursor = self._stretcher.plan_block(
+            s1 - s0, self.buffer, w, ratio, self.speed, self.warp_ratio()
         )
+        positions[:, s0:s1] = pos
+        weights[:, s0:s1] = wts
+        length_arr[s0:s1] = length
         self.cursor = new_cursor
         # queued swaps land at hop granularity in this mode (wsola.rs:244-255):
         # if the analysis cursor crossed a grid boundary this block, swap now
@@ -279,6 +297,4 @@ class LoopChannelHost:
                 self.swaps_completed += 1
                 self.cursor = self.window(float(len(new_buf))).lo
                 self._stretcher = None
-        region = np.full(B, region_before, np.int32)
-        length_arr = np.full(B, length, np.float32)
-        return positions, weights, region, length_arr, w.wraps
+        return w.wraps

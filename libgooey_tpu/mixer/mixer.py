@@ -92,13 +92,15 @@ class Mixer:
     def render_block(self):
         """One block → stereo sum ``[2, B]`` (device array)."""
         B = self.block
-        self.clip_grid.before_tick(self.channels)
+        actions = self.clip_grid.before_tick(self.channels, B)
         any_solo = any(ch.soloed for ch in self.channels)
         total = jnp.zeros((2, B), jnp.float32)
         for i, ch in enumerate(self.channels):
             ch.audible = (not ch.muted) and ((not any_solo) or ch.soloed)
             self._upload_if_dirty(i)  # staged swaps upload before the sweep lands
-            pos, weights, region, length, wraps = ch.sweep_positions(B)
+            pos, weights, region, length, wraps = ch.sweep_positions(
+                B, actions.get(i, ())
+            )
             self._upload_if_dirty(i)
             self._gain_banks[i] = self._gain_banks[i].with_targets(
                 np.array([ch.gain_target, 1.0 if ch.audible else 0.0], np.float32)

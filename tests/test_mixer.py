@@ -9,6 +9,7 @@ from libgooey_tpu.mixer import chain as chain_mod
 from libgooey_tpu.mixer.clip_grid import QUANTIZE_BAR, STATE_LOADED, STATE_PLAYING, STATE_QUEUED
 from libgooey_tpu.mixer.graph import MixerGraph, SOURCE_BASS, SOURCE_DRUMKIT
 from libgooey_tpu.mixer.loop_channel import PITCH_PRESERVE, PITCH_RESAMPLE
+from libgooey_tpu.mixer import mixer as mixer_mod
 from libgooey_tpu.mixer.mixer import Mixer
 from libgooey_tpu.mixer.stereo_buffer import StereoSampleBuffer
 
@@ -224,3 +225,27 @@ def test_track_mute_solo_scoped():
         out, _ = g.render(jnp.asarray(frames), B)
     out = np.asarray(out)
     assert abs(out[0, -1] - 0.25) < 1e-2  # only bass remains
+
+
+def test_clip_launch_lands_sample_exact_mid_block():
+    """A launch whose quantize boundary falls mid-block starts at that exact
+    sample, not the block edge (clip_grid.rs fires per sample; the channel
+    sweep applies actions at exact offsets).  SR=1000 makes beat math exact
+    (the reference's tests/clip_grid.rs uses the same trick)."""
+    sr, bpm, B = 1000.0, 60.0, 512  # 1 beat = 1000 samples
+    m = mixer_mod.Mixer(sr, bpm, B, buffer_capacity=4096)
+    ones = np.ones(2000, np.float32)
+    buf = StereoSampleBuffer(ones, ones, sr, source_bpm=bpm)
+    assert m.clip_grid.load(0, 0, buf, bpm)
+    m.clip_grid.transport_running = True
+    assert m.clip_grid.launch_at(0, 0, 0.7)  # sample 700: offset 188 in block 1
+    out0 = np.asarray(m.render_block())      # beats 0.000-0.512: silent
+    assert np.abs(out0).max() == 0.0
+    out1 = np.asarray(m.render_block())      # lands at sample 700 = offset 188
+    nz = np.nonzero(np.abs(out1[0]) > 1e-7)[0]
+    assert len(nz) > 0
+    assert 188 <= nz[0] <= 192, nz[0]        # exact sample, not block edge
+    assert np.abs(out1[0, :188]).max() == 0.0
+    # and the grid's bookkeeping matches
+    assert m.clip_grid.active_row[0] == 0
+    assert abs(m.clip_grid.launch_beat[0] - 0.7) < 1e-9
