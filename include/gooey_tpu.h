@@ -158,52 +158,51 @@ int32_t gooey_engine_render(gooey_handle h, float *out, int64_t frames);
 /* Copy the latched error (or "") into buf; returns its full length. */
 int64_t gooey_engine_last_error(gooey_handle h, char *buf, int64_t buf_len);
 
-/* ---- transport / master ---- */
-void gooey_engine_set_bpm(gooey_handle h, double bpm);
-void gooey_engine_set_master_gain(gooey_handle h, double gain);
-double gooey_engine_transport_beat(gooey_handle h);
+/* Offline bounce into out[frames*2] (interleaved); 0 on success. */
+int32_t gooey_engine_bounce_to_buffer(gooey_handle h, float *out,
+                                      int64_t frames);
 
-/* ---- channels ---- */
-void gooey_engine_trigger_channel_with_velocity(gooey_handle h, int32_t channel,
-                                                double velocity);
-int32_t gooey_engine_set_channel_instrument(gooey_handle h, int32_t channel,
-                                            int32_t instrument);
-int32_t gooey_engine_get_channel_instrument(gooey_handle h, int32_t channel);
-int32_t gooey_engine_set_channel_param(gooey_handle h, int32_t channel,
-                                       int32_t param_id, double value);
-double gooey_engine_get_channel_param(gooey_handle h, int32_t channel,
-                                      int32_t param_id);
-double gooey_engine_take_channel_peak(gooey_handle h, int32_t channel);
-
-/* ---- per-channel sequencers ---- */
-void gooey_engine_sequencer_set_step(gooey_handle h, int32_t channel,
-                                     int32_t step, int32_t enabled,
-                                     double velocity);
-void gooey_engine_sequencer_set_step_note(gooey_handle h, int32_t channel,
-                                          int32_t step, int32_t note);
-void gooey_engine_sequencer_set_swing(gooey_handle h, int32_t channel,
-                                      double swing);
-void gooey_engine_sequencer_start(gooey_handle h, int32_t channel);
-void gooey_engine_sequencer_stop(gooey_handle h, int32_t channel);
-
-/* ---- global effects ---- */
-void gooey_engine_set_effect_enabled(gooey_handle h, int32_t effect_id,
-                                     int32_t enabled);
-int32_t gooey_engine_set_effect_param(gooey_handle h, int32_t effect_id,
-                                      int32_t param, double value);
-double gooey_engine_get_effect_param(gooey_handle h, int32_t effect_id,
-                                     int32_t param);
-
-/* ---- granulator ---- */
-int32_t gooey_engine_granulator_set_param(gooey_handle h, int32_t param_id,
-                                          double value);
-void gooey_engine_granulator_trigger(gooey_handle h, double velocity);
-/* Load a mono buffer (copied). */
+/* ---- buffer-loading entry points (PCM copied) ---- */
 int32_t gooey_engine_granulator_load(gooey_handle h, const float *samples,
                                      int64_t count, double sample_rate);
+int32_t gooey_engine_loop_load(gooey_handle h, int32_t channel,
+                               const float *interleaved, int64_t frames,
+                               int32_t num_channels, double sample_rate,
+                               double source_bpm);
+int32_t gooey_engine_loop_queue_swap(gooey_handle h, int32_t channel,
+                                     const float *interleaved, int64_t frames,
+                                     int32_t num_channels, double sample_rate,
+                                     int32_t divisions, double source_bpm);
+int32_t gooey_engine_clip_load(gooey_handle h, int32_t column, int32_t row,
+                               const float *interleaved, int64_t frames,
+                               int32_t num_channels, double sample_rate,
+                               double source_bpm);
+int32_t gooey_engine_sampler_set_slot_buffer(gooey_handle h, int32_t rack,
+                                             int32_t slot,
+                                             const float *interleaved,
+                                             int64_t frames,
+                                             int32_t num_channels,
+                                             double sample_rate);
+
+/* ---- array/string-out entry points ---- */
+int64_t gooey_engine_get_channel_peaks(gooey_handle h, float *out,
+                                       int64_t out_len);
+int64_t gooey_engine_mixer_get_track_name(gooey_handle h, int32_t track,
+                                          char *buf, int64_t buf_len);
+int32_t gooey_engine_perf_get_event(gooey_handle h, int32_t index,
+                                    double *out9);
+int32_t gooey_engine_sampler_get_step(gooey_handle h, int32_t rack,
+                                      int32_t step, int32_t *enabled,
+                                      int32_t *slot, double *velocity);
 
 #ifdef __cplusplus
 } /* extern "C" */
 #endif
+
+/* The ~200 scalar wrappers (transport, typed params, strips, sequencers,
+ * LFOs, FX, poly, blend pads, granulator, mixer graph, loops, clip grid,
+ * sampler racks, performance recorder) are generated from the signature
+ * table in native/gen_shim.py: */
+#include "gooey_tpu_gen.h"
 
 #endif /* GOOEY_TPU_H */

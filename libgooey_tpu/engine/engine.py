@@ -700,7 +700,7 @@ class Engine:
             for cfg in self.lfos:
                 phases.append(cfg.advance(B, self.sample_rate))
                 incs.append(cfg.freq() / self.sample_rate)
-                amounts.append(cfg.amount)
+                amounts.append(cfg.amount if cfg.enabled else 0.0)
                 offsets.append(cfg.offset)
             events["lfo_phase"] = jnp.asarray(np.array(phases, np.float32))
             events["lfo_inc"] = jnp.asarray(np.array(incs, np.float32))

@@ -35,6 +35,7 @@ class LfoConfig:
     bpm: float = 120.0
     amount: float = 1.0
     offset: float = 0.0
+    enabled: bool = True
     phase: float = 0.0                     # advanced by the host per block
 
     def freq(self) -> float:

@@ -90,6 +90,9 @@ class Sequencer:
         self.next_trigger_sample = 0
         self.step_start_sample = 0
         self.current_step = 0
+        #: SEQ toggle: advance phase but emit no triggers (ffi.rs
+        #: set_sequencer_triggers_enabled — toggling back keeps step phase)
+        self.triggers_enabled = True
         self.playhead_step = 0
         self.is_running = False
         self.swing = _HostSmoother(0.5, 0.0, 1.0, sample_rate)
@@ -273,7 +276,7 @@ class Sequencer:
             self.step_start_sample = self.sample_count
             self.playhead_step = self.current_step
             step = self.pattern[self.current_step]
-            if step.enabled:
+            if step.enabled and self.triggers_enabled:
                 triggers.append(
                     Trigger(
                         offset=k,

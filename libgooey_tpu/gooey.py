@@ -72,6 +72,11 @@ class GooeyEngine:
             Sequencer(self.bpm, self.sr, 16, f"strip{c}") for c in range(NUM_KIT_CHANNELS + 1)
         ]
         self.blenders: List[Optional[PresetBlender]] = [None] * (NUM_KIT_CHANNELS + 1)
+        self.blend_enabled = [False] * (NUM_KIT_CHANNELS + 1)
+        self.blend_pos = [(0.5, 0.5)] * (NUM_KIT_CHANNELS + 1)
+        self.blend_corner_ids = [[0, 0, 0, 0] for _ in range(NUM_KIT_CHANNELS + 1)]
+        self.link_enabled = False
+        self.render_host_time = 0.0
         self.strip_gain = np.ones(NUM_KIT_CHANNELS + 1, np.float32)
         self.strip_pan = np.full(NUM_KIT_CHANNELS + 1, 0.5, np.float32)
         self.strip_mute = np.zeros(NUM_KIT_CHANNELS + 1, bool)
@@ -154,6 +159,7 @@ class GooeyEngine:
         kind, slot = self.engine._names[name]
         self.engine.set_config(name, b.blend(x, y))
         self.engine._snap_queue.append((kind, slot))
+        self.blend_pos[strip] = (float(x), float(y))
         return True
 
     # --- transport / BPM ---------------------------------------------------------------
@@ -170,6 +176,12 @@ class GooeyEngine:
 
     def transport_beat(self) -> float:
         return self.mixer.clip_grid.transport_beat
+
+    def transport_start(self):
+        self.mixer.clip_grid.transport_start(self.mixer.channels)
+
+    def transport_stop(self):
+        self.mixer.clip_grid.transport_stop(self.mixer.channels)
 
     # --- sampler racks ---------------------------------------------------------------------
 
@@ -477,10 +489,17 @@ class GooeyEngine:
         ]
         for i, ent in enabled_entries:
             kw = {}
+            if (ent.effect_id == chain_mod.EFFECT_COMPRESSOR
+                    and self.sidechain_strip is not None):
+                # per-instrument external sidechain (compressor.rs:230-247):
+                # the detector tracks the chosen strip's dry voice signal
+                idx = e._global_voice_index(self._strip_name(self.sidechain_strip))
+                sc = all_voices[idx]
+                kw["sidechain"] = jnp.stack([sc, sc], axis=0)
             self.fx.states[i], bus = chain_mod.process_entry(
                 ent.effect_id, self.fx.states[i], bus,
                 jnp.asarray(ent.targets), sample_rate=self.sr,
-                pingpong=ent.pingpong,
+                pingpong=ent.pingpong, **kw,
             )
         if self.limiter_enabled:
             from libgooey_tpu.effects import limiter as lim

@@ -91,12 +91,19 @@ class PolySynthConfig:
         return PolySynthConfig(0.5, 0.1, 0.65, 0.1, 0.35, 0.25, 0.6, 0.5, 0.6,
                                0.2, 0.55, 0.3, 0.55, 0.7)
 
+    @staticmethod
+    def strings():
+        # poly_synth.rs:125-142
+        return PolySynthConfig(0.0, 0.5, 0.5, 0.1, 0.15, 0.85, 0.7, 0.9, 0.85,
+                               0.8, 0.7, 0.6, 0.8, 0.5)
+
 
 PRESETS = {
     "default": PolySynthConfig.default,
     "pad": PolySynthConfig.pad,
     "pluck": PolySynthConfig.pluck,
     "keys": PolySynthConfig.keys,
+    "strings": PolySynthConfig.strings,
 }
 
 

@@ -130,7 +130,7 @@ class Entry:
 
 
 def process_entry(effect_id: int, state, x, targets, *, sample_rate: float,
-                  pingpong: bool = False):
+                  pingpong: bool = False, sidechain=None):
     """Run one chain entry on a stereo block → (new_state, y)."""
     if effect_id == EFFECT_LOWPASS_FILTER:
         return fx_lowpass.process_block(state, x, targets, sample_rate=sample_rate)
@@ -140,7 +140,8 @@ def process_entry(effect_id: int, state, x, targets, *, sample_rate: float,
     if effect_id == EFFECT_SATURATION:
         return fx_saturation.process_block(state, x, targets, sample_rate=sample_rate)
     if effect_id == EFFECT_COMPRESSOR:
-        return fx_compressor.process_block(state, x, targets, sample_rate=sample_rate)
+        return fx_compressor.process_block(state, x, targets, sample_rate=sample_rate,
+                                           sidechain=sidechain)
     if effect_id == EFFECT_TILT_FILTER:
         return fx_tilt.process_block(state, x, targets, sample_rate=sample_rate)
     if effect_id == EFFECT_REVERB:

@@ -9,8 +9,10 @@ mkdir -p "$OUT"
 PY_CFLAGS="$(python3-config --includes)"
 PY_LDFLAGS="$(python3-config --embed --ldflags 2>/dev/null || python3-config --ldflags)"
 
+python3 gen_shim.py
+
 g++ -O2 -fPIC -shared -std=c++17 -Wall \
-    $PY_CFLAGS gooey_shim.cpp \
+    $PY_CFLAGS gooey_shim.cpp gooey_shim_gen.cpp \
     $PY_LDFLAGS \
     -o "$OUT/libgooey_tpu_shim.so"
 

@@ -33,7 +33,7 @@ def test_build_and_run_c_smoke():
     env["PYTHONPATH"] = str(REPO)
     proc = subprocess.run(
         [str(BUILD / "test_shim"), str(REPO)], env=env,
-        capture_output=True, text=True, timeout=540,
+        capture_output=True, text=True, timeout=1500,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert proc.stdout.startswith("OK"), proc.stdout
