@@ -370,8 +370,9 @@ class GooeyEngine:
                     self._post_restore = (name, pname, saved)
                 else:
                     e._trigger_queue.append(((kind, slot), trig.velocity))
-                self.midi_out.append((self.sample_count + trig.offset, name,
-                                      trig.velocity))
+                if len(self.midi_out) < 64:  # overflow drops new (ffi.rs:69-71)
+                    self.midi_out.append((self.sample_count + trig.offset,
+                                          name, trig.velocity))
         for strip, velocity in self._pending_triggers:
             name = self._strip_name(strip)
             e._trigger_queue.append((e._names[name], velocity))
@@ -507,8 +508,6 @@ class GooeyEngine:
             bus = lim.soft_limit(bus, self.limiter_threshold)
 
         self.sample_count += B
-        if len(self.midi_out) > 64:
-            self.midi_out = self.midi_out[-64:]
         return bus
 
     # --- misc API ------------------------------------------------------------------------------------

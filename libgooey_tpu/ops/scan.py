@@ -25,6 +25,20 @@ import jax
 import jax.numpy as jnp
 
 
+#: Opt-in: route large 2D-reshapeable linrec1 calls to the Pallas
+#: chunked-scan kernel (ops.pallas_scan).  Standalone the kernel beats the
+#: associative scan (one HBM round trip vs log-depth passes), but inside
+#: the full render graph a pallas_call is a fusion barrier — the a/b
+#: operands XLA would otherwise fuse into neighboring elementwise work
+#: must materialize to HBM, which measured ~45M → 24M aggregate RTF on
+#: the kick bench.  Off by default; kept for standalone/large-B callers.
+USE_PALLAS = False
+
+
+def _pallas_enabled() -> bool:
+    return USE_PALLAS
+
+
 def linrec1(a, b, y0, axis: int = -1):
     """Solve ``y[n] = a[n] * y[n-1] + b[n]`` along ``axis`` with ``y[-1]=y0``.
 
@@ -33,6 +47,19 @@ def linrec1(a, b, y0, axis: int = -1):
     ``broadcast(a, b)``.
     """
     a, b = jnp.broadcast_arrays(jnp.asarray(a), jnp.asarray(b))
+
+    if axis in (-1, a.ndim - 1) and _pallas_enabled():
+        from libgooey_tpu.ops import pallas_scan
+
+        y0a = jnp.broadcast_to(jnp.asarray(y0), a.shape[:-1])
+        rows = 1
+        for d in a.shape[:-1]:
+            rows *= d
+        a2 = a.reshape(rows, a.shape[-1]) if a.ndim != 2 else a
+        y2 = y0a.reshape(rows) if y0a.ndim != 1 else y0a
+        if pallas_scan.supported(a2, y2):
+            b2 = b.reshape(rows, b.shape[-1]) if b.ndim != 2 else b
+            return pallas_scan.linrec1_pallas(a2, b2, y2).reshape(a.shape)
 
     def combine(left, right):
         a_l, b_l = left
