@@ -27,7 +27,35 @@ from libgooey_tpu.engine.lfo import DIVISION_BEATS
 #: LFO timing names → MusicalDivision index (engine/lfo.rs:46-60)
 DIVISIONS = {
     "4bar": 0, "4bars": 0, "2bar": 1, "2bars": 1, "bar": 2, "1bar": 2,
-    "half": 3, "quarter": 4, "eighth": 5, "sixteenth": 6, "thirtysecond": 7,
+    "half": 3, "1/2": 3, "quarter": 4, "1/4": 4, "eighth": 5, "1/8": 5,
+    "sixteenth": 6, "1/16": 6, "thirtysecond": 7, "1/32": 7,
+}
+
+#: preset-name aliases per family (dsl.rs:345-430 accepts several spellings)
+PRESET_ALIASES = {
+    "kick": {"dirty": "dirt"},
+    "snare": {},
+    "hihat": {"closed": "closed_default", "open": "open_default",
+              "short": "closed_tight", "tight": "closed_tight",
+              "dark": "closed_dark", "long": "open_long",
+              "bright": "open_bright"},
+    "hihat2": {"closed": "short", "closed_default": "short",
+               "closed_tight": "short", "open": "loose",
+               "open_default": "loose", "open_long": "loose"},
+    "tom": {"mid_tom": "mid", "high_tom": "high", "low_tom": "low",
+            "floor_tom": "floor"},
+    "tom2": {},
+    "bass": {},
+    "poly": {},
+}
+
+#: LFO-target parameter aliases (dsl.rs:669-699 resolve_parameter_alias)
+PARAM_ALIASES = {
+    "kick": {"pitch_drop": "tuning", "pitch_env_amt": "tuning",
+             "pitch_env_crv": "tuning", "pitch_ratio": "tuning",
+             "tuning_offset": "tuning", "osc_decay": "oscillator_decay",
+             "phase_mod_amt": "phase_mod_amount",
+             "noise_res": "noise_resonance"},
 }
 
 #: instrument family aliases (dsl.rs inst statement)
@@ -38,7 +66,7 @@ FAMILY_ALIASES = {
 }
 
 FX_NAMES = {"lowpass", "filter", "delay", "saturation", "tilt", "spring",
-            "reverb", "plate", "compressor"}
+            "reverb", "plate", "compressor", "clear", "limiter"}
 FX_CANONICAL = {"filter": "lowpass", "reverb": "spring"}
 
 
@@ -157,11 +185,14 @@ class Program:
             cfg = None
             if idef.preset is not None:
                 presets = mod.PRESETS
-                if idef.preset not in presets:
+                name_p = PRESET_ALIASES.get(idef.family, {}).get(
+                    idef.preset.lower(), idef.preset.lower()
+                )
+                if name_p not in presets:
                     raise ValueError(
                         f"unknown preset {idef.preset!r} for {idef.family}"
                     )
-                cfg = presets[idef.preset]()
+                cfg = presets[name_p]()
             engine.add_instrument(idef.name, idef.family, cfg)
         for sdef in self.sequencers:
             steps = len(sdef.pattern.replace("|", "")) or 16
@@ -171,12 +202,23 @@ class Program:
                 seq.set_swing(sdef.swing)
                 seq.swing.current = seq.swing.target
             seq.start()
+        fam_by_name = {i.name: i.family for i in self.instruments}
         for i, ldef in enumerate(self.lfos[:8]):
             engine.set_lfo(i, division=ldef.division, bpm=bpm, amount=ldef.amount)
-            engine.add_lfo_route(i, ldef.instrument, ldef.parameter)
+            fam = fam_by_name.get(ldef.instrument)
+            param = PARAM_ALIASES.get(fam, {}).get(ldef.parameter, ldef.parameter)
+            engine.add_lfo_route(i, ldef.instrument, param)
         for edef in self.effects:
             name = edef.name
             args = edef.args
+            if name == "clear":
+                engine.fx_order = []
+                if engine._state is not None:
+                    engine._state = None
+                continue
+            if name == "limiter":
+                engine.limiter_threshold = args[0] if args else 1.0
+                continue
             if name == "lowpass":
                 engine.add_global_effect("lowpass", [
                     args[0] if args else 8000.0, args[1] if len(args) > 1 else 0.2,

@@ -79,3 +79,48 @@ def test_block_boundary_continuity():
     _, whole = ov.process(whole_st, lambda v: jnp.tanh(v * 3), jnp.asarray(x), 4)
     split = run(lambda v: jnp.tanh(v * 3), x, 4)
     np.testing.assert_allclose(split, np.asarray(whole), atol=1e-5)
+
+
+def test_4x_error_vs_16x_reference():
+    """4x output must sit ≥10x closer to an (essentially alias-free) 16x
+    reference than the base-rate output does (oversampler.rs:397-415)."""
+    sr = 48_000.0
+    n = 8192
+    k = 1707  # coherent bin ≈ 10 kHz
+    f0 = sr * k / n
+    x = (0.9 * np.sin(2 * np.pi * f0 * np.arange(n) / sr)).astype(np.float32)
+    fn = lambda v: jnp.tanh(10.0 * v)
+
+    def run(mode):
+        st = ov.OversamplerState.init(())
+        _, y = ov.process(st, fn, jnp.asarray(x), mode)
+        return np.asarray(y)
+
+    # 16x reference: two extra octaves around the 4x chain, built from the
+    # same half-band primitives (the top octaves reuse the wide-transition
+    # stage design, which has a full octave of slack there)
+    def run16():
+        ups = [ov.HalfbandState.init(c) for c in
+               (ov.STAGE1, ov.STAGE2, ov.STAGE2, ov.STAGE2)]
+        downs = [ov.HalfbandState.init(c) for c in
+                 (ov.STAGE2, ov.STAGE2, ov.STAGE2, ov.STAGE1)]
+        coefs_up = (ov.STAGE1, ov.STAGE2, ov.STAGE2, ov.STAGE2)
+        coefs_down = (ov.STAGE2, ov.STAGE2, ov.STAGE2, ov.STAGE1)
+        sig = jnp.asarray(x)
+        for i in range(4):
+            ups[i], sig = ov.upsample2(ups[i], sig, coefs_up[i])
+        sig = fn(sig)
+        for i in range(4):
+            downs[i], sig = ov.downsample2(downs[i], sig, coefs_down[i])
+        return np.asarray(sig)
+
+    ref = run16()
+    win = np.hanning(4096)
+
+    def spec(y):
+        return np.abs(np.fft.rfft(y[4096:] * win))
+
+    s_ref = spec(ref)
+    err_base = np.linalg.norm(spec(run(1)) - s_ref)
+    err_4x = np.linalg.norm(spec(run(4)) - s_ref)
+    assert err_4x * 10.0 <= err_base, (err_4x, err_base)
