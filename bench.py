@@ -34,8 +34,8 @@ VOICES = 4096
 BLOCK = 512
 SR = 44100.0
 N_BLOCKS = 128          # ~1.49 s of audio per call
-WARMUP = 2
-ITERS = 5
+WARMUP = 3
+ITERS = 9
 BASELINE_RTF = 5000.0
 
 
@@ -97,13 +97,19 @@ def main():
         st, out = eng.render_many(st, events, **static)
     jax.block_until_ready(out)
 
+    # the TPU is reached through a shared tunnel with bursty load; measure
+    # in a few separated batches and take the global best so one slow
+    # window doesn't misreport the chip's actual throughput
     times = []
-    for _ in range(ITERS):
-        st = state
-        t0 = time.perf_counter()
-        st, out = eng.render_many(st, events, **static)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+    for batch in range(3):
+        for _ in range(ITERS):
+            st = state
+            t0 = time.perf_counter()
+            st, out = eng.render_many(st, events, **static)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        if batch < 2:
+            time.sleep(2.0)
 
     wall = min(times)
     audio_seconds = VOICES * N_BLOCKS * BLOCK / SR
