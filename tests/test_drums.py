@@ -231,3 +231,57 @@ def test_bass_filter_env_sweep():
         f = np.fft.rfftfreq(len(x), 1 / SR)
         return (sp * f).sum() / (sp.sum() + 1e-12)
     assert centroid(swept[:2000]) > 1.2 * centroid(swept[18000:24000])
+
+
+def test_hihat2_matches_oracle():
+    """HiHat2 bank vs per-sample oracle: short (white/24dB) and a pink/12dB
+    variant, plus a retrigger — <2e-4 (≈ −80 dBFS)."""
+    import dataclasses
+
+    from hihat2_oracle import HiHat2Oracle
+    from libgooey_tpu.core.smoother import smoothing_coeff
+    from libgooey_tpu.instruments import hihat2 as hh2
+
+    SR, B = 44100.0, 512
+    coeff = float(np.asarray(smoothing_coeff(SR)))
+
+    def render_bank(cfg, n_samples, triggers):
+        state = hh2.init_state(1, cfg)
+        out = []
+        for start in range(0, n_samples, B):
+            off = np.full(1, B, np.int32)
+            vel = np.zeros(1, np.float32)
+            for t, v in triggers:
+                if start <= t < start + B:
+                    off[0] = t - start
+                    vel[0] = v
+            state, y = hh2.render_block(
+                state, off, vel, np.int32(start),
+                sample_rate=SR, block_size=B, smooth_coeff=coeff,
+            )
+            out.append(np.asarray(y[0]))
+        return np.concatenate(out)[:n_samples]
+
+    def run_oracle(cfg, n_samples, triggers):
+        o = HiHat2Oracle({k: getattr(cfg, k) for k in hh2.PARAM_NAMES}, SR,
+                         coeff=coeff, filter_slope=cfg.filter_slope,
+                         noise_color=cfg.noise_color)
+        trig = dict(triggers)
+        out = np.zeros(n_samples, np.float32)
+        for n in range(n_samples):
+            if n in trig:
+                o.trigger(trig[n])
+            out[n] = o.tick()
+        return out
+
+    for cfg, trigs in (
+        (hh2.HiHat2Config.short(), [(64, 1.0)]),
+        (dataclasses.replace(hh2.HiHat2Config.loose(), noise_color=1,
+                             filter_slope=0, tone=0.4), [(0, 0.7)]),
+        (hh2.HiHat2Config.soft(), [(10, 0.9), (1500, 0.5)]),  # retrigger
+    ):
+        got = render_bank(cfg, 2048, trigs)
+        want = run_oracle(cfg, 2048, trigs)
+        err = np.abs(got - want).max()
+        assert err < 2e-4, (cfg, err)
+        assert np.abs(got).max() > 1e-3

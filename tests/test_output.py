@@ -99,3 +99,25 @@ def test_take_overrun_count_resets():
     assert out.take_overrun_count() >= 1
     assert out.take_overrun_count() == 0
     out.stop()
+
+
+def test_output_drives_real_engine():
+    """The prefetch adapter streams a real GooeyEngine: sequenced kick
+    audio flows through fill() with the stereo contract intact."""
+    from libgooey_tpu.gooey import GooeyEngine
+
+    g = GooeyEngine(44100.0)
+    g.sequencers[0].set_step_with_settings(0, True, 1.0)
+    g.sequencers[0].start()
+    out = EngineOutput(prefetch_blocks=0)  # deterministic: render in callback
+    out.initialize(44100.0)
+    out.create_stream_with_engine(g)
+    out.start()
+    buf = np.zeros(2048 * 2, np.float32)
+    assert out.fill(buf, 2) == 2048
+    frames = buf.reshape(-1, 2)
+    assert np.all(np.isfinite(frames))
+    assert np.abs(frames).max() > 1e-4          # the kick fired
+    np.testing.assert_allclose(frames[:, 0], frames[:, 1], atol=1e-6)
+    assert out.sample_counter == 2048
+    out.stop()
