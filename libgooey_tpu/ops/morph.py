@@ -49,12 +49,17 @@ class MorphState(NamedTuple):
     tri_phase: jnp.ndarray
     fixed_phase: jnp.ndarray
     gated_phase: jnp.ndarray
-    rand_total: jnp.ndarray  # accumulated rand~ phase (unwrapped within note)
+    #: rand~ position carried as (segment count, fractional phase) so f32
+    #: precision does not decay over long notes — at high `color` the rand
+    #: rate is ~15 kHz (the Max patch's double-mtof) and an unwrapped
+    #: accumulator would exceed f32's integer-exact range within seconds
+    rand_seg: jnp.ndarray    # i32 segments since trigger
+    rand_frac: jnp.ndarray   # f32 in [0, 1)
 
     @staticmethod
     def init(shape=()) -> "MorphState":
         z = jnp.zeros(shape, jnp.float32)
-        return MorphState(z, z, z, z, z)
+        return MorphState(z, z, z, z, jnp.zeros(shape, jnp.int32), z)
 
 
 def morph_block(
@@ -95,11 +100,18 @@ def morph_block(
     # white noise: hash of samples-since-trigger (counter resets at trigger)
     white = rng.white(jnp.asarray(elapsed_i, jnp.int32).astype(jnp.uint32)) * 0.2
 
-    # rand~ sample-and-hold with linear ramps at mtof(color_freq) Hz
+    # rand~ sample-and-hold with linear ramps at mtof(color_freq) Hz.
+    # Accumulate only the within-block total on top of the carried frac
+    # (bounded ≤ ~1 + B·inc, so f32 keeps full fractional precision) and
+    # rebase the carried segment count as an integer.
     rand_freq = mtof(color_freq)
-    rand_total = accum(rand_freq / sr, state.rand_total)
-    seg = jnp.floor(rand_total).astype(jnp.int32)
-    frac = rand_total - jnp.floor(rand_total)
+    total = accum(rand_freq / sr, state.rand_frac)
+    seg_local = jnp.floor(total)
+    frac = total - seg_local
+    # the carried segment base resets to 0 from the trigger sample on
+    after = jnp.cumsum(jnp.asarray(reset, jnp.int32), axis=-1) > 0
+    seg_base = jnp.where(after, 0, state.rand_seg[..., None])
+    seg = seg_base + seg_local.astype(jnp.int32)
     # segment 0 ramps from 0 to 0 (reference starts with current=target=0)
     tgt = jnp.where(seg >= 1, rng.white(seg.astype(jnp.uint32), RAND_SEED), 0.0)
     cur = jnp.where(seg >= 2, rng.white((seg - 1).astype(jnp.uint32), RAND_SEED), 0.0)
@@ -121,7 +133,8 @@ def morph_block(
         tri_phase=jnp.mod(tri_phase[..., -1], 1.0),
         fixed_phase=jnp.mod(fixed_phase[..., -1], 1.0),
         gated_phase=jnp.mod(gated_phase[..., -1], 1.0),
-        rand_total=rand_total[..., -1],
+        rand_seg=seg[..., -1],
+        rand_frac=frac[..., -1],
     )
     return new_state, out
 

@@ -285,3 +285,51 @@ def test_hihat2_matches_oracle():
         err = np.abs(got - want).max()
         assert err < 2e-4, (cfg, err)
         assert np.abs(got).max() > 1e-3
+
+
+def test_tom2_matches_oracle():
+    """Tom2 bank vs per-sample oracle across presets (<2e-4 ≈ −80 dBFS)."""
+    from libgooey_tpu.instruments import tom2 as t2
+    from tom2_oracle import Tom2Oracle
+
+    SR, B = 44100.0, 512
+
+    def render_bank(cfg, n_samples, trigger_at):
+        state = t2.init_state(1, cfg)
+        out = []
+        for start in range(0, n_samples, B):
+            off = np.full(1, B, np.int32)
+            if start <= trigger_at < start + B:
+                off[0] = trigger_at - start
+            state, y = t2.render_block(
+                state, off, np.ones(1, np.float32), np.int32(start),
+                sample_rate=SR, block_size=B,
+            )
+            out.append(np.asarray(y[0]))
+        return np.concatenate(out)[:n_samples]
+
+    # tolerance tiers: derp is rand~-quiet and low-Q → strict −80 dBFS.
+    # ring/void drive the high-Q membrane resonators and brush runs the
+    # Max patch's double-mtof rand~ at ~15 kHz — both amplify f32
+    # associative-scan reassociation (resonant ring-up; sample-hold
+    # segment-boundary flips), so those get an RMS bound plus a looser
+    # max (same artifact class as the bass blep windows).
+    cases = (
+        (t2.Tom2Config.derp(), 2e-4, None),
+        (t2.Tom2Config.ring(), 1.5e-3, 1.5e-4),
+        (t2.Tom2Config.void_preset(), 1.5e-3, 3e-4),
+        (t2.Tom2Config.brush(), 5e-3, 1.5e-3),
+    )
+    for cfg, max_tol, rms_tol in cases:
+        got = render_bank(cfg, 3072, 64)
+        o = Tom2Oracle({k: getattr(cfg, k) for k in t2.PARAM_NAMES}, SR)
+        want = np.zeros(3072, np.float32)
+        for n in range(3072):
+            if n == 64:
+                o.trigger()
+            want[n] = o.tick()
+        d = np.abs(got - want)
+        assert d.max() < max_tol, (cfg, d.max())
+        if rms_tol is not None:
+            assert np.sqrt(np.mean(d**2)) < rms_tol, (cfg, np.sqrt(np.mean(d**2)))
+        assert np.abs(got).max() > 1e-3
