@@ -185,6 +185,27 @@ int32_t gooey_engine_sampler_set_slot_buffer(gooey_handle h, int32_t rack,
                                              double sample_rate);
 
 /* ---- array/string-out entry points ---- */
+int64_t gooey_engine_get_error_message(gooey_handle h, char *buf,
+                                       int64_t buf_len);
+int32_t gooey_engine_granulator_set_buffer(gooey_handle h, const float *samples,
+                                           int64_t count, double sample_rate);
+void gooey_engine_free_buffer(float *ptr);
+int32_t gooey_engine_set_effect_order(gooey_handle h, const int32_t *order,
+                                      int64_t count);
+int64_t gooey_engine_get_effect_order(gooey_handle h, int32_t *out,
+                                      int64_t out_len);
+int32_t gooey_engine_sequencer_set_instrument_note_pattern(
+    gooey_handle h, int32_t channel, const int32_t *notes, int64_t count);
+int64_t gooey_engine_drain_midi_events(gooey_handle h, int64_t *samples,
+                                       int32_t *strips, double *velocities,
+                                       int64_t cap);
+int32_t gooey_engine_perf_get_sampler_event(gooey_handle h, int32_t index,
+                                            int32_t *tick, int32_t *rack,
+                                            int32_t *slot, double *velocity);
+typedef void (*gooey_error_callback)(const char *message, void *user_data);
+void gooey_engine_set_error_callback(gooey_handle h, gooey_error_callback cb,
+                                     void *user_data);
+void gooey_engine_poll_error_callback(gooey_handle h);
 int64_t gooey_engine_get_channel_peaks(gooey_handle h, float *out,
                                        int64_t out_len);
 int64_t gooey_engine_mixer_get_track_name(gooey_handle h, int32_t track,

@@ -1418,3 +1418,111 @@ def engine_perf_get_length_steps(handle):
     from libgooey_tpu.performance import TICKS_PER_STEP
 
     return int(_perf(handle).length_ticks // TICKS_PER_STEP)
+
+
+# --- reference-ABI aliases + remaining surface (name parity with ffi.rs) ------
+
+def engine_trigger_channel(handle, channel):
+    _e(handle).trigger_channel(int(channel), 0.5)
+
+
+def engine_set_channel_instrument_type(handle, channel, instrument):
+    return engine_set_channel_instrument(handle, channel, instrument)
+
+
+def engine_get_channel_instrument_type(handle, channel):
+    return engine_get_channel_instrument(handle, channel)
+
+
+def engine_set_global_effect_enabled(handle, effect_id, enabled):
+    engine_set_effect_enabled(handle, effect_id, enabled)
+
+
+def engine_set_global_effect_param(handle, effect_id, param, value):
+    return engine_set_effect_param(handle, effect_id, param, value)
+
+
+def engine_get_global_effect_param(handle, effect_id, param):
+    return engine_get_effect_param(handle, effect_id, param)
+
+
+def engine_set_swing(handle, channel, swing):
+    engine_sequencer_set_swing(handle, channel, swing)
+
+
+def engine_get_error_message(handle):
+    return engine_last_error(handle)
+
+
+def engine_move_effect(handle, src, dst):
+    """Reorder the global chain by entry position (effect_chain.rs move)."""
+    return int(_e(handle).fx.move(int(src), int(dst)))
+
+
+def engine_set_effect_order_list(handle, order):
+    return int(_e(handle).set_effect_order([int(x) for x in order]))
+
+
+def engine_sequencer_set_instrument_step(handle, channel, step, enabled):
+    seq = _seq(handle, channel)
+    seq.set_step(int(step), bool(enabled))
+
+
+def engine_sequencer_set_instrument_step_with_velocity(handle, channel, step,
+                                                       enabled, velocity):
+    _seq(handle, channel).set_step_with_settings(int(step), bool(enabled),
+                                                 float(velocity))
+
+
+def engine_sequencer_set_instrument_step_settings(handle, channel, step,
+                                                  enabled, velocity):
+    _seq(handle, channel).set_step_with_settings(int(step), bool(enabled),
+                                                 float(velocity))
+
+
+def engine_sequencer_get_instrument_step(handle, channel, step):
+    return engine_sequencer_get_instrument_step_enabled(handle, channel, step)
+
+
+def engine_sequencer_get_instrument_step_with_lookahead(handle, channel,
+                                                        lookahead):
+    return engine_sequencer_get_step_with_lookahead(handle, channel, lookahead)
+
+
+def engine_sequencer_set_instrument_step_blend_override(handle, channel, step,
+                                                        x, y):
+    engine_sequencer_set_instrument_step_blend(handle, channel, step, x, y)
+
+
+def engine_sequencer_clear_instrument_step_blend_override(handle, channel, step):
+    engine_sequencer_clear_instrument_step_blend(handle, channel, step)
+
+
+def engine_sequencer_get_instrument_step_blend_override_x(handle, channel, step):
+    return engine_sequencer_get_instrument_step_blend_x(handle, channel, step)
+
+
+def engine_sequencer_get_instrument_step_blend_override_y(handle, channel, step):
+    return engine_sequencer_get_instrument_step_blend_y(handle, channel, step)
+
+
+def engine_sequencer_set_instrument_note_pattern(handle, channel, notes):
+    """Set all step notes at once; 255 clears a step's note (ffi.rs)."""
+    seq = _seq(handle, channel)
+    for i, note in enumerate(notes[: len(seq.pattern)]):
+        seq.set_step_note(i, None if int(note) == 255 else int(note))
+
+
+def engine_drain_midi_events_flat(handle):
+    """→ list of (sample, strip_index, velocity); strip parsed from the
+    engine voice name (ch<N>_* / bass / everything else = -1)."""
+    out = []
+    for sample, name, velocity in _e(handle).drain_midi_out():
+        if name.startswith("ch") and "_" in name:
+            strip = int(name[2:name.index("_")])
+        elif name == "bass":
+            strip = NUM_KIT_CHANNELS
+        else:
+            strip = -1
+        out.append((int(sample), strip, float(velocity)))
+    return out

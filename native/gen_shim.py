@@ -249,6 +249,24 @@ TABLE = [
     ("perf_get_sampler_event_count", "i", "h"),
     ("perf_get_length_steps", "i", "h"),
     ("perf_get_length_ticks", "i", "h"),
+    # reference-ABI aliases (name parity with ffi.rs)
+    ("trigger_channel", "v", "hi"),
+    ("set_channel_instrument_type", "i", "hii"),
+    ("get_channel_instrument_type", "i", "hi"),
+    ("set_global_effect_enabled", "v", "hii"),
+    ("set_global_effect_param", "i", "hiid"),
+    ("get_global_effect_param", "f", "hii"),
+    ("set_swing", "v", "hid"),
+    ("move_effect", "i", "hii"),
+    ("sequencer_set_instrument_step", "v", "hiii"),
+    ("sequencer_set_instrument_step_with_velocity", "v", "hiiid"),
+    ("sequencer_set_instrument_step_settings", "v", "hiiid"),
+    ("sequencer_get_instrument_step", "i", "hii"),
+    ("sequencer_get_instrument_step_with_lookahead", "i", "hii"),
+    ("sequencer_set_instrument_step_blend_override", "v", "hiidd"),
+    ("sequencer_clear_instrument_step_blend_override", "v", "hii"),
+    ("sequencer_get_instrument_step_blend_override_x", "f", "hii"),
+    ("sequencer_get_instrument_step_blend_override_y", "f", "hii"),
 ]
 
 C_TYPE = {"h": "gooey_handle", "i": "int32_t", "I": "int64_t", "d": "double",
