@@ -64,8 +64,8 @@ def run_oracle(config, n_samples, trigger_at, velocity, param_changes=None):
     return out, o
 
 
-def blep_window_mask(oracle, n_samples):
-    """Samples inside a wrap/half-wrap correction window, + RING tail."""
+def blep_window_mask(oracle, n_samples, ring=RING):
+    """Samples inside a wrap/half-wrap correction window, + ring tail."""
     mask = np.zeros(n_samples, bool)
     for i, (ph, dph, inc, dinc) in enumerate(oracle.phase_trace[:n_samples]):
         near = (min(ph, 1.0 - ph) < 2.5 * inc
@@ -73,7 +73,7 @@ def blep_window_mask(oracle, n_samples):
                 or min(dph, 1.0 - dph) < 2.5 * dinc
                 or abs(dph - 0.5) < 2.5 * dinc)
         if near:
-            mask[i:i + RING] = True
+            mask[i:i + ring] = True
     return mask
 
 
