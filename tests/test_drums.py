@@ -333,3 +333,87 @@ def test_tom2_matches_oracle():
         if rms_tol is not None:
             assert np.sqrt(np.mean(d**2)) < rms_tol, (cfg, np.sqrt(np.mean(d**2)))
         assert np.abs(got).max() > 1e-3
+
+
+def test_tom_v1_matches_oracle():
+    """Tom v1 bank vs per-sample transcription (<2e-4): sine + additive
+    triangle punch, velocity-scaled decays, curved amp envelope."""
+    import dataclasses
+
+    from libgooey_tpu.core.smoother import smoothing_coeff
+    from libgooey_tpu.instruments import tom as tom_mod
+
+    SR, B = 44100.0, 512
+    coeff = float(np.asarray(smoothing_coeff(SR)))
+    F = np.float32
+
+    def denorm(x, lo, hi):
+        return F(lo + min(max(x, 0.0), 1.0) * (hi - lo))
+
+    def env(elapsed, a, d, a_curve, d_curve):
+        if elapsed < 0.0:
+            return F(0.0)
+        if elapsed < a:
+            return F(max(elapsed / a, 0.0) ** min(max(a_curve, 0.1), 10.0))
+        if elapsed < a + d:
+            prog = max((elapsed - a) / d, 0.0) ** min(max(d_curve, 0.1), 10.0)
+            return F(1.0 - prog)
+        return F(0.0)
+
+    def tri_additive(idx, freq, max_h):
+        ny = SR / 2.0
+        theta = F(idx * freq * (2.0 * np.pi / SR))
+        acc = F(0.0)
+        max_i = np.floor(ny / max(freq, 1e-6))
+        for i in range(1, max_h + 1, 2):
+            hfreq = freq * i
+            if i > max_i or hfreq > ny:
+                continue
+            ratio = hfreq / ny
+            taper = 1.0 - ((ratio - 0.75) * 4.0) ** 2 if ratio > 0.75 else 1.0
+            acc = F(acc + taper / (i * i) * np.sin(F(i) * theta))
+        return acc
+
+    cfg = dataclasses.replace(tom_mod.TomConfig.mid_tom(), punch=0.6,
+                              pitch_drop=0.7)
+    state = tom_mod.init_state(1, cfg)
+    got = []
+    trig_at, velocity = 90, 0.8
+    for start in range(0, 2048, B):
+        off = np.full(1, B, np.int32)
+        vel = np.zeros(1, np.float32)
+        if start <= trig_at < start + B:
+            off[0] = trig_at - start
+            vel[0] = velocity
+        state, y = tom_mod.render_block(state, off, vel, np.int32(start),
+                                        sample_rate=SR, block_size=B,
+                                        smooth_coeff=coeff)
+        got.append(np.asarray(y[0]))
+    got = np.concatenate(got)
+
+    p = {k: F(getattr(cfg, k)) for k in tom_mod.PARAM_NAMES}
+    scale = F(0.5 + 0.5 * velocity)
+    d = denorm(p["decay"], 0.05, 2.0) * scale
+    ad = max(denorm(p["amp_decay"], 0.0, 4.0) * scale, 0.001)
+    ac = denorm(p["amp_decay_curve"], 0.1, 10.0)
+    if abs(ac - 1.0) < 0.01:
+        ac = F(1.0)
+    freq = denorm(p["frequency"], 60.0, 300.0)
+    want = np.zeros(2048, np.float32)
+    for n in range(2048):
+        el = (n - trig_at) / SR
+        if el < 0:
+            continue
+        idx = F(n - trig_at)
+        fmult = F(1.0 + p["pitch_drop"] * env(el, 0.001, d * 0.4, 1.0, 1.0))
+        tonal = F(np.sin(idx * freq * fmult * F(2 * np.pi / SR))
+                  * env(el, 0.001, d * 0.9, 1.0, 1.0) * p["tonal"] * p["volume"])
+        pf = F(freq * 3.0 * (1.0 + (fmult - 1.0) * 0.5))
+        punch = F(tri_additive(idx, pf, 128)
+                  * env(el, 0.001, d * 0.3, 1.0, 1.0)
+                  * p["punch"] * p["volume"] * 0.6)
+        amp = env(el, 0.001, ad, 0.5, ac)
+        want[n] = F((tonal + punch) * amp * np.sqrt(F(velocity)))
+    err = np.abs(got - want).max()
+    assert err < 2e-4, err
+    assert np.abs(got).max() > 0.01

@@ -121,3 +121,22 @@ def test_param_round_trip_getters():
     e.add_global_effect("delay")
     e.set_effect_param("delay", 1, 0.7)
     assert abs(e.get_effect_param("delay", 1) - 0.7) < 1e-7
+
+
+def test_render_is_deterministic():
+    """Same program twice → bit-identical audio (counter-based RNG, pure
+    functional render; the reference's reset==fresh determinism tests)."""
+    def run():
+        e = Engine(44100.0)
+        e.add_instrument("k", "kick")
+        e.add_instrument("h", "hihat2")
+        e.add_instrument("s", "snare")
+        seq = e.new_sequencer("k", 150.0)
+        seq.set_pattern_string("x.x.x.x.")
+        seq.start()
+        e.trigger("h", 0.9)
+        e.trigger("s", 0.7)
+        return np.asarray(e.render(4096))
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(a, b)
