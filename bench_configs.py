@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Per-config benchmarks for BASELINE.json's five validation configs.
+
+Prints one JSON line per config: {"config", "value", "unit"}.  The
+headline driver metric stays in bench.py (one line); this script gives
+every BASELINE config a measured number on real hardware.
+
+Measurement note: the TPU here sits behind a network tunnel with ~25 ms
+round-trip per dispatch, so each config renders N_BLOCKS blocks inside
+ONE jitted lax.scan (exactly how a production serving loop would batch
+blocks) and the RTT amortizes.  The host-driven GooeyEngine pipeline is
+reported separately as blocks-per-dispatch=1 — its number is tunnel-RTT
+bound, not compute bound.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff
+from libgooey_tpu.engine import engine as eng
+from libgooey_tpu.instruments import granulator as gran
+from libgooey_tpu.instruments import kick as kick_mod
+from libgooey_tpu.instruments import sampler as samp
+from libgooey_tpu.mixer import chain as chain_mod
+
+SR = 44100.0
+B = 512
+N_BLOCKS = 64
+COEFF = smoothing_coeff(SR)
+
+
+def timed(fn, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def report(config, audio_seconds, wall, note=""):
+    unit = "audio-seconds/sec/chip" + (f" ({note})" if note else "")
+    print(json.dumps({
+        "config": config,
+        "value": round(audio_seconds / wall, 3),
+        "unit": unit,
+    }))
+
+
+def _render_many_rtf(voices, config, name, note):
+    """Scan N_BLOCKS kick blocks in one dispatch (bench.py's machinery)."""
+    state = {
+        "kick": kick_mod.init_state(voices, config),
+        "pan": SmootherBank.init(np.full(voices, 0.5, np.float32)),
+        "gain": SmootherBank.init(np.full(voices, 1.0 / voices, np.float32)),
+        "master": SmootherBank.init(np.float32(0.25)),
+    }
+    offs = np.full((N_BLOCKS, voices), B, np.int32)
+    offs[0, :] = 0
+    vels = np.zeros((N_BLOCKS, voices), np.float32)
+    vels[0, :] = 1.0
+    events = {
+        "kick_off": jnp.asarray(offs),
+        "kick_vel": jnp.asarray(vels),
+        "block_start": jnp.asarray((np.arange(N_BLOCKS) * B).astype(np.int32)),
+    }
+    static = dict(kinds=("kick",), sample_rate=SR, block_size=B,
+                  smooth_coeff=COEFF, limiter_threshold=1.0,
+                  family_static=(("kick", (("feedback_path", False),
+                                           ("max_harmonics", 0))),))
+    wall = timed(lambda s: eng.render_many(s, events, **static), state)
+    report(name, voices * N_BLOCKS * B / SR, wall, note)
+
+
+def bench_single_kick():
+    _render_many_rtf(1, kick_mod.KickConfig.tight(), "single_kick_voice",
+                     "1 voice")
+
+
+def bench_full_kit():
+    e = eng.Engine(SR)
+    for kind in ("kick", "snare", "hihat2", "tom2"):
+        e.add_instrument(kind, kind)
+        e.trigger(kind, 1.0)
+    e._stage()
+    events = e._collect_events()
+    e._stage()
+    stacked = {k: jnp.broadcast_to(v, (N_BLOCKS,) + v.shape)
+               for k, v in events.items() if k != "block_start"}
+    stacked["block_start"] = jnp.asarray(
+        (np.arange(N_BLOCKS) * B).astype(np.int32))
+    static = dict(kinds=e.instrument_kinds(), sample_rate=SR, block_size=B,
+                  smooth_coeff=e.smooth_coeff, limiter_threshold=1.0,
+                  family_static=e._static_key())
+    wall = timed(lambda s: eng.render_many(s, stacked, **static), e._state)
+    report("full_drum_kit_mix", 4 * N_BLOCKS * B / SR, wall, "4 voices")
+
+
+def bench_sequenced_submix():
+    from libgooey_tpu.gooey import GooeyEngine
+
+    g = GooeyEngine(SR)
+    for ch in range(4):
+        g.sequencers[ch].set_pattern_string("x.x.x.x.x.x.x.x.")
+        g.sequencers[ch].start()
+    g.strip_pan[:] = [0.2, 0.4, 0.6, 0.8, 0.5]
+    g.strip_mute[3] = True
+    g.render(B)  # warm all graphs
+    n = 16
+
+    def run():
+        for _ in range(n):
+            out = g._render_one_block()
+        return out
+
+    wall = timed(run, iters=3, warmup=1) / n
+    report("sequencer_into_submixes", B / SR, wall,
+           "full product pipeline, 1 block/dispatch — tunnel-RTT bound")
+
+
+def bench_effects_chain():
+    chain = chain_mod.EffectChain(SR, 120.0)
+    for eid in (chain_mod.EFFECT_DELAY, chain_mod.EFFECT_REVERB,
+                chain_mod.EFFECT_SATURATION, chain_mod.EFFECT_TILT_FILTER):
+        chain.add(eid)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(N_BLOCKS, 2, B).astype(np.float32) * 0.3
+    )
+    targets = tuple(chain.targets_list())
+    key = chain.static_key()
+
+    @jax.jit
+    def run(states, x):
+        def step(st, xb):
+            st2, y = chain_mod.process_chain(st, xb, targets, key,
+                                             sample_rate=SR)
+            return tuple(st2), y
+
+        return jax.lax.scan(step, states, x)
+
+    states = tuple(chain.states)
+    wall = timed(lambda s: run(s, x), states)
+    report("fx_chain_delay_reverb_dist_tilt_4x", N_BLOCKS * B / SR, wall,
+           "stereo bus")
+
+
+def bench_granulator_sampler_4k():
+    # 50 granulator instances x 80 grain lanes + 128 sampler racks x 32
+    # voices = 8,096 concurrent grain/voice lanes, vmapped per chip
+    G_INST, RACKS = 50, 128
+    buf = np.random.RandomState(0).randn(1 << 15).astype(np.float32) * 0.3
+    gstate = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (G_INST,) + a.shape),
+        gran.init_state(buf, SR),
+    )
+    rng = np.random.RandomState(1)
+    K = gran.MAX_SPAWNS_PER_BLOCK
+    gev = gran.SpawnEvents(
+        slot=jnp.asarray(np.tile(np.arange(K, dtype=np.int32), (G_INST, 1))),
+        offset=jnp.asarray(rng.randint(0, B, (G_INST, K)).astype(np.int32)),
+        duration=jnp.asarray(rng.uniform(500, 40000, (G_INST, K)).astype(np.float32)),
+        src_pos=jnp.asarray(rng.uniform(0, 1 << 14, (G_INST, K)).astype(np.float32)),
+        step=jnp.asarray(rng.uniform(0.5, 2.0, (G_INST, K)).astype(np.float32)),
+        shape=jnp.asarray(rng.uniform(0.5, 4.0, (G_INST, K)).astype(np.float32)),
+        vel=jnp.asarray(rng.uniform(0.3, 1.0, (G_INST, K)).astype(np.float32)),
+        rel_total=jnp.zeros((G_INST, K), jnp.float32),
+        copy_from=jnp.full((G_INST, K), -1, jnp.int32),
+    )
+    gev_empty = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(
+            jnp.asarray(np.full(a.shape, -1, a.dtype) if a.dtype == jnp.int32
+                        else np.zeros(a.shape, a.dtype)), a.shape),
+        gev,
+    )
+    sstate = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (RACKS,) + a.shape),
+        samp.init_state(1 << 15),
+    )
+    KS = samp.MAX_STARTS_PER_BLOCK
+    sev = samp.StartEvents(
+        voice=jnp.asarray(np.tile(np.arange(KS, dtype=np.int32) % samp.VOICES,
+                                  (RACKS, 1))),
+        offset=jnp.asarray(rng.randint(0, B, (RACKS, KS)).astype(np.int32)),
+        base=jnp.zeros((RACKS, KS), jnp.int32),
+        frames=jnp.full((RACKS, KS), 30000.0, jnp.float32),
+        increment=jnp.ones((RACKS, KS), jnp.float32),
+        velocity=jnp.asarray(rng.uniform(0.3, 1.0, (RACKS, KS)).astype(np.float32)),
+    )
+    sev_empty = sev._replace(voice=jnp.full((RACKS, KS), -1, jnp.int32))
+
+    @jax.jit
+    def run(gs, ss):
+        def step(carry, i):
+            gs, ss = carry
+            ge = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(i == 0, a, b), gev, gev_empty)
+            se = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(i == 0, a, b), sev, sev_empty)
+            gs2, gout = jax.vmap(
+                lambda s, e: gran.render_block(
+                    s, e, jnp.int32(i * B), sample_rate=SR, block_size=B,
+                    smooth_coeff=COEFF))(gs, ge)
+            ss2, sout = jax.vmap(
+                lambda s, e: samp.render_block(
+                    s, e, jnp.int32(i * B), sample_rate=SR, block_size=B))(ss, se)
+            return (gs2, ss2), gout.sum(0) + sout.sum(0)
+
+        return jax.lax.scan(step, (gs, ss), jnp.arange(N_BLOCKS))
+
+    wall = timed(lambda g, s: run(g, s), gstate, sstate)
+    lanes = G_INST * gran.TOTAL + RACKS * samp.VOICES
+    report("granulator_lfo_sampler_4k_lanes", lanes * N_BLOCKS * B / SR, wall,
+           f"{lanes} lanes")
+
+
+def main():
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+    bench_single_kick()
+    bench_full_kit()
+    bench_effects_chain()
+    bench_granulator_sampler_4k()
+    bench_sequenced_submix()
+
+
+if __name__ == "__main__":
+    main()
