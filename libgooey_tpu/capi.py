@@ -646,8 +646,11 @@ def engine_add_lfo_route(handle, lfo, channel, param_id, depth=1.0):
         return 0
     if name == "filter_type":
         return 0
-    e.engine.add_lfo_route(int(lfo), e._strip_name(int(channel)), name,
-                           float(depth))
+    try:
+        e.engine.add_lfo_route(int(lfo), e._strip_name(int(channel)), name,
+                               float(depth))
+    except ValueError:
+        return 0  # non-modulatable family (tom2) or route table full
     return 1
 
 
