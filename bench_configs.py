@@ -37,6 +37,7 @@ SR = 44100.0
 B = 512
 N_BLOCKS = 64
 COEFF = smoothing_coeff(SR)
+GRAIN_READ = "pallas" if jax.default_backend() == "tpu" else "gather"
 
 
 def timed(fn, *args, iters=10, warmup=2):
@@ -159,33 +160,45 @@ def bench_effects_chain():
 
 
 def bench_granulator_sampler_4k():
-    # 50 granulator instances x 80 grain lanes + 128 sampler racks x 32
-    # voices = 8,096 concurrent grain/voice lanes, vmapped per chip
-    G_INST, RACKS = 50, 128
+    # one granulator "mega-instance" with 4,000 grain lanes (the grain state
+    # is shape-driven, so the 4k-concurrent-grains config is literally one
+    # batched state) + 128 sampler racks x 32 voices vmapped
+    G_LANES, RACKS = 4000, 128
     buf = np.random.RandomState(0).randn(1 << 15).astype(np.float32) * 0.3
-    gstate = jax.tree_util.tree_map(
-        lambda a: jnp.broadcast_to(a, (G_INST,) + a.shape),
-        gran.init_state(buf, SR),
-    )
+    base = gran.init_state(buf, SR)
     rng = np.random.RandomState(1)
-    K = gran.MAX_SPAWNS_PER_BLOCK
-    gev = gran.SpawnEvents(
-        slot=jnp.asarray(np.tile(np.arange(K, dtype=np.int32), (G_INST, 1))),
-        offset=jnp.asarray(rng.randint(0, B, (G_INST, K)).astype(np.int32)),
-        duration=jnp.asarray(rng.uniform(500, 40000, (G_INST, K)).astype(np.float32)),
-        src_pos=jnp.asarray(rng.uniform(0, 1 << 14, (G_INST, K)).astype(np.float32)),
-        step=jnp.asarray(rng.uniform(0.5, 2.0, (G_INST, K)).astype(np.float32)),
-        shape=jnp.asarray(rng.uniform(0.5, 4.0, (G_INST, K)).astype(np.float32)),
-        vel=jnp.asarray(rng.uniform(0.3, 1.0, (G_INST, K)).astype(np.float32)),
-        rel_total=jnp.zeros((G_INST, K), jnp.float32),
-        copy_from=jnp.full((G_INST, K), -1, jnp.int32),
+
+    def widen(a):
+        if a.ndim == 1 and a.shape[0] == gran.TOTAL:
+            return jnp.broadcast_to(a[:1], (G_LANES,)).copy() \
+                if False else jnp.tile(a, (G_LANES // gran.TOTAL,))
+        return a
+
+    gstate = jax.tree_util.tree_map(widen, base)
+    # seed every lane as an active long grain
+    gstate = gstate._replace(
+        spawn_sample=jnp.zeros(G_LANES, jnp.int32),
+        duration=jnp.asarray(rng.uniform(20000, 60000, G_LANES).astype(np.float32)),
+        src_pos=jnp.asarray(rng.uniform(0, 1 << 14, G_LANES).astype(np.float32)),
+        step=jnp.asarray(rng.uniform(0.5, 2.0, G_LANES).astype(np.float32)),
+        shape=jnp.asarray(rng.uniform(0.5, 4.0, G_LANES).astype(np.float32)),
+        vel=jnp.asarray(rng.uniform(0.3, 1.0, G_LANES).astype(np.float32)),
+        rel_start=jnp.full(G_LANES, -1, jnp.int32),
+        rel_total=jnp.zeros(G_LANES, jnp.float32),
     )
-    gev_empty = jax.tree_util.tree_map(
-        lambda a: jnp.broadcast_to(
-            jnp.asarray(np.full(a.shape, -1, a.dtype) if a.dtype == jnp.int32
-                        else np.zeros(a.shape, a.dtype)), a.shape),
-        gev,
-    )
+    gev_empty = gran.SpawnEvents(**{
+        k: jnp.asarray(v) for k, v in zip(
+            gran.SpawnEvents._fields,
+            [np.full(gran.MAX_SPAWNS_PER_BLOCK, -1, np.int32),
+             np.zeros(gran.MAX_SPAWNS_PER_BLOCK, np.int32),
+             np.ones(gran.MAX_SPAWNS_PER_BLOCK, np.float32),
+             np.zeros(gran.MAX_SPAWNS_PER_BLOCK, np.float32),
+             np.ones(gran.MAX_SPAWNS_PER_BLOCK, np.float32),
+             np.full(gran.MAX_SPAWNS_PER_BLOCK, 2.0, np.float32),
+             np.zeros(gran.MAX_SPAWNS_PER_BLOCK, np.float32),
+             np.zeros(gran.MAX_SPAWNS_PER_BLOCK, np.float32),
+             np.full(gran.MAX_SPAWNS_PER_BLOCK, -1, np.int32)])
+    })
     sstate = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a, (RACKS,) + a.shape),
         samp.init_state(1 << 15),
@@ -206,23 +219,20 @@ def bench_granulator_sampler_4k():
     def run(gs, ss):
         def step(carry, i):
             gs, ss = carry
-            ge = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(i == 0, a, b), gev, gev_empty)
             se = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(i == 0, a, b), sev, sev_empty)
-            gs2, gout = jax.vmap(
-                lambda s, e: gran.render_block(
-                    s, e, jnp.int32(i * B), sample_rate=SR, block_size=B,
-                    smooth_coeff=COEFF))(gs, ge)
+            gs2, gout = gran.render_block(
+                gs, gev_empty, jnp.int32(i * B), sample_rate=SR, block_size=B,
+                smooth_coeff=COEFF, grain_read=GRAIN_READ)
             ss2, sout = jax.vmap(
                 lambda s, e: samp.render_block(
                     s, e, jnp.int32(i * B), sample_rate=SR, block_size=B))(ss, se)
-            return (gs2, ss2), gout.sum(0) + sout.sum(0)
+            return (gs2, ss2), gout + sout.sum(0)
 
         return jax.lax.scan(step, (gs, ss), jnp.arange(N_BLOCKS))
 
     wall = timed(lambda g, s: run(g, s), gstate, sstate)
-    lanes = G_INST * gran.TOTAL + RACKS * samp.VOICES
+    lanes = G_LANES + RACKS * samp.VOICES
     report("granulator_lfo_sampler_4k_lanes", lanes * N_BLOCKS * B / SR, wall,
            f"{lanes} lanes")
 

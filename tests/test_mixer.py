@@ -249,3 +249,22 @@ def test_clip_launch_lands_sample_exact_mid_block():
     # and the grid's bookkeeping matches
     assert m.clip_grid.active_row[0] == 0
     assert abs(m.clip_grid.launch_beat[0] - 0.7) < 1e-9
+
+
+def test_wsola_unity_warp_reconstructs_within_cola_bound():
+    """PreservePitch at warp 1.0 on a DC ramp: the periodic-Hann OLA with a
+    continuity-preserving search must reconstruct the source to within the
+    COLA bound after the first hop (wsola.rs:29-81 invariants)."""
+    sr, bpm, B = 44100.0, 120.0, 512
+    m = mixer_mod.Mixer(sr, bpm, B, buffer_capacity=1 << 16)
+    n = 1 << 15
+    dc = np.full(n, 0.7, np.float32)  # constant: any alignment reconstructs
+    ch = m.channels[0]
+    ch.set_buffer(StereoSampleBuffer(dc, dc, sr, source_bpm=bpm))
+    ch.pitch_mode = PITCH_PRESERVE
+    ch.set_playing(True)
+    blocks = [np.asarray(m.render_block())[0] for _ in range(8)]
+    out = np.concatenate(blocks)
+    settled = out[2048:]  # skip OLA warm-in
+    # COLA: the two Hann streams must sum to unity -> output == 0.7
+    assert np.abs(settled - 0.7).max() < 1e-3, np.abs(settled - 0.7).max()
