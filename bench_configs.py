@@ -199,40 +199,36 @@ def bench_granulator_sampler_4k():
              np.zeros(gran.MAX_SPAWNS_PER_BLOCK, np.float32),
              np.full(gran.MAX_SPAWNS_PER_BLOCK, -1, np.int32)])
     })
-    sstate = jax.tree_util.tree_map(
-        lambda a: jnp.broadcast_to(a, (RACKS,) + a.shape),
-        samp.init_state(1 << 15),
+    # flatten the racks into ONE sampler state with RACKS*32 voices (the
+    # voice arrays are shape-driven; all bench racks share one arena)
+    S_VOICES = RACKS * samp.VOICES
+    sbase = samp.init_state(1 << 15)
+    sstate = sbase._replace(
+        start_sample=jnp.zeros(S_VOICES, jnp.int32),
+        base=jnp.zeros(S_VOICES, jnp.int32),
+        frames=jnp.full(S_VOICES, 30000.0, jnp.float32),
+        increment=jnp.asarray(rng.uniform(0.5, 2.0, S_VOICES).astype(np.float32)),
+        velocity=jnp.asarray(rng.uniform(0.3, 1.0, S_VOICES).astype(np.float32)),
     )
     KS = samp.MAX_STARTS_PER_BLOCK
-    sev = samp.StartEvents(
-        voice=jnp.asarray(np.tile(np.arange(KS, dtype=np.int32) % samp.VOICES,
-                                  (RACKS, 1))),
-        offset=jnp.asarray(rng.randint(0, B, (RACKS, KS)).astype(np.int32)),
-        base=jnp.zeros((RACKS, KS), jnp.int32),
-        frames=jnp.full((RACKS, KS), 30000.0, jnp.float32),
-        increment=jnp.ones((RACKS, KS), jnp.float32),
-        velocity=jnp.asarray(rng.uniform(0.3, 1.0, (RACKS, KS)).astype(np.float32)),
-    )
-    sev_empty = sev._replace(voice=jnp.full((RACKS, KS), -1, jnp.int32))
+    sev_empty = samp.StartEvents.empty()
 
     @jax.jit
     def run(gs, ss):
         def step(carry, i):
             gs, ss = carry
-            se = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(i == 0, a, b), sev, sev_empty)
             gs2, gout = gran.render_block(
                 gs, gev_empty, jnp.int32(i * B), sample_rate=SR, block_size=B,
                 smooth_coeff=COEFF, grain_read=GRAIN_READ)
-            ss2, sout = jax.vmap(
-                lambda s, e: samp.render_block(
-                    s, e, jnp.int32(i * B), sample_rate=SR, block_size=B))(ss, se)
-            return (gs2, ss2), gout + sout.sum(0)
+            ss2, sout = samp.render_block(
+                ss, sev_empty, jnp.int32(i * B), sample_rate=SR, block_size=B,
+                voice_read="pallas" if GRAIN_READ == "pallas" else "gather")
+            return (gs2, ss2), gout + sout[0]
 
         return jax.lax.scan(step, (gs, ss), jnp.arange(N_BLOCKS))
 
     wall = timed(lambda g, s: run(g, s), gstate, sstate)
-    lanes = G_LANES + RACKS * samp.VOICES
+    lanes = G_LANES + S_VOICES
     report("granulator_lfo_sampler_4k_lanes", lanes * N_BLOCKS * B / SR, wall,
            f"{lanes} lanes")
 

@@ -484,7 +484,7 @@ class GooeyEngine:
                 rack.arena_dirty = False
             self.rack_states[i], rout = samp_mod.render_block(
                 self.rack_states[i], sev, np.int32(self.sample_count),
-                sample_rate=self.sr, block_size=B,
+                sample_rate=self.sr, block_size=B, voice_read=_GRAIN_READ,
             )
             sources = sources.at[graph_mod.SOURCE_SAMPLER_BASE + i].set(rout)
 

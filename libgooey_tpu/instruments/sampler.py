@@ -79,8 +79,13 @@ def render_block(
     *,
     sample_rate: float,
     block_size: int,
+    voice_read: str = "gather",
 ):
-    """Render one block → ``(new_state, out[2, B])``."""
+    """Render one block → ``(new_state, out[2, B])``.
+
+    ``voice_read`` (static): "gather" (XLA) or "pallas" (contiguous-window
+    kernel, ops.pallas_grain.sampler_read_linear — same f32 class).
+    """
     B = block_size
     n_local = jnp.arange(B, dtype=jnp.int32)
     block_start = jnp.asarray(block_start, jnp.int32)
@@ -111,12 +116,20 @@ def render_block(
 
     # linear-interp stereo read (sampler.rs frame()) with position clamp
     posc = jnp.clip(pos, 0.0, end - 1.0)
-    i0 = jnp.floor(posc).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, (end - 1.0).astype(jnp.int32))
-    frac = (posc - jnp.floor(posc))[..., None]
-    f0 = st.arena[base[:, None] + i0]     # [V,B,2]
-    f1 = st.arena[base[:, None] + i1]
-    frame = f0 + (f1 - f0) * frac
+    if voice_read == "pallas":
+        from libgooey_tpu.ops import pallas_grain
+
+        age0 = (block_start - start).astype(jnp.float32)
+        frame = pallas_grain.sampler_read_linear(
+            st.arena, base, frames, age0, inc, B=B
+        )
+    else:
+        i0 = jnp.floor(posc).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, (end - 1.0).astype(jnp.int32))
+        frac = (posc - jnp.floor(posc))[..., None]
+        f0 = st.arena[base[:, None] + i0]     # [V,B,2]
+        f1 = st.arena[base[:, None] + i1]
+        frame = f0 + (f1 - f0) * frac
 
     # 32-frame edge fade click-guard (rs:127-135)
     gain = jnp.minimum(
