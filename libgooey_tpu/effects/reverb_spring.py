@@ -10,26 +10,34 @@ Behavioral reference: src/effects/reverb.rs (235 LoC).  Per channel:
     fb    = damp' * (decay^0.4 * 0.95)     (used next sample)
     out   = input*(1-mix) + signal*mix
 
-TPU mapping: each allpass is affine in its input given its (≥127-sample-old)
-delayed reads, so a whole chunk of C ≤ min-delay samples collapses: the
-chain is ``signal → alpha*signal + beta[n]`` with alpha = Π gains, and the
-only true recurrence is the damping one-pole coupled to the one-sample
+TPU mapping: each allpass is affine in its input given its (>=127-sample-old)
+delayed reads, so a whole chunk of C <= min-delay samples collapses: the
+chain is ``signal -> alpha*signal + beta[n]`` with alpha = prod(gains), and
+the only true recurrence is the damping one-pole coupled to the one-sample
 feedback — a single first-order linear scan:
 
     d[n] = (damping[n] + (1-damping[n])*alpha*fb_gain[n-1]) * d[n-1]
          + (1-damping[n]) * (alpha*x[n] + beta[n])
+
+State layout: instead of modulo ring buffers, the 12 allpass delay lines are
+rows of one right-aligned history matrix ``hist[12, D]`` (D = max delay);
+row i's last d_i columns hold the most recent d_i written values.  Per block
+the matrix extends to a work buffer ``W[12, D+B]`` where every delayed read
+and every write is a *static contiguous slice* — no gathers, no wraps.  On
+TPU the whole block runs as ONE Pallas kernel with W in VMEM
+(ops/pallas_fx.py); elsewhere the identical chunk loop runs as XLA slices +
+associative scans.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff
-from libgooey_tpu.ops import ringbuf, scan as gscan
-from libgooey_tpu.ops.filters import _shift1
+from libgooey_tpu.ops import scan as gscan
 
 NUM_ALLPASSES = 6
 DELAYS_44100_L = (131, 251, 389, 521, 617, 787)
@@ -41,10 +49,10 @@ PARAM_DECAY, PARAM_MIX, PARAM_DAMPING = range(3)
 
 
 class SpringState(NamedTuple):
-    rings: Tuple[ringbuf.Ring, ...]  # 12 rings: 6 per channel (L then R)
-    fb: jnp.ndarray                  # [2] feedback sample
-    damp: jnp.ndarray                # [2] damping filter state
-    smooth: SmootherBank             # [2, 3]: decay, mix, damping
+    hist: jnp.ndarray  # [12, D] right-aligned delay-line histories (L then R)
+    fb: jnp.ndarray    # [2] feedback sample (includes its feedback gain)
+    damp: jnp.ndarray  # [2] damping filter state
+    smooth: SmootherBank  # [2, 3]: decay, mix, damping
 
 
 def delay_lengths(sample_rate: float):
@@ -56,15 +64,13 @@ def delay_lengths(sample_rate: float):
 def init_state(sample_rate: float, decay: float = 0.5, mix: float = 0.3,
                damping: float = 0.5) -> SpringState:
     dl, dr = delay_lengths(sample_rate)
-    # +2 headroom: read_frac clamps offsets to L-2 (time-indexed slots make
-    # any L >= delay+2 equivalent to the reference's exact-length buffer)
-    rings = tuple(ringbuf.Ring.init(n + 2) for n in dl + dr)
+    D = max(dl + dr)
     init = np.array(
         [[np.clip(decay, 0, 1), np.clip(mix, 0, 1), np.clip(damping, 0, 1)]] * 2,
         np.float32,
     )
     return SpringState(
-        rings=rings,
+        hist=jnp.zeros((2 * NUM_ALLPASSES, D), jnp.float32),
         fb=jnp.zeros(2, jnp.float32),
         damp=jnp.zeros(2, jnp.float32),
         smooth=SmootherBank.init(init),
@@ -80,14 +86,25 @@ def chunk_size(sample_rate: float, block_size: int) -> int:
     return max(c, 1)
 
 
+#: "auto" -> fused Pallas VMEM kernel on TPU (ops/pallas_fx.py), XLA
+#: chunked slices + scans elsewhere; "xla" / "pallas" force a path.
+IMPL = "auto"
+
+
 def process_block(
     state: SpringState,
     x,           # [2, B]
     targets,     # [3]: decay, mix, damping
     *,
     sample_rate: float,
+    impl: str | None = None,
 ):
     """One block of the stereo spring reverb → ``(new_state, out[2, B])``."""
+    import jax
+
+    impl = IMPL if impl is None else impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     B = x.shape[-1]
     C = chunk_size(sample_rate, B)
     n_chunks = B // C
@@ -110,68 +127,78 @@ def process_block(
     damping_t = traj(PARAM_DAMPING)
     fb_gain_t = jnp.power(jnp.maximum(decay_t, 0.0), 0.4) * MAX_FEEDBACK
 
+    dl, dr = delay_lengths(sample_rate)
+    delays = dl + dr
+    D = state.hist.shape[-1]
     alpha = float(np.prod(GAINS))
-    outs = []
-    rings = list(state.rings)
-    fb0 = state.fb
-    damp0 = state.damp
 
-    for k in range(n_chunks):
-        sl = slice(k * C, (k + 1) * C)
-        xk = x[:, sl]
-        damp1 = damping_t[:, sl]
-        damp2 = 1.0 - damp1
-        fbg = fb_gain_t[:, sl]
+    # Whole-block recurrence coefficients (the per-chunk beta terms are
+    # delay-line-dependent and computed inside the chunk loop / kernel).
+    # d[n] = A[n]*d[n-1] + (1-damping[n])*(alpha*xeff[n] + beta[n]); the
+    # block-carried fb (reverb.rs stores fb WITH its gain already applied)
+    # enters additively at n=0, so A[0] has no feedback term and
+    # xeff[0] = x[0] + fb0.  fbgp[n] = fb_gain[n-1] (0 at n=0) turns the
+    # scanned d-trajectory back into per-sample chain inputs.
+    p2 = 1.0 - damping_t
+    fbgp = jnp.concatenate(
+        [jnp.zeros((2, 1), jnp.float32), fb_gain_t[:, :-1]], axis=-1
+    )
+    A = damping_t + p2 * alpha * fbgp
+    A = A.at[:, 0].set(damping_t[:, 0])
+    xeff = x.astype(jnp.float32).at[:, 0].add(state.fb)
 
-        chunk_out = []
-        new_fb = []
-        new_damp = []
-        for ch in range(2):
-            ring_idx = [ch * NUM_ALLPASSES + i for i in range(NUM_ALLPASSES)]
-            ch_rings = [rings[i] for i in ring_idx]
-            offs = [
-                jnp.full((C,), float(d), jnp.float32)
-                for d in delay_lengths(sample_rate)[ch]
+    if impl == "pallas":
+        from libgooey_tpu.ops import pallas_fx
+
+        wet, new_hist, d_last = pallas_fx.spring_block(
+            xeff, A, p2, fbgp, state.hist, state.damp,
+            delays=delays, gains=GAINS, chunk=C,
+        )
+    else:
+        W = jnp.concatenate(
+            [state.hist, jnp.zeros((2 * NUM_ALLPASSES, B), jnp.float32)], axis=-1
+        )
+        damp0 = state.damp
+        wets = []
+        for c in range(n_chunks):
+            s = c * C
+            sl = slice(s, s + C)
+            delayed = [
+                jnp.stack([
+                    W[i, D + s - delays[i]:D + s - delays[i] + C],
+                    W[NUM_ALLPASSES + i,
+                      D + s - delays[NUM_ALLPASSES + i]:
+                      D + s - delays[NUM_ALLPASSES + i] + C],
+                ])
+                for i in range(NUM_ALLPASSES)
             ]
-            a, beta, stage_dir, stage_add, delayed = ringbuf.affine_allpass_reads(
-                ch_rings, GAINS, offs
-            )
-            # damp recurrence with the one-sample feedback folded in:
-            #   d[n] = (damp1[n] + damp2[n]*a*fbg[n-1]) * d[n-1]
-            #        + damp2[n]*(a*x[n] + beta[n])
-            # The carried state.fb already includes its feedback gain
-            # (reverb.rs stores fb = damp*feedback), so at n=0 it enters
-            # additively instead of through the coefficient.
-            fbg_prev = jnp.concatenate([jnp.ones((1,), jnp.float32), fbg[ch][:-1]])
-            A = damp1[ch] + damp2[ch] * a * fbg_prev
-            A = A.at[0].set(damp1[ch][0])
-            Bv = damp2[ch] * (a * xk[ch] + beta)
-            Bv = Bv.at[0].add(damp2[ch][0] * a * fb0[ch])
-            d_traj = gscan.linrec1(A, Bv, damp0[ch])
-            fb_in = jnp.concatenate(
-                [fb0[ch][None], (fbg[ch] * d_traj)[:-1]], axis=0
-            )
-            signal_in = xk[ch] + fb_in
-            sig_out = a * signal_in + beta
-            # reconstruct every stage's write: v_i = in_i - g_i * delayed_i
-            for i, (g, ring_i) in enumerate(zip(GAINS, ch_rings)):
-                in_i = stage_dir[i] * signal_in + stage_add[i]
-                v_i = in_i - g * delayed[i]
-                rings[ring_idx[i]] = ringbuf.write_block(ring_i, v_i)
-            chunk_out.append(xk[ch] * (1.0 - mix_t[ch, sl]) + sig_out * mix_t[ch, sl])
-            new_fb.append(fbg[ch][-1] * d_traj[-1])
-            new_damp.append(d_traj[-1])
-        fb0 = jnp.stack(new_fb)
-        damp0 = jnp.stack(new_damp)
-        outs.append(jnp.stack(chunk_out))
+            beta = jnp.zeros((2, C), jnp.float32)
+            for g, dly in zip(GAINS, delayed):
+                beta = g * beta + (1.0 - g * g) * dly
+            Bv = p2[:, sl] * (alpha * xeff[:, sl] + beta)
+            d_traj = gscan.linrec1(A[:, sl], Bv, damp0)
+            d_prev = jnp.concatenate([damp0[:, None], d_traj[:, :-1]], axis=-1)
+            sig = xeff[:, sl] + fbgp[:, sl] * d_prev
+            for i, (g, dly) in enumerate(zip(GAINS, delayed)):
+                v = sig - g * dly
+                W = W.at[i, D + s:D + s + C].set(v[0])
+                W = W.at[NUM_ALLPASSES + i, D + s:D + s + C].set(v[1])
+                sig = g * v + dly
+            wets.append(sig)
+            damp0 = d_traj[:, -1]
+        wet = jnp.concatenate(wets, axis=-1)
+        new_hist = W[:, B:B + D]
+        d_last = damp0
 
-    out = jnp.concatenate(outs, axis=-1)
+    out = x * (1.0 - mix_t) + wet * mix_t
     new_state = SpringState(
-        rings=tuple(rings),
-        fb=fb0,
-        damp=damp0,
+        hist=new_hist,
+        fb=fb_gain_t[:, -1] * d_last,
+        damp=d_last,
         smooth=SmootherBank(
-            current=jnp.stack([decay_t[:, -1], mix_t[:, -1], damping_t[:, -1]], axis=-1),
+            current=jnp.stack(
+                [decay_t[:, -1], mix_t[:, -1], damping_t[:, -1]], axis=-1
+            ),
             target=bank.target,
         ),
     )

@@ -48,6 +48,10 @@ def init_state(sample_rate: float, drive=0.3, warmth=0.3, mix=1.0) -> Saturation
 
 repeat_to_rate = ovs_mod.repeat_to_rate
 
+#: "auto" -> fused Pallas oversample+shape+DC kernel on TPU (one launch
+#: instead of ~12 scans; ops/pallas_fx.py), XLA scans elsewhere.
+IMPL = "auto"
+
 
 def saturate(x, drive, bias):
     """The tube transfer curve (saturation.rs:106-125)."""
@@ -59,14 +63,35 @@ def saturate(x, drive, bias):
 
 
 def process_block(state: SaturationState, x, targets, *, sample_rate: float,
-                  os_mode: int = 4):
+                  os_mode: int = 4, impl: str | None = None):
     """One block of the stereo saturator → ``(new_state, out[2, B])``."""
+    import jax
+
+    impl = IMPL if impl is None else impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     B = x.shape[-1]
     x = jnp.where(jnp.isfinite(x), x, 0.0)
     coeff = smoothing_coeff(sample_rate, 30.0)
     bank = state.smooth.with_targets(
         jnp.broadcast_to(jnp.asarray(targets, jnp.float32), (2, 3))
     )
+
+    if impl == "pallas" and os_mode == 4:
+        # one fused kernel: smoothers + 4x halfband chains + shaper + DC + mix
+        from libgooey_tpu.ops import pallas_fx
+
+        packed = pallas_fx.pack_ovs4_dc(state.ovs, state.dc.x1, state.dc.y1)
+        out, nst = pallas_fx.saturation_block(
+            x, bank.current, bank.target, packed, coeff=coeff
+        )
+        new_ovs, dc_x1, dc_y1, sm_cur = pallas_fx.unpack_ovs4_dc(nst, state.ovs)
+        return SaturationState(
+            dc=DCBlockState(x1=dc_x1, y1=dc_y1),
+            ovs=new_ovs,
+            smooth=SmootherBank(current=sm_cur, target=bank.target),
+        ), out
+
     powers = jnp.power(np.float32(1.0 - coeff), jnp.arange(1, B + 1, dtype=jnp.float32))
 
     def traj(idx):
@@ -80,7 +105,9 @@ def process_block(state: SaturationState, x, targets, *, sample_rate: float,
     bypass = mix < 1e-4
 
     def fn(v):
-        return saturate(v, repeat_to_rate(drive, v, B), repeat_to_rate(bias, v, B))
+        return saturate(
+            v, repeat_to_rate(drive, v, B), repeat_to_rate(bias, v, B)
+        )
 
     new_ovs, sat = ovs_mod.process(state.ovs, fn, x, os_mode)
 
@@ -92,11 +119,13 @@ def process_block(state: SaturationState, x, targets, *, sample_rate: float,
         jnp.where(bypass, 1.0, 0.995), jnp.where(bypass, 0.0, sat - x1_prev),
         state.dc.y1,
     )
+    dc_state = DCBlockState(x1=x1[:, -1], y1=y1[:, -1])
+
     out = jnp.where(bypass, x, x * (1.0 - mix) + y1 * mix)
     out = jnp.where(jnp.isfinite(out), out, 0.0)
 
     new_state = SaturationState(
-        dc=DCBlockState(x1=x1[:, -1], y1=y1[:, -1]),
+        dc=dc_state,
         ovs=new_ovs,
         smooth=SmootherBank(
             current=jnp.stack(

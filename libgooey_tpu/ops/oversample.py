@@ -86,13 +86,25 @@ def _split(coefs):
 
 
 class HalfbandState(NamedTuple):
-    """Per-section states for one half-band (both phases + input delay)."""
+    """Per-section states for one half-band (both phases + input delay).
+
+    ``*y2``/``*x2`` hold each section's second-to-last output/input sample.
+    They are redundant for the XLA scans but seed the fused Pallas kernel
+    (ops/pallas_fx.py), which processes interleave-coupled stage-2 sections
+    in deinterleaved (even/odd) form: the even-subsequence scan needs the
+    previous block's last *even*-position values, i.e. index [-2] of the
+    interleaved stream.
+    """
 
     ap0: jnp.ndarray   # [..., n0]
     ap0x: jnp.ndarray  # [..., n0] previous-input memories
     ap1: jnp.ndarray
     ap1x: jnp.ndarray
     x1: jnp.ndarray    # [...] previous input sample (odd-phase delay)
+    ap0y2: jnp.ndarray  # [..., n0] second-to-last outputs
+    ap0x2: jnp.ndarray  # [..., n0] second-to-last inputs
+    ap1y2: jnp.ndarray
+    ap1x2: jnp.ndarray
 
     @staticmethod
     def init(coefs, batch=()) -> "HalfbandState":
@@ -101,6 +113,8 @@ class HalfbandState(NamedTuple):
         return HalfbandState(
             ap0=z(len(c0)), ap0x=z(len(c0)), ap1=z(len(c1)), ap1x=z(len(c1)),
             x1=jnp.zeros(batch, jnp.float32),
+            ap0y2=z(len(c0)), ap0x2=z(len(c0)),
+            ap1y2=z(len(c1)), ap1x2=z(len(c1)),
         )
 
 
@@ -114,7 +128,7 @@ def _allpass_chain_paired(sig, coef_pairs, y0s, x0s):
     double-width linrec1 scan instead of two — half the kernel launches
     of chaining the phases separately, with identical per-lane numerics.
     """
-    new_y, new_x = [], []
+    new_y, new_x, new_y2, new_x2 = [], [], [], []
     bshape = (2,) + (1,) * (sig.ndim - 1)
     for i in range(coef_pairs.shape[0]):
         a = jnp.asarray(coef_pairs[i], jnp.float32).reshape(bshape)
@@ -123,8 +137,11 @@ def _allpass_chain_paired(sig, coef_pairs, y0s, x0s):
         y = gscan.linrec1(jnp.broadcast_to(-a, sig.shape), b, y0s[..., i])
         new_x.append(sig[..., -1])
         new_y.append(y[..., -1])
+        new_x2.append(sig[..., -2])
+        new_y2.append(y[..., -2])
         sig = y
-    return sig, jnp.stack(new_y, axis=-1), jnp.stack(new_x, axis=-1)
+    return (sig, jnp.stack(new_y, axis=-1), jnp.stack(new_x, axis=-1),
+            jnp.stack(new_y2, axis=-1), jnp.stack(new_x2, axis=-1))
 
 
 def _pairs(coefs):
@@ -140,12 +157,14 @@ def upsample2(state: HalfbandState, x, coefs):
     sig = jnp.stack([x, x], axis=0)
     y0s = jnp.stack([state.ap0, state.ap1], axis=0)
     x0s = jnp.stack([state.ap0x, state.ap1x], axis=0)
-    out, ny, nx = _allpass_chain_paired(sig, _pairs(coefs), y0s, x0s)
+    out, ny, nx, ny2, nx2 = _allpass_chain_paired(sig, _pairs(coefs), y0s, x0s)
     up = jnp.stack([out[0], out[1]], axis=-1).reshape(
         x.shape[:-1] + (2 * x.shape[-1],)
     )
     new_state = HalfbandState(ap0=ny[0], ap0x=nx[0], ap1=ny[1], ap1x=nx[1],
-                              x1=state.x1)
+                              x1=state.x1,
+                              ap0y2=ny2[0], ap0x2=nx2[0],
+                              ap1y2=ny2[1], ap1x2=nx2[1])
     return new_state, up
 
 
@@ -158,10 +177,12 @@ def downsample2(state: HalfbandState, x, coefs):
     sig = jnp.stack([even, odd_d], axis=0)
     y0s = jnp.stack([state.ap0, state.ap1], axis=0)
     x0s = jnp.stack([state.ap0x, state.ap1x], axis=0)
-    out, ny, nx = _allpass_chain_paired(sig, _pairs(coefs), y0s, x0s)
+    out, ny, nx, ny2, nx2 = _allpass_chain_paired(sig, _pairs(coefs), y0s, x0s)
     down = 0.5 * (out[0] + out[1])
     new_state = HalfbandState(ap0=ny[0], ap0x=nx[0], ap1=ny[1], ap1x=nx[1],
-                              x1=odd[..., -1])
+                              x1=odd[..., -1],
+                              ap0y2=ny2[0], ap0x2=nx2[0],
+                              ap1y2=ny2[1], ap1x2=nx2[1])
     return new_state, down
 
 

@@ -1,0 +1,467 @@
+"""Pallas TPU kernels for the serial bus effects.
+
+The bus effects (reverbs, delay, tilt, compressor — one stereo instance
+per bus, not per voice) are per-sample recurrences over small state.  The
+XLA path expresses them as chunked affine scans, which is correct but
+kernel-launch bound on TPU: a 512-sample spring-reverb block lowers to
+hundreds of small fused kernels (~0.9 ms/block ≈ 13x real-time).
+
+These kernels fuse a whole block into ONE ``pallas_call`` with the delay
+lines resident in VMEM.  The algorithm is the same chunked-affine
+factoring as the XLA path (see effects/reverb_spring.py): within a chunk
+of C <= min-delay samples every delayed read is history, the allpass
+chain collapses to ``alpha*x + beta[n]``, and the only recurrence is a
+first-order affine scan solved with a vectorized Hillis-Steele pass.
+Everything is static contiguous slices of a [rings, D+B] work buffer —
+vector loads/stores, no gathers, nothing serial per sample.
+
+Mosaic notes: delayed reads at different ring offsets carry different
+internal vector layouts, and ``tpu.concatenate`` requires matching
+layouts — so shifts are expressed as ``pltpu.roll`` + iota masks and the
+channels are processed as separate [1, C] rows (elementwise ops relayout
+automatically; concatenation does not).
+
+An earlier revision ran the reference's per-sample loop on the scalar
+unit with rings in SMEM; TPU SMEM tops out around ~24 KB and overflows
+are silent garbage, so buffers of this size must live in VMEM (and the
+vectorized formulation is faster anyway).
+
+Division of labor: everything transcendental (smoothed parameter
+trajectories, ``pow``) is computed vectorized outside and passed in as
+[2, B] trajectories; the kernel does only the delay-line-coupled part.
+
+Behavioral reference for the spring kernel: src/effects/reverb.rs
+(6 series Schroeder allpasses in a global damped feedback loop,
+reverb.rs:189-217).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NUM_AP = 6  # allpasses per channel (reverb.rs:30-39)
+
+
+def _vmem():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _shift_right(x, step, fill):
+    """[1, C] lane shift right by ``step``; positions < step get ``fill``."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(idx < step, fill, pltpu.roll(x, step, 1))
+
+
+def _affine_scan(A, Bv, d0):
+    """Inclusive scan of ``d[n] = A[n]*d[n-1] + Bv[n]`` along axis -1.
+
+    Hillis-Steele over the lane axis: log2(C) vectorized doubling steps
+    (identity fill: A=1, B=0).  A, Bv: [1, C]; d0: [1, 1] seed.
+    """
+    C = A.shape[-1]
+    Aa, Bb = A, Bv
+    step = 1
+    while step < C:
+        Bb = Bb + Aa * _shift_right(Bb, step, 0.0)
+        Aa = Aa * _shift_right(Aa, step, 1.0)
+        step *= 2
+    return Aa * d0 + Bb
+
+
+def _spring_kernel(xeff_ref, A_ref, p2_ref, fbgp_ref, hist_ref, damp0_ref,
+                   wet_ref, hist_out_ref, dlast_ref, W,
+                   *, B, C, D, delays, gains):
+    """Whole-block spring reverb; W: [12, D+B] VMEM scratch work buffer.
+
+    Row layout: rings 0..5 = left channel allpasses, 6..11 = right.
+    W[i, D+n] holds ring i's write for block sample n; the leading D
+    columns are the carried history (right-aligned per ring).  All reads
+    ``W[i, D+s-d_i : +C]`` and writes ``W[i, D+s : +C]`` are static
+    slices (chunk starts s and delays are compile-time constants).
+    """
+    alpha = float(np.prod(gains))
+    W[:, :D] = hist_ref[...]
+    for ch in range(2):
+        damp0 = damp0_ref[ch:ch + 1, 0:1]  # [1, 1]
+        rows = [ch * NUM_AP + i for i in range(NUM_AP)]
+        for c in range(B // C):
+            s = c * C
+            delayed = [
+                W[r:r + 1, D + s - delays[r]:D + s - delays[r] + C]
+                for r in rows
+            ]
+            beta = jnp.zeros((1, C), jnp.float32)
+            for g, dly in zip(gains, delayed):
+                beta = g * beta + (1.0 - g * g) * dly
+            xc = xeff_ref[ch:ch + 1, s:s + C]
+            Bv = p2_ref[ch:ch + 1, s:s + C] * (alpha * xc + beta)
+            d_traj = _affine_scan(A_ref[ch:ch + 1, s:s + C], Bv, damp0)
+            d_prev = _shift_right(d_traj, 1, damp0)
+            sig = xc + fbgp_ref[ch:ch + 1, s:s + C] * d_prev
+            for g, r, dly in zip(gains, rows, delayed):
+                v = sig - g * dly
+                W[r:r + 1, D + s:D + s + C] = v
+                sig = g * v + dly
+            wet_ref[ch:ch + 1, s:s + C] = sig
+            damp0 = d_traj[:, C - 1:C]
+        dlast_ref[ch:ch + 1, 0:1] = damp0
+    hist_out_ref[...] = W[:, B:B + D]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("delays", "gains", "chunk", "interpret")
+)
+def spring_block(xeff, A, p2, fbgp, hist, damp, *,
+                 delays, gains, chunk, interpret=None):
+    """One spring-reverb block via the fused VMEM kernel.
+
+    xeff, A, p2, fbgp: [2, B] float32 precomputed trajectories (see
+    effects/reverb_spring.py for their derivation).  hist: [12, D]
+    right-aligned delay histories.  damp: [2] carried damping state.
+    Returns ``(wet[2, B], new_hist[12, D], d_last[2])``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = xeff.shape[-1]
+    D = hist.shape[-1]
+    kernel = functools.partial(
+        _spring_kernel, B=B, C=int(chunk), D=D,
+        delays=tuple(int(d) for d in delays),
+        gains=tuple(float(g) for g in gains),
+    )
+    wet, new_hist, d_last = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((2, B), jnp.float32),
+            jax.ShapeDtypeStruct(hist.shape, jnp.float32),
+            jax.ShapeDtypeStruct((2, 1), jnp.float32),
+        ),
+        in_specs=[_vmem()] * 6,
+        out_specs=(_vmem(), _vmem(), _vmem()),
+        scratch_shapes=[pltpu.VMEM((hist.shape[0], D + B), jnp.float32)],
+        interpret=interpret,
+    )(
+        xeff.astype(jnp.float32), A.astype(jnp.float32),
+        p2.astype(jnp.float32), fbgp.astype(jnp.float32),
+        hist.astype(jnp.float32),
+        jnp.asarray(damp, jnp.float32).reshape(2, 1),
+    )
+    return wet, new_hist, d_last.reshape(2)
+
+
+
+# ---------------------------------------------------------------------------
+# Fused 4x-oversampled waveshaper (saturation / waveshaper bus effects)
+# ---------------------------------------------------------------------------
+#
+# The polyphase half-band chains (ops/oversample.py) are first-order allpass
+# recurrences; the XLA path runs 12 associative scans per block (~120 small
+# kernels).  Here the whole smoother -> up1 -> up2 -> shape -> down2 ->
+# down1 -> DC-block -> mix pipeline is ONE kernel.  Three tricks:
+#
+# * Constant-coefficient scans: section coefficients are compile-time floats,
+#   so the Hillis-Steele doubling pass needs one fused multiply-add per step
+#   (coefficient powers are scalar constants), not the 3-op general form.
+#
+# * Stage-2 sections process the INTERLEAVED 2x stream s = (e0,o0,e1,o1,...).
+#   Substituting the odd equation into the even one turns each section into a
+#   half-length scan over the even subsequence with coefficient a^2 plus an
+#   elementwise odd reconstruction:
+#
+#       ye[m] = a^2*ye[m-1] + a*xe[m] + (1-a^2)*xo[m-1] - a*xe[m-1]
+#       yo[m] = a*xo[m] + xe[m] - a*ye[m]
+#
+#   so no interleave/deinterleave shuffles are ever materialized; the four
+#   4x phase streams stay separate end to end (the shaper is elementwise and
+#   engine-rate parameters repeat across a sample's four phases anyway).
+#
+# * The parameter smoothers run in-kernel too (closed form, the reference's
+#   settle snap included), and per-section state lives in ONE packed [2, K]
+#   vector with field-contiguous layout: packing is a single concatenate and
+#   unpacking ~25 static slices, so the whole effect is one pallas_call plus
+#   a handful of fusable XLA glue ops — not ~160 per-scalar stack/slices.
+#
+# Seeds for the even-subsequence scans are the previous block's last
+# even-position values — index [-2] of the interleaved stream — which is why
+# HalfbandState carries ap*y2/ap*x2 (second-to-last) memories.
+
+from libgooey_tpu.ops import oversample as _ovs
+
+_C0_1, _C1_1 = _ovs._split(_ovs.STAGE1)   # 4 + 4 sections (audio band)
+_C0_2, _C1_2 = _ovs._split(_ovs.STAGE2)   # 2 + 2 sections (cleanup octave)
+_FRAC_2_PI = float(2.0 / np.pi)
+
+
+def _layout(blocks):
+    """[(key, width)] -> ({key: offset}, total)."""
+    off, idx = 0, {}
+    for key, w in blocks:
+        idx[key] = off
+        off += w
+    return idx, off
+
+
+_N1, _N2 = len(_C0_1), len(_C0_2)
+
+_IN_IDX, _K_IN = _layout(
+    [(f"u1c{c}_{f}", _N1) for c in range(2) for f in ("y", "x")]
+    + [(f"u2c{c}_{f}", _N2) for c in range(2) for f in ("ye", "xe", "xo")]
+    + [(f"d2c{c}_{f}", _N2) for c in range(2) for f in ("ye", "xe", "xo")]
+    + [("d2_x1", 1)]
+    + [(f"d1c{c}_{f}", _N1) for c in range(2) for f in ("y", "x")]
+    + [("d1_x1", 1), ("dc_x1", 1), ("dc_y1", 1)]
+)
+
+_OUT_IDX, _K_OUT = _layout(
+    [(f"u1c{c}_{f}", _N1) for c in range(2) for f in ("y", "x", "y2", "x2")]
+    + [(f"u2c{c}_{f}", _N2) for c in range(2) for f in ("yo", "xo", "ye", "xe")]
+    + [(f"d2c{c}_{f}", _N2) for c in range(2) for f in ("yo", "xo", "ye", "xe")]
+    + [("d2_x1", 1)]
+    + [(f"d1c{c}_{f}", _N1) for c in range(2) for f in ("y", "x", "y2", "x2")]
+    + [("d1_x1", 1), ("dc_x1", 1), ("dc_y1", 1), ("sm", 3)]
+)
+
+
+def _scan_const(b, a, y0):
+    """``y[n] = a*y[n-1] + b[n]`` with compile-time-constant ``a``.
+
+    One fused multiply-add per doubling step (the general form needs three);
+    the y0 fix-up powers are built in-kernel from scalar constants
+    (pallas_call rejects captured array constants).  b: [R, N]; y0: [R, 1].
+    """
+    N = b.shape[-1]
+    step = 1
+    while step < N:
+        b = b + np.float32(a ** step) * _shift_right(b, step, 0.0)
+        step *= 2
+    iot = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+    n1 = iot.astype(jnp.float32) + 1.0
+    fix = jnp.exp(np.float32(np.log(abs(a))) * n1)
+    if a < 0:
+        fix = fix * ((iot % 2).astype(jnp.float32) * 2.0 - 1.0)
+    return b + fix * y0
+
+
+def _ap_direct(sig, a, y0, x0):
+    """First-order allpass ``y = a*x + x_prev - a*y_prev`` over independent
+    streams (no interleave coupling).  Returns (y, (y_last, x_last, y2, x2))."""
+    x_prev = _shift_right(sig, 1, x0)
+    y = _scan_const(a * sig + x_prev, -a, y0)
+    return y, (y[:, -1:], sig[:, -1:], y[:, -2:-1], sig[:, -2:-1])
+
+
+def _ap_inter(xe, xo, a, ye0, xe0, xo0):
+    """One allpass section over an interleaved stream, in (even, odd) form.
+
+    Returns ``((ye, yo), (yo_last, xo_last, ye_last, xe_last))`` — the state
+    tuple mirrors HalfbandState's (ap, apx, apy2, apx2) meaning for a section
+    that processes an interleaved stream.
+    """
+    xe_prev = _shift_right(xe, 1, xe0)
+    xo_prev = _shift_right(xo, 1, xo0)
+    rhs = a * xe + (1.0 - a * a) * xo_prev - a * xe_prev
+    ye = _scan_const(rhs, a * a, ye0)
+    yo = a * xo + xe - a * ye
+    return (ye, yo), (yo[:, -1:], xo[:, -1:], ye[:, -1:], xe[:, -1:])
+
+
+def _atan(x):
+    """Branchless Cephes atanf (Mosaic has no atan primitive); ~1e-7 abs."""
+    ax = jnp.abs(x)
+    big = ax > 2.414213562373095   # tan(3pi/8)
+    mid = ax > 0.41421356237309503  # tan(pi/8)
+    z = jnp.where(big, -1.0 / jnp.maximum(ax, 1e-30),
+                  jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    zz = z * z
+    p = ((((8.05374449538e-2 * zz - 1.38776856032e-1) * zz
+           + 1.99777106478e-1) * zz - 3.33329491539e-1) * zz) * z + z
+    y = jnp.where(big, p + np.float32(np.pi / 2),
+                  jnp.where(mid, p + np.float32(np.pi / 4), p))
+    return jnp.sign(x) * y
+
+
+def _traj(cur, tgt, coeff, shape):
+    """In-kernel SmoothedParam trajectory (closed form + settle snap).
+
+    cur/tgt: [2, 1] column views; returns [2, B].
+    """
+    iot = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    n1 = iot.astype(jnp.float32) + 1.0
+    d = (cur - tgt) * jnp.exp(np.float32(np.log(1.0 - coeff)) * n1)
+    return tgt + jnp.where(jnp.abs(d) < 1e-4, 0.0, d)
+
+
+def _ovs4_pipeline(x, shape_fn, ld, stv):
+    """up1 -> up2 -> shape -> down2 -> down1 through the packed state.
+
+    ``shape_fn(v)``: elementwise nonlinearity at the 4x rate.  ``ld(key,
+    i)``/``stv(key, i, v)``: packed-state column accessors.  Returns the
+    band-limited shaped signal at the engine rate.
+    """
+    def chain_direct(sig, coefs, pref):
+        for i, a in enumerate(coefs):
+            sig, (y_l, x_l, y2, x2) = _ap_direct(
+                sig, float(a), ld(f"{pref}_y", i), ld(f"{pref}_x", i))
+            stv(f"{pref}_y", i, y_l)
+            stv(f"{pref}_x", i, x_l)
+            stv(f"{pref}_y2", i, y2)
+            stv(f"{pref}_x2", i, x2)
+        return sig
+
+    def chain_inter(xe, xo, coefs, pref):
+        for i, a in enumerate(coefs):
+            (xe, xo), (yo_l, xo_l, ye_l, xe_l) = _ap_inter(
+                xe, xo, float(a),
+                ld(f"{pref}_ye", i), ld(f"{pref}_xe", i), ld(f"{pref}_xo", i))
+            stv(f"{pref}_yo", i, yo_l)
+            stv(f"{pref}_xo", i, xo_l)
+            stv(f"{pref}_ye", i, ye_l)
+            stv(f"{pref}_xe", i, xe_l)
+        return xe, xo
+
+    # up1: both phase chains filter the engine-rate input independently
+    e1 = chain_direct(x, _C0_1, "u1c0")
+    o1 = chain_direct(x, _C1_1, "u1c1")
+    # up2: chains process the interleaved 2x stream (e1, o1)
+    q0, q2 = chain_inter(e1, o1, _C0_2, "u2c0")
+    q1, q3 = chain_inter(e1, o1, _C1_2, "u2c1")
+    # nonlinearity at 4x — elementwise per phase
+    q0, q1, q2, q3 = (shape_fn(q) for q in (q0, q1, q2, q3))
+    # down2: even 2x stream = (q0, q2); odd = (q1, q3) delayed one 4x step
+    q3d = _shift_right(q3, 1, ld("d2_x1", 0))
+    ye0, yo0 = chain_inter(q0, q2, _C0_2, "d2c0")
+    ye1, yo1 = chain_inter(q3d, q1, _C1_2, "d2c1")
+    stv("d2_x1", 0, q3[:, -1:])
+    d2e = 0.5 * (ye0 + ye1)
+    d2o = 0.5 * (yo0 + yo1)
+    # down1: phases of the 2x stream run independent chains
+    d2od = _shift_right(d2o, 1, ld("d1_x1", 0))
+    ya = chain_direct(d2e, _C0_1, "d1c0")
+    yb = chain_direct(d2od, _C1_1, "d1c1")
+    stv("d1_x1", 0, d2o[:, -1:])
+    return 0.5 * (ya + yb)
+
+
+def _dc_block(sat, bypass, ld, stv):
+    """Bypass-gated DC blocker (per-sample poles -> general affine scans)."""
+    A1 = jnp.where(bypass, 1.0, 0.0)
+    A2 = jnp.where(bypass, 1.0, 0.995)
+    x1 = _affine_scan(A1, (1.0 - A1) * sat, ld("dc_x1", 0))
+    x1_prev = _shift_right(x1, 1, ld("dc_x1", 0))
+    y1 = _affine_scan(A2, (1.0 - A1) * (sat - x1_prev), ld("dc_y1", 0))
+    stv("dc_x1", 0, x1[:, -1:])
+    stv("dc_y1", 0, y1[:, -1:])
+    return y1
+
+
+def _sat4_kernel(x_ref, cur_ref, tgt_ref, st_ref, out_ref, nst_ref, *, coeff):
+    """Full TubeSaturation block (saturation.rs; effects/saturation.py)."""
+    ld = lambda key, i: st_ref[:, _IN_IDX[key] + i:_IN_IDX[key] + i + 1]
+
+    def stv(key, i, v):
+        nst_ref[:, _OUT_IDX[key] + i:_OUT_IDX[key] + i + 1] = v
+
+    x = x_ref[...]
+    shape = x.shape
+    t_drive = _traj(cur_ref[:, 0:1], tgt_ref[:, 0:1], coeff, shape)
+    t_warm = _traj(cur_ref[:, 1:2], tgt_ref[:, 1:2], coeff, shape)
+    mix = _traj(cur_ref[:, 2:3], tgt_ref[:, 2:3], coeff, shape)
+    drive = 1.0 + t_drive * 7.0
+    bias = t_warm * 0.4
+    bypass = mix < 1e-4
+
+    def shape_fn(v):
+        driven = v * drive
+        biased = driven + bias * jnp.abs(driven)
+        soft = _atan(biased) * _FRAC_2_PI
+        return soft + jnp.square(soft) * jnp.sign(soft) * 0.15 * bias
+
+    sat = _ovs4_pipeline(x, shape_fn, ld, stv)
+    y1 = _dc_block(sat, bypass, ld, stv)
+    out = jnp.where(bypass, x, x * (1.0 - mix) + y1 * mix)
+    out_ref[...] = jnp.where(jnp.isfinite(out), out, 0.0)
+    stv("sm", 0, t_drive[:, -1:])
+    stv("sm", 1, t_warm[:, -1:])
+    stv("sm", 2, mix[:, -1:])
+
+
+@functools.partial(jax.jit, static_argnames=("coeff", "interpret"))
+def saturation_block(x, cur, tgt, packed, *, coeff, interpret=None):
+    """One fused TubeSaturation block.
+
+    x: [2, B] input; cur/tgt: [2, 3] normalized smoother state (drive,
+    warmth, mix); packed: [2, K_in] from :func:`pack_ovs4_dc`; coeff: the
+    30 ms smoothing coefficient.  Returns ``(out[2, B], nst[2, K_out])``
+    (new smoother currents ride in nst's trailing "sm" block).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = x.shape[-1]
+    out, nst = pl.pallas_call(
+        functools.partial(_sat4_kernel, coeff=float(coeff)),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, _K_OUT), jnp.float32),
+        ),
+        in_specs=[_vmem()] * 4,
+        out_specs=(_vmem(), _vmem()),
+        interpret=interpret,
+    )(x.astype(jnp.float32), cur.astype(jnp.float32),
+      tgt.astype(jnp.float32), packed.astype(jnp.float32))
+    return out, nst
+
+
+def pack_ovs4_dc(ovs, dc_x1, dc_y1):
+    """OversamplerState + DC state -> [2, K_in]: ONE concatenate."""
+    parts = [
+        ovs.up1.ap0, ovs.up1.ap0x, ovs.up1.ap1, ovs.up1.ap1x,
+        ovs.up2.ap0y2, ovs.up2.ap0x2, ovs.up2.ap0x,
+        ovs.up2.ap1y2, ovs.up2.ap1x2, ovs.up2.ap1x,
+        ovs.down2.ap0y2, ovs.down2.ap0x2, ovs.down2.ap0x,
+        ovs.down2.ap1y2, ovs.down2.ap1x2, ovs.down2.ap1x,
+        ovs.down2.x1[:, None],
+        ovs.down1.ap0, ovs.down1.ap0x, ovs.down1.ap1, ovs.down1.ap1x,
+        ovs.down1.x1[:, None], dc_x1[:, None], dc_y1[:, None],
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unpack_ovs4_dc(nst, ovs):
+    """[2, K_out] -> (OversamplerState, dc_x1, dc_y1, smoother_current).
+
+    ``ovs`` supplies untouched fields (up1.x1, up2.x1 — unused by 4x flow).
+    """
+    blk = lambda key, w: nst[:, _OUT_IDX[key]:_OUT_IDX[key] + w]
+    col = lambda key: nst[:, _OUT_IDX[key]]
+
+    def stage1(pref, x1):
+        return _ovs.HalfbandState(
+            ap0=blk(f"{pref}c0_y", _N1), ap0x=blk(f"{pref}c0_x", _N1),
+            ap1=blk(f"{pref}c1_y", _N1), ap1x=blk(f"{pref}c1_x", _N1),
+            x1=x1,
+            ap0y2=blk(f"{pref}c0_y2", _N1), ap0x2=blk(f"{pref}c0_x2", _N1),
+            ap1y2=blk(f"{pref}c1_y2", _N1), ap1x2=blk(f"{pref}c1_x2", _N1),
+        )
+
+    def stage2(pref, x1):
+        return _ovs.HalfbandState(
+            ap0=blk(f"{pref}c0_yo", _N2), ap0x=blk(f"{pref}c0_xo", _N2),
+            ap1=blk(f"{pref}c1_yo", _N2), ap1x=blk(f"{pref}c1_xo", _N2),
+            x1=x1,
+            ap0y2=blk(f"{pref}c0_ye", _N2), ap0x2=blk(f"{pref}c0_xe", _N2),
+            ap1y2=blk(f"{pref}c1_ye", _N2), ap1x2=blk(f"{pref}c1_xe", _N2),
+        )
+
+    new_ovs = _ovs.OversamplerState(
+        up1=stage1("u1", ovs.up1.x1),
+        up2=stage2("u2", ovs.up2.x1),
+        down2=stage2("d2", col("d2_x1")),
+        down1=stage1("d1", col("d1_x1")),
+    )
+    return new_ovs, col("dc_x1"), col("dc_y1"), blk("sm", 3)
