@@ -37,6 +37,11 @@ PARAMS = ("threshold_db", "ratio", "attack_ms", "release_ms", "mix")
 P_THRESH, P_RATIO, P_ATTACK, P_RELEASE, P_MIX = range(5)
 RANGES = ((-60.0, 0.0), (1.0, 20.0), (0.1, 100.0), (5.0, 1000.0), (0.0, 1.0))
 
+#: "auto" -> fused Pallas kernels on TPU (SMEM scalar loop for the
+#: attack/release detector + one vector kernel for knee gain, tube
+#: coloring, DC and mix; ops/pallas_fx.py), XLA scans elsewhere.
+IMPL = "auto"
+
 
 class CompressorState(NamedTuple):
     envelope: jnp.ndarray       # [2]
@@ -80,8 +85,14 @@ def process_block(
     sample_rate: float,
     sidechain=None,    # optional [2, B] detector source
     os_mode: int = 4,
+    impl: str | None = None,
 ):
     """One block of the stereo compressor → ``(new_state, out[2, B])``."""
+    import jax
+
+    impl = IMPL if impl is None else impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     B = x.shape[-1]
     x = jnp.where(jnp.isfinite(x), x, 0.0)
     sc = x if sidechain is None else jnp.where(jnp.isfinite(sidechain), sidechain, 0.0)
@@ -108,6 +119,31 @@ def process_block(
     att_c = jnp.exp(-1.0 / (att_ms * 0.001 * sample_rate))
     rel_c = jnp.exp(-1.0 / (rel_ms * 0.001 * sample_rate))
     rect = jnp.abs(sc)
+
+    if impl == "pallas" and os_mode == 4:
+        from libgooey_tpu.ops import pallas_fx
+
+        env, env_state = pallas_fx.env_follower_block(
+            rect, att_c, rel_c, bypass.astype(jnp.float32), state.envelope
+        )
+        packed = pallas_fx.pack_ovs4_dc(state.ovs, state.dc.x1, state.dc.y1)
+        out, nst = pallas_fx.compressor_block(
+            x, env, thr, ratio, mix, packed, state.gain
+        )
+        new_ovs, dc_x1, dc_y1, _ = pallas_fx.unpack_ovs4_dc(nst, state.ovs)
+        return CompressorState(
+            envelope=env_state,
+            gain=nst[:, pallas_fx._OUT_IDX["gain"]],
+            dc=DCBlockState(x1=dc_x1, y1=dc_y1),
+            ovs=new_ovs,
+            smooth=SmootherBank(
+                current=jnp.stack(
+                    [thr[:, -1], ratio[:, -1], att_ms[:, -1], rel_ms[:, -1],
+                     mix[:, -1]], axis=-1,
+                ),
+                target=bank.target,
+            ),
+        ), out
 
     def step(env, xs):
         r, ac, rc, byp = xs

@@ -40,8 +40,20 @@ def init_state(sample_rate: float, cutoff=8000.0, resonance=0.2) -> LowpassState
     return LowpassState(stages=jnp.zeros((2, 2), jnp.float32), smooth=SmootherBank.init(vals))
 
 
-def process_block(state: LowpassState, x, targets, *, sample_rate: float):
+#: "auto" -> SMEM scalar-loop Pallas kernel on TPU (the tanh'd feedback is
+#: a true nonlinear recurrence; ops/pallas_fx.py lowpass_block), XLA
+#: sequential scan elsewhere.
+IMPL = "auto"
+
+
+def process_block(state: LowpassState, x, targets, *, sample_rate: float,
+                  impl: str | None = None):
     """One block of the stereo resonant LP → ``(new_state, out[2, B])``."""
+    import jax
+
+    impl = IMPL if impl is None else impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     B = x.shape[-1]
     x = jnp.where(jnp.isfinite(x), x, 0.0)
     coeff = smoothing_coeff(sample_rate, 30.0)
@@ -61,6 +73,18 @@ def process_block(state: LowpassState, x, targets, *, sample_rate: float):
     freq_ratio = jnp.minimum(cutoff / 5000.0, 1.0)
     res_eff = res * (1.0 - freq_ratio * freq_ratio * 0.7)
     fb = res_eff * 3.5
+
+    if impl == "pallas":
+        from libgooey_tpu.ops import pallas_fx
+
+        out, stages = pallas_fx.lowpass_block(x, g, fb, state.stages)
+        return LowpassState(
+            stages=stages,
+            smooth=SmootherBank(
+                current=jnp.stack([traj(P_CUTOFF)[:, -1], res[:, -1]], axis=-1),
+                target=bank.target,
+            ),
+        ), out
 
     def step(stages, xs):
         xn, gn, fbn = xs

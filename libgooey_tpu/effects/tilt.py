@@ -34,13 +34,40 @@ def init_state(sample_rate: float, cutoff=0.5, resonance=0.0) -> TiltState:
     return TiltState(svf=filters.SVFState.init((2,)), smooth=SmootherBank.init(vals))
 
 
-def process_block(state: TiltState, x, targets, *, sample_rate: float):
+#: "auto" -> fused Pallas kernel on TPU (ops/pallas_fx.py tilt_block),
+#: XLA scans elsewhere.
+IMPL = "auto"
+
+
+def process_block(state: TiltState, x, targets, *, sample_rate: float,
+                  impl: str | None = None):
     """One block of the stereo tilt filter → ``(new_state, out[2, B])``."""
+    import jax
+
+    impl = IMPL if impl is None else impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     B = x.shape[-1]
     coeff = smoothing_coeff(sample_rate, 30.0)
     bank = state.smooth.with_targets(
         jnp.broadcast_to(jnp.asarray(targets, jnp.float32), (2, 2))
     )
+
+    if impl == "pallas":
+        from libgooey_tpu.ops import pallas_fx
+
+        st = jnp.stack(
+            [state.svf.ic1, state.svf.ic2,
+             jnp.zeros(2, jnp.float32), jnp.zeros(2, jnp.float32)], axis=-1
+        )
+        out, nst = pallas_fx.tilt_block(
+            x, bank.current, bank.target, st,
+            coeff=coeff, sample_rate=sample_rate,
+        )
+        return TiltState(
+            svf=filters.SVFState(ic1=nst[:, 0], ic2=nst[:, 1]),
+            smooth=SmootherBank(current=nst[:, 2:4], target=bank.target),
+        ), out
     powers = jnp.power(np.float32(1.0 - coeff), jnp.arange(1, B + 1, dtype=jnp.float32))
 
     def traj(idx):

@@ -149,6 +149,16 @@ def process_entry(effect_id: int, state, x, targets, *, sample_rate: float,
     if effect_id == EFFECT_PLATE_REVERB:
         return fx_plate.process_block(state, x, targets, sample_rate=sample_rate)
     if effect_id == EFFECT_WAVESHAPER:
+        import jax
+
+        if jax.default_backend() == "tpu" and fx_ws.IMPL != "xla":
+            from libgooey_tpu.ops import pallas_fx
+
+            zeros = jnp.zeros(2, jnp.float32)
+            packed = pallas_fx.pack_ovs4_dc(state, zeros, zeros)
+            y, nst = pallas_fx.waveshaper_block(x, targets[0], targets[1], packed)
+            new_state, _, _, _ = pallas_fx.unpack_ovs4_dc(nst, state)
+            return new_state, y
         wrap, box = fx_oversample.stateful(state, 4)
         y = fx_ws.process(x, targets[0], mix=targets[1], oversample=wrap)
         return box["state"], y

@@ -54,3 +54,115 @@ def test_saturation_fused_kernel_matches_xla():
     got = _run_mod(saturation, seq[0], x, seq, "pallas")
     err = np.max(np.abs(got - want))
     assert err < 5e-5, err
+
+
+def test_compressor_fused_kernel_matches_xla():
+    from libgooey_tpu.effects import compressor
+
+    rs = np.random.RandomState(5)
+    n = 4 * B
+    # loud bursts so the detector/knee/tube actually engage
+    x = (rs.uniform(-1.0, 1.0, (2, n)) *
+         (rs.rand(2, n) > 0.5)).astype(np.float32) * 1.5
+    seq = [(-20.0, 4.0, 5.0, 80.0, 1.0), (-20.0, 4.0, 5.0, 80.0, 1.0),
+           (-35.0, 10.0, 1.0, 30.0, 0.6), (-35.0, 10.0, 1.0, 30.0, 0.0)]
+    want = _run_mod(compressor, seq[0], x, seq, "xla")
+    got = _run_mod(compressor, seq[0], x, seq, "pallas")
+    err = np.max(np.abs(got - want))
+    assert err < 5e-5, err
+
+
+def test_waveshaper_fused_kernel_matches_xla():
+    import jax.numpy as jnp
+
+    from libgooey_tpu.ops import oversample as ovs_mod
+    from libgooey_tpu.ops import pallas_fx
+    from libgooey_tpu.effects import waveshaper as fx_ws
+
+    rs = np.random.RandomState(8)
+    n = 3 * B
+    x = rs.uniform(-0.9, 0.9, (2, n)).astype(np.float32)
+    drives = [3.0, 3.0, 5.0]
+    mixes = [1.0, 0.7, 0.7]
+
+    st_x = ovs_mod.OversamplerState.init((2,))
+    st_p = st_x
+    zeros = jnp.zeros(2, jnp.float32)
+    outs_x, outs_p = [], []
+    for i in range(n // B):
+        xb = jnp.asarray(x[:, i * B:(i + 1) * B])
+        wrap, box = ovs_mod.stateful(st_x, 4)
+        outs_x.append(np.asarray(
+            fx_ws.process(xb, drives[i], mix=mixes[i], oversample=wrap)))
+        st_x = box["state"]
+        packed = pallas_fx.pack_ovs4_dc(st_p, zeros, zeros)
+        y, nst = pallas_fx.waveshaper_block(xb, drives[i], mixes[i], packed)
+        st_p, _, _, _ = pallas_fx.unpack_ovs4_dc(nst, st_p)
+        outs_p.append(np.asarray(y))
+    err = np.max(np.abs(np.concatenate(outs_p, -1) - np.concatenate(outs_x, -1)))
+    assert err < 2e-5, err
+
+
+def test_tilt_fused_kernel_matches_xla():
+    from libgooey_tpu.effects import tilt
+
+    rs = np.random.RandomState(11)
+    n = 4 * B
+    x = rs.uniform(-0.8, 0.8, (2, n)).astype(np.float32)
+    # sweep across the center (LP region -> HP region) with resonance
+    seq = [(0.25, 0.3), (0.25, 0.3), (0.75, 0.6), (0.5, 0.0)]
+    want = _run_mod(tilt, seq[0], x, seq, "xla")
+    got = _run_mod(tilt, seq[0], x, seq, "pallas")
+    err = np.max(np.abs(got - want))
+    # tan(pi*fc/sr) near Nyquist amplifies trajectory ulps ~45x and the
+    # resonant SVF rings them; 2e-4 is the suite-wide oracle tolerance.
+    assert err < 2e-4, err
+
+
+def test_delay_fused_kernel_matches_xla():
+    from libgooey_tpu.effects import delay
+
+    rs = np.random.RandomState(13)
+    n = 4 * B
+    x = rs.uniform(-0.8, 0.8, (2, n)).astype(np.float32)
+    seq = [(0.02, 0.6, 0.8, 4000.0), (0.02, 0.6, 0.8, 4000.0),
+           (0.05, 0.3, 0.5, 12000.0)]
+    want = _run_mod(delay, seq[0], x, seq, "xla")
+    got = _run_mod(delay, seq[0], x, seq, "pallas")
+    err = np.max(np.abs(got - want))
+    assert err < 5e-5, err
+
+
+def test_delay_pingpong_fused_kernel_matches_xla():
+    from libgooey_tpu.effects import delay
+
+    rs = np.random.RandomState(14)
+    n = 3 * B
+    x = rs.uniform(-0.8, 0.8, (2, n)).astype(np.float32)
+    tg = np.asarray([0.015, 0.7, 1.0, 6000.0], np.float32)
+
+    def run(impl):
+        st = delay.init_state(44100.0, *tg)
+        outs = []
+        for i in range(n // B):
+            st, y = delay.process_block(
+                st, x[:, i * B:(i + 1) * B], tg, sample_rate=SR,
+                pingpong=True, impl=impl)
+            outs.append(np.asarray(y))
+        return np.concatenate(outs, -1)
+
+    err = np.max(np.abs(run("pallas") - run("xla")))
+    assert err < 5e-5, err
+
+
+def test_lowpass_fused_kernel_matches_xla():
+    from libgooey_tpu.effects import lowpass
+
+    rs = np.random.RandomState(15)
+    n = 4 * B
+    x = rs.uniform(-0.9, 0.9, (2, n)).astype(np.float32)
+    seq = [(2000.0, 0.8), (2000.0, 0.8), (12000.0, 0.3)]
+    want = _run_mod(lowpass, seq[0], x, seq, "xla")
+    got = _run_mod(lowpass, seq[0], x, seq, "pallas")
+    err = np.max(np.abs(got - want))
+    assert err < 2e-4, err
