@@ -43,6 +43,10 @@ from libgooey_tpu.ops import oversample as ovs_mod
 from libgooey_tpu.ops import scan as gscan
 from libgooey_tpu.ops.filters import _shift1
 
+#: "auto" -> fused Pallas fast path on TPU for the stereo-bus zero-feedback
+#: case; "xla" forces the scan path; "pallas" forces the kernel (tests).
+IMPL = "auto"
+
 DC_COEFF = 0.995
 ENV_ATTACK_MS = 1.0
 ENV_RELEASE_MS = 120.0
@@ -137,6 +141,44 @@ def process_block(
 
     Returns ``(new_state, out)``.
     """
+    import jax
+
+    scalar_params = all(
+        jnp.ndim(p) == 0 for p in (drive, feedback, fb_filter_coeff, mix)
+    )
+    use_fast_kernel = (
+        (jax.default_backend() == "tpu" and IMPL != "xla") or IMPL == "pallas"
+    )
+    if (not feedback_path and os_mode == 4 and scalar_params
+            and x.ndim == 2 and x.shape[0] == 2 and use_fast_kernel):
+        # fused stereo-bus fast path: one SMEM env kernel + one vector
+        # kernel (ops/pallas_fx.py) instead of ~15 scans
+        from libgooey_tpu.ops import pallas_fx
+
+        att_r, rel_r = env_coeffs(sample_rate)
+        d_b = jnp.broadcast_to(jnp.asarray(drive, jnp.float32), x.shape)
+        m_b = jnp.broadcast_to(jnp.asarray(mix, jnp.float32), x.shape)
+        byp = ((m_b <= 1e-4) | (d_b <= 1.0)).astype(jnp.float32)
+        env, env_last = pallas_fx.env_follower_block(
+            jnp.abs(x), jnp.full_like(x, att_r), jnp.full_like(x, rel_r),
+            byp, state.env,
+        )
+        packed = pallas_fx.pack_ovs4_dc(state.ovs, state.dc_x1, state.dc_y1)
+        out, nst = pallas_fx.fbws_fast_block(
+            x, env, drive, feedback, fb_filter_coeff, mix, packed,
+            state.filter_state,
+        )
+        new_ovs2, dc_x1, dc_y1, _ = pallas_fx.unpack_ovs4_dc(nst, state.ovs)
+        filt_last = nst[:, pallas_fx._OUT_IDX["gain"]]
+        return FBShaperState(
+            last_out=filt_last,
+            filter_state=filt_last,
+            dc_x1=dc_x1,
+            dc_y1=dc_y1,
+            env=env_last,
+            ovs=new_ovs2,
+        ), out
+
     drive, feedback, fbc, mix, x = jnp.broadcast_arrays(
         jnp.asarray(drive, jnp.float32),
         jnp.asarray(feedback, jnp.float32),

@@ -126,19 +126,26 @@ def init_state(sample_rate: float, decay: float = 0.5, mix: float = 0.3,
 
 
 def chunk_size(sample_rate: float, block_size: int) -> int:
-    """Chunk must not exceed the shortest lag at minimum size (0.25x)."""
+    """Chunk must not exceed the shortest *chunk-processed* lag at minimum
+    size (0.25x): the input-diffusion and modulated allpasses.  All other
+    tank lags exceed :func:`min_tank_lag` and are read at block level."""
     srs = sample_rate / DATTORRO_SR
     min_lag = min(
         min(INPUT_AP_DELAYS) * srs,
         TANK_AP1_A * 0.25 * srs - EXCURSION * srs,
         TANK_AP1_B * 0.25 * srs - EXCURSION * srs,
-        TANK_AP2_A * 0.25 * srs,
-        TANK_DELAY2_B * 0.25 * srs,
     )
     c = block_size
     while c > min_lag:
         c //= 2
     return max(c, 1)
+
+
+def min_tank_lag(sample_rate: float) -> int:
+    """Shortest possible non-chunked tank lag (ap2_a at 0.25x size)."""
+    srs = sample_rate / DATTORRO_SR
+    return int(min(TANK_AP2_A, TANK_AP2_B, TANK_DELAY1_A, TANK_DELAY1_B,
+                   TANK_DELAY2_A, TANK_DELAY2_B) * 0.25 * srs)
 
 
 def process_block(
@@ -183,116 +190,119 @@ def process_block(
     lfo_b_t = jnp.sin(2.0 * np.pi * ph_b)
 
     s = state
-    wet_l_parts, wet_r_parts = [], []
-    bw0, da0, db0 = s.bandwidth, s.damp_a, s.damp_b
 
+    # Every non-chunked tank lag is >= min_tank_lag (ap2_a at 0.25x size =
+    # ~666 samples at 44.1 kHz), so for B <= that bound a read at sample n
+    # only ever touches pre-block history: those reads, the damping scans,
+    # the ap2 allpasses and the cross-feeds all hoist to BLOCK level.  Only
+    # the input-diffusion chain and the two modulated allpasses (lags that
+    # can dip to ~158/~213 samples) stay in the chunk loop.
+    assert B <= min_tank_lag(sample_rate), (
+        "block exceeds the shortest block-level tank lag; lower block_size"
+    )
+
+    # --- predelay (post-write fractional tap), block level ------------------
+    pre_ring = ringbuf.write_block(s.predelay, mono_in)
+    delayed_in = ringbuf.tap_frac(pre_ring, predelay_t, B)
+
+    # --- input bandwidth one-pole, block level ------------------------------
+    bw_full = gscan.linrec1(
+        jnp.full((B,), 1.0 - INPUT_BANDWIDTH, jnp.float32),
+        INPUT_BANDWIDTH * delayed_in,
+        s.bandwidth,
+    )
+    bw0 = bw_full[-1]
+
+    # --- block-level tank reads (pre-write rings: exact, lags >= B) ---------
+    d2a_read = ringbuf.read_frac(s.delay2_a, TANK_DELAY2_A * srs * size_t)
+    d2b_read = ringbuf.read_frac(s.delay2_b, TANK_DELAY2_B * srs * size_t)
+    fb_a_t = jnp.concatenate([s.fb_a[None], (d2a_read * decay_t)[:-1]])
+    fb_b_t = jnp.concatenate([s.fb_b[None], (d2b_read * decay_t)[:-1]])
+
+    d1a_read = ringbuf.read_frac(s.delay1_a, TANK_DELAY1_A * srs * size_t)
+    d1b_read = ringbuf.read_frac(s.delay1_b, TANK_DELAY1_B * srs * size_t)
+    da = gscan.linrec1(damping_t, d1a_read * (1.0 - damping_t), s.damp_a)
+    db = gscan.linrec1(damping_t, d1b_read * (1.0 - damping_t), s.damp_b)
+    da0, db0 = da[-1], db[-1]
+
+    del_ap2a = ringbuf.read_frac(s.ap2_a, TANK_AP2_A * srs * size_t)
+    v2a = da * decay_t - dd2_t * del_ap2a
+    a2 = dd2_t * v2a + del_ap2a
+    del_ap2b = ringbuf.read_frac(s.ap2_b, TANK_AP2_B * srs * size_t)
+    v2b = db * decay_t - dd2_t * del_ap2b
+    b2 = dd2_t * v2b + del_ap2b
+
+    # --- chunk loop: input diffusion + modulated allpasses only -------------
+    input_aps = list(s.input_aps)
+    mod_ap_a, mod_ap_b = s.mod_ap_a, s.mod_ap_b
+    a1_parts, b1_parts = [], []
     for k in range(B // C):
         sl = slice(k * C, (k + 1) * C)
-        xin = mono_in[sl]
         size = size_t[sl]
-        decay = decay_t[sl]
-        damp = damping_t[sl]
-        dd2 = dd2_t[sl]
+        bw = bw_full[sl]
 
-        # --- predelay (post-write fractional tap) ---------------------------
-        pre_ring = ringbuf.write_block(s.predelay, xin)
-        delayed_in = ringbuf.tap_frac(pre_ring, predelay_t[sl], C)
-
-        # --- input bandwidth one-pole ----------------------------------------
-        bw = gscan.linrec1(
-            jnp.full((C,), 1.0 - INPUT_BANDWIDTH, jnp.float32),
-            INPUT_BANDWIDTH * delayed_in,
-            bw0,
-        )
-        bw0 = bw[-1]
-
-        # --- input diffusion allpasses (affine chain) -------------------------
         in_offs = [jnp.full((C,), max(d * srs, 1.0), jnp.float32) for d in INPUT_AP_DELAYS]
         a_in, beta_in, sdir, sadd, sdel = ringbuf.affine_allpass_reads(
-            list(s.input_aps), INPUT_AP_GAINS, in_offs
+            input_aps, INPUT_AP_GAINS, in_offs
         )
         sig = a_in * bw + beta_in
-        new_input_aps = []
-        for i, (g, ring_i) in enumerate(zip(INPUT_AP_GAINS, s.input_aps)):
+        for i, (g, ring_i) in enumerate(zip(INPUT_AP_GAINS, input_aps)):
             v_i = (sdir[i] * bw + sadd[i]) - g * sdel[i]
-            new_input_aps.append(ringbuf.write_block(ring_i, v_i))
+            input_aps[i] = ringbuf.write_block(ring_i, v_i)
 
-        # --- tank: all reads are pre-chunk gathers ------------------------------
-        d2a_read = ringbuf.read_frac(s.delay2_a, TANK_DELAY2_A * srs * size)
-        d2b_read = ringbuf.read_frac(s.delay2_b, TANK_DELAY2_B * srs * size)
-        # cross-feeds with one-sample latency: fb[n] = d2{a,b}[n-1]*decay[n-1]
-        fb_a_t = jnp.concatenate([s.fb_a[None], (d2a_read * decay)[:-1]])
-        fb_b_t = jnp.concatenate([s.fb_b[None], (d2b_read * decay)[:-1]])
-        in_a = sig + fb_b_t
-        in_b = sig + fb_a_t
+        in_a = sig + fb_b_t[sl]
+        in_b = sig + fb_a_t[sl]
 
-        # modulated allpass A/B
         del_ap1a = ringbuf.read_frac(
-            s.mod_ap_a, TANK_AP1_A * srs * size + lfo_a_t[sl] * exc
+            mod_ap_a, TANK_AP1_A * srs * size + lfo_a_t[sl] * exc
         )
         v_a = in_a - DECAY_DIFFUSION_1 * del_ap1a
-        a1 = DECAY_DIFFUSION_1 * v_a + del_ap1a
-        mod_ap_a = ringbuf.write_block(s.mod_ap_a, v_a)
+        a1_parts.append(DECAY_DIFFUSION_1 * v_a + del_ap1a)
+        mod_ap_a = ringbuf.write_block(mod_ap_a, v_a)
 
         del_ap1b = ringbuf.read_frac(
-            s.mod_ap_b, TANK_AP1_B * srs * size + lfo_b_t[sl] * exc
+            mod_ap_b, TANK_AP1_B * srs * size + lfo_b_t[sl] * exc
         )
         v_b = in_b - DECAY_DIFFUSION_1 * del_ap1b
-        b1 = DECAY_DIFFUSION_1 * v_b + del_ap1b
-        mod_ap_b = ringbuf.write_block(s.mod_ap_b, v_b)
+        b1_parts.append(DECAY_DIFFUSION_1 * v_b + del_ap1b)
+        mod_ap_b = ringbuf.write_block(mod_ap_b, v_b)
 
-        d1a_read = ringbuf.read_frac(s.delay1_a, TANK_DELAY1_A * srs * size)
-        delay1_a = ringbuf.write_block(s.delay1_a, a1)
-        d1b_read = ringbuf.read_frac(s.delay1_b, TANK_DELAY1_B * srs * size)
-        delay1_b = ringbuf.write_block(s.delay1_b, b1)
+    a1 = jnp.concatenate(a1_parts)
+    b1 = jnp.concatenate(b1_parts)
 
-        # damping one-poles: d' = in*(1-damp) + d*damp
-        da = gscan.linrec1(damp, d1a_read * (1.0 - damp), da0)
-        db = gscan.linrec1(damp, d1b_read * (1.0 - damp), db0)
-        da0, db0 = da[-1], db[-1]
+    # --- block-level tank writes, then post-write taps ----------------------
+    delay1_a = ringbuf.write_block(s.delay1_a, a1)
+    delay1_b = ringbuf.write_block(s.delay1_b, b1)
+    ap2_a = ringbuf.write_block(s.ap2_a, v2a)
+    ap2_b = ringbuf.write_block(s.ap2_b, v2b)
+    delay2_a = ringbuf.write_block(s.delay2_a, a2)
+    delay2_b = ringbuf.write_block(s.delay2_b, b2)
 
-        del_ap2a = ringbuf.read_frac(s.ap2_a, TANK_AP2_A * srs * size)
-        v2a = da * decay - dd2 * del_ap2a
-        a2 = dd2 * v2a + del_ap2a
-        ap2_a = ringbuf.write_block(s.ap2_a, v2a)
+    lines = {
+        "d1a": delay1_a, "d1b": delay1_b, "ap2a": ap2_a, "ap2b": ap2_b,
+        "d2a": delay2_a, "d2b": delay2_b,
+    }
+    tap_scale = srs * size_t
 
-        del_ap2b = ringbuf.read_frac(s.ap2_b, TANK_AP2_B * srs * size)
-        v2b = db * decay - dd2 * del_ap2b
-        b2 = dd2 * v2b + del_ap2b
-        ap2_b = ringbuf.write_block(s.ap2_b, v2b)
+    def taps(table):
+        acc = 0.0
+        for line, off, sign in table:
+            acc = acc + sign * ringbuf.tap_frac(lines[line], off * tap_scale, B)
+        return OUTPUT_SCALE * acc
 
-        delay2_a = ringbuf.write_block(s.delay2_a, a2)
-        delay2_b = ringbuf.write_block(s.delay2_b, b2)
+    yl = taps(LEFT_TAPS)
+    yr = taps(RIGHT_TAPS)
+    mid = 0.5 * (yl + yr)
+    side = 0.5 * (yl - yr) * width_t
+    wet_l = mid + side
+    wet_r = mid - side
 
-        # --- output taps (post-write, may reach into this chunk) ----------------
-        lines = {
-            "d1a": delay1_a, "d1b": delay1_b, "ap2a": ap2_a, "ap2b": ap2_b,
-            "d2a": delay2_a, "d2b": delay2_b,
-        }
-        tap_scale = srs * size
-
-        def taps(table):
-            acc = 0.0
-            for line, off, sign in table:
-                acc = acc + sign * ringbuf.tap_frac(lines[line], off * tap_scale, C)
-            return OUTPUT_SCALE * acc
-
-        yl = taps(LEFT_TAPS)
-        yr = taps(RIGHT_TAPS)
-        mid = 0.5 * (yl + yr)
-        side = 0.5 * (yl - yr) * width_t[sl]
-        wet_l_parts.append(mid + side)
-        wet_r_parts.append(mid - side)
-
-        s = s._replace(
-            predelay=pre_ring, input_aps=tuple(new_input_aps),
-            mod_ap_a=mod_ap_a, delay1_a=delay1_a, ap2_a=ap2_a, delay2_a=delay2_a,
-            mod_ap_b=mod_ap_b, delay1_b=delay1_b, ap2_b=ap2_b, delay2_b=delay2_b,
-            fb_a=d2a_read[-1] * decay[-1], fb_b=d2b_read[-1] * decay[-1],
-        )
-
-    wet_l = jnp.concatenate(wet_l_parts)
-    wet_r = jnp.concatenate(wet_r_parts)
+    s = s._replace(
+        predelay=pre_ring, input_aps=tuple(input_aps),
+        mod_ap_a=mod_ap_a, delay1_a=delay1_a, ap2_a=ap2_a, delay2_a=delay2_a,
+        mod_ap_b=mod_ap_b, delay1_b=delay1_b, ap2_b=ap2_b, delay2_b=delay2_b,
+        fb_a=d2a_read[-1] * decay_t[-1], fb_b=d2b_read[-1] * decay_t[-1],
+    )
     out = jnp.stack(
         [x[0] * (1.0 - mix_t) + wet_l * mix_t, x[1] * (1.0 - mix_t) + wet_r * mix_t]
     )

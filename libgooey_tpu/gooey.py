@@ -58,6 +58,48 @@ def _detect_grain_read() -> str:
 
 
 _GRAIN_READ = _detect_grain_read()
+
+
+def _fx_flag(ent) -> bool:
+    """Trace-static per-entry flag (see chain.EffectChain.static_key)."""
+    if ent.effect_id == chain_mod.EFFECT_DELAY:
+        return bool(ent.pingpong)
+    if ent.effect_id == chain_mod.EFFECT_FEEDBACK_WAVESHAPER:
+        return float(ent.targets[1]) == 0.0
+    return False
+
+
+def _fx_chain_block(states, bus, targets, key, sidechain, *,
+                    sample_rate, limiter_threshold):
+    """Fold the enabled global-FX chain + soft limiter over one block.
+
+    Jitted as ONE function (static ``key``) so the product render path
+    dispatches a single computation for the whole bus section instead of
+    hundreds of eager ops per block (ffi.rs:1313-1372 order semantics).
+    """
+    from libgooey_tpu.effects import limiter as lim
+
+    new_states = []
+    for (eid, flag), st, tg in zip(key, states, targets):
+        kw = {}
+        if eid == chain_mod.EFFECT_COMPRESSOR and sidechain is not None:
+            kw["sidechain"] = sidechain
+        st, bus = chain_mod.process_entry(
+            eid, st, bus, tg, sample_rate=sample_rate, pingpong=flag, **kw
+        )
+        new_states.append(st)
+    if limiter_threshold is not None:
+        bus = lim.soft_limit(bus, limiter_threshold)
+    return tuple(new_states), bus
+
+
+import functools as _functools
+import jax as _jax
+
+_fx_chain_jit = _jax.jit(
+    _fx_chain_block,
+    static_argnames=("key", "sample_rate", "limiter_threshold"),
+)
 DEFAULT_CHANNEL_KINDS = ("kick", "snare", "hihat2", "tom2")
 
 
@@ -501,24 +543,28 @@ class GooeyEngine:
             (i, ent) for i, ent in enumerate(self.fx.entries)
             if self.fx_enabled.get(ent.effect_id, False)
         ]
-        for i, ent in enabled_entries:
-            kw = {}
-            if (ent.effect_id == chain_mod.EFFECT_COMPRESSOR
-                    and self.sidechain_strip is not None):
-                # per-instrument external sidechain (compressor.rs:230-247):
-                # the detector tracks the chosen strip's dry voice signal
-                idx = e._global_voice_index(self._strip_name(self.sidechain_strip))
-                sc = all_voices[idx]
-                kw["sidechain"] = jnp.stack([sc, sc], axis=0)
-            self.fx.states[i], bus = chain_mod.process_entry(
-                ent.effect_id, self.fx.states[i], bus,
-                jnp.asarray(ent.targets), sample_rate=self.sr,
-                pingpong=ent.pingpong, **kw,
-            )
-        if self.limiter_enabled:
-            from libgooey_tpu.effects import limiter as lim
-
-            bus = lim.soft_limit(bus, self.limiter_threshold)
+        sidechain = None
+        if self.sidechain_strip is not None and any(
+            ent.effect_id == chain_mod.EFFECT_COMPRESSOR
+            for _, ent in enabled_entries
+        ):
+            # per-instrument external sidechain (compressor.rs:230-247):
+            # the detector tracks the chosen strip's dry voice signal
+            idx = e._global_voice_index(self._strip_name(self.sidechain_strip))
+            sc = all_voices[idx]
+            sidechain = jnp.stack([sc, sc], axis=0)
+        key = tuple((ent.effect_id, _fx_flag(ent)) for _, ent in enabled_entries)
+        targets = tuple(jnp.asarray(ent.targets) for _, ent in enabled_entries)
+        states = tuple(self.fx.states[i] for i, _ in enabled_entries)
+        new_states, bus = _fx_chain_jit(
+            states, bus, targets, key, sidechain,
+            sample_rate=self.sr,
+            limiter_threshold=(
+                float(self.limiter_threshold) if self.limiter_enabled else None
+            ),
+        )
+        for (i, _), st in zip(enabled_entries, new_states):
+            self.fx.states[i] = st
 
         self.sample_count += B
         return bus

@@ -131,7 +131,11 @@ class Entry:
 
 def process_entry(effect_id: int, state, x, targets, *, sample_rate: float,
                   pingpong: bool = False, sidechain=None):
-    """Run one chain entry on a stereo block → (new_state, y)."""
+    """Run one chain entry on a stereo block → (new_state, y).
+
+    ``pingpong`` is the entry's static flag: ping-pong mode for the delay,
+    zero-feedback fast path for the feedback waveshaper (see static_key).
+    """
     if effect_id == EFFECT_LOWPASS_FILTER:
         return fx_lowpass.process_block(state, x, targets, sample_rate=sample_rate)
     if effect_id == EFFECT_DELAY:
@@ -166,7 +170,7 @@ def process_entry(effect_id: int, state, x, targets, *, sample_rate: float,
         new_state, y = fx_fbws.process_block(
             state, x, targets[0], targets[1],
             fx_fbws.filter_coeff(targets[2], sample_rate), targets[3],
-            sample_rate, feedback_path=True,
+            sample_rate, feedback_path=not pingpong,
         )
         return new_state, y
     raise KeyError(effect_id)
@@ -234,7 +238,17 @@ class EffectChain:
         return [jnp.asarray(e.targets) for e in self.entries]
 
     def static_key(self):
-        return tuple((e.effect_id, e.pingpong) for e in self.entries)
+        """Trace-static (effect_id, flag) pairs; the flag is the delay's
+        ping-pong mode, or the feedback waveshaper's zero-feedback fast
+        path (every factory preset ships feedback 0 — the general
+        per-sample loop only compiles in when the host sets feedback)."""
+        def flag(e):
+            if e.effect_id == EFFECT_DELAY:
+                return e.pingpong
+            if e.effect_id == EFFECT_FEEDBACK_WAVESHAPER:
+                return float(e.targets[1]) == 0.0
+            return False
+        return tuple((e.effect_id, flag(e)) for e in self.entries)
 
 
 def process_chain(states, x, targets_list, static_key, *, sample_rate: float):

@@ -913,3 +913,101 @@ def lowpass_block(x, g, fb, stages, *, interpret=None):
     )(flat(x), flat(g), flat(fb),
       jnp.asarray(stages, jnp.float32).reshape(4))
     return out.reshape(2, B), stl.reshape(2, 2)
+
+
+_FBWS_DC = 0.995
+_FBWS_ENV_FLOOR = 0.05
+_FBWS_TAMING = 0.25
+_FBWS_MAKEUP_DB = 5.1
+_FBWS_MAX_COMP = 3.0
+
+
+def _fbws_kernel(x_ref, env_ref, prm_ref, st_ref, out_ref, nst_ref):
+    """Feedback-waveshaper zero-feedback fast path
+    (feedback_waveshaper.rs; effects/feedback_waveshaper.py fast path):
+    4x tanh, envelope-referenced makeup gain, bypass-gated DC blocker and
+    feedback filter.  prm: [2, 4] = (drive, feedback, fb_filter_coeff,
+    mix) per-block scalars; env: [2, B] from env_follower_block; the
+    carried filter state rides the packed "gain" column.
+    """
+    ld = lambda key, i: st_ref[:, _IN_IDX[key] + i:_IN_IDX[key] + i + 1]
+
+    def stv(key, i, v):
+        nst_ref[:, _OUT_IDX[key] + i:_OUT_IDX[key] + i + 1] = v
+
+    x = x_ref[...]
+    env = env_ref[...]
+    drive = prm_ref[:, 0:1]
+    feedback = prm_ref[:, 1:2]
+    fbc = prm_ref[:, 2:3]
+    mix = prm_ref[:, 3:4]
+    bypass = (mix <= 1e-4) | (drive <= 1.0)
+
+    shaped = _ovs4_pipeline(x * drive, jnp.tanh, ld, stv)
+
+    # gain_compensation (feedback_waveshaper.rs:247-259)
+    reference = jnp.maximum(env, _FBWS_ENV_FLOOR)
+    driven_ref = jnp.maximum(jnp.abs(jnp.tanh(reference * drive)), 1e-6)
+    comp_no_fb = jnp.tanh(reference) / driven_ref
+    drive_norm = jnp.clip((drive - 1.0) / 99.0, 0.0, 1.0)
+    feedback_norm = jnp.clip(feedback / 0.98, 0.0, 1.0)
+    high_end = jnp.exp(1.35 * jnp.log(jnp.maximum(drive_norm, 1e-30))) \
+        * jnp.square(feedback_norm)
+    high_end = jnp.where(drive_norm <= 0.0, 0.0, high_end)
+    makeup = jnp.exp(np.float32(_FBWS_MAKEUP_DB * np.log(10.0) / 20.0) * high_end)
+    taming = 1.0 / (1.0 + comp_no_fb * feedback * _FBWS_TAMING)
+    comp = jnp.minimum(comp_no_fb * taming * makeup, _FBWS_MAX_COMP)
+    compensated = shaped * comp
+
+    # _affine_scan needs full-width A (a [2,1] broadcast would keep the
+    # coefficient from accumulating across doubling steps)
+    bc = lambda v: jnp.broadcast_to(v, x.shape)
+    A1 = bc(jnp.where(bypass, 1.0, 0.0))
+    x1 = _affine_scan(A1, (1.0 - A1) * compensated, ld("dc_x1", 0))
+    x1_prev = _shift_right(x1, 1, ld("dc_x1", 0))
+    A2 = bc(jnp.where(bypass, 1.0, np.float32(_FBWS_DC)))
+    y1 = _affine_scan(A2, (1.0 - A1) * (compensated - x1_prev), ld("dc_y1", 0))
+    dc = jnp.where(bypass, 0.0, y1)
+    Af = bc(jnp.where(bypass, 1.0, 1.0 - fbc))
+    filt = _affine_scan(Af, (1.0 - A1) * fbc * dc, st_ref[:, _K_IN:_K_IN + 1])
+    filt = jnp.where(jnp.abs(filt) < 1e-15, 0.0, filt)
+
+    out = jnp.where(bypass, x, x * (1.0 - mix) + dc * mix)
+    out_ref[...] = out
+    stv("dc_x1", 0, x1[:, -1:])
+    stv("dc_y1", 0, y1[:, -1:])
+    stv("gain", 0, filt[:, -1:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fbws_fast_block(x, env, drive, feedback, fbc, mix, packed, filt0, *,
+                    interpret=None):
+    """One fused zero-feedback-path feedback-waveshaper block.
+
+    packed: [2, K_in] via pack_ovs4_dc(ovs, dc_x1, dc_y1); filt0: [2]
+    carried feedback-filter state.  Returns ``(out[2, B], nst[2, K_out])``
+    (new filter state in nst's "gain" column).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = x.shape[-1]
+    prm = jnp.stack([
+        jnp.broadcast_to(jnp.asarray(p, jnp.float32), (2,))
+        for p in (drive, feedback, fbc, mix)
+    ], axis=-1)
+    packed_f = jnp.concatenate(
+        [packed.astype(jnp.float32),
+         jnp.asarray(filt0, jnp.float32).reshape(2, 1)], axis=-1
+    )
+    # the filter seed rides one column past the base layout (same slot the
+    # compressor uses for its gain carry)
+    return pl.pallas_call(
+        _fbws_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((2, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, _K_OUT), jnp.float32),
+        ),
+        in_specs=[_vmem()] * 4,
+        out_specs=(_vmem(), _vmem()),
+        interpret=interpret,
+    )(x.astype(jnp.float32), env.astype(jnp.float32), prm, packed_f)

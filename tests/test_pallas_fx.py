@@ -166,3 +166,34 @@ def test_lowpass_fused_kernel_matches_xla():
     got = _run_mod(lowpass, seq[0], x, seq, "pallas")
     err = np.max(np.abs(got - want))
     assert err < 2e-4, err
+
+
+def test_fbws_fast_kernel_matches_xla():
+    import jax.numpy as jnp
+
+    from libgooey_tpu.effects import feedback_waveshaper as fbws
+
+    rs = np.random.RandomState(17)
+    n = 3 * B
+    x = rs.uniform(-0.9, 0.9, (2, n)).astype(np.float32)
+    drives = [8.0, 8.0, 40.0]
+    mixes = [1.0, 0.6, 0.6]
+    fbc = fbws.filter_coeff(2000.0, SR)
+
+    def run(impl):
+        fbws.IMPL = impl
+        try:
+            st = fbws.FBShaperState.init((2,))
+            outs = []
+            for i in range(n // B):
+                st, y = fbws.process_block(
+                    st, jnp.asarray(x[:, i * B:(i + 1) * B]),
+                    jnp.float32(drives[i]), jnp.float32(0.0), fbc,
+                    jnp.float32(mixes[i]), SR, feedback_path=False)
+                outs.append(np.asarray(y))
+            return np.concatenate(outs, -1)
+        finally:
+            fbws.IMPL = "auto"
+
+    err = np.max(np.abs(run("pallas") - run("xla")))
+    assert err < 2e-4, err
