@@ -12,19 +12,25 @@ and a size knob (0.25x-2x) rescaling all tank delays through fractional
 reads.  The tank is shared: stereo input is mono-summed (plate_reverb.rs:
 551-563).
 
-TPU mapping: in chunks no longer than the shortest tank lag (~150 samples at
-min size), every delay/allpass read references pre-chunk data, so a chunk is
-pure gathers + elementwise math; the only true recurrences — input
-bandwidth and the two damping one-poles — are first-order linear scans.
-The branch cross-feeds read tank delays ≥ 700 samples old, so they are
-plain gathers too.  Output taps may read samples written within the chunk;
-taps therefore gather *after* the chunk's writes land.
+TPU mapping.  Every tank delay-line lag (d1/d2/ap2) exceeds ~666 samples
+even at minimum size, so for block sizes up to that bound the whole tank is
+FEED-FORWARD given per-block gathers: reads at sample n only touch
+pre-block history.  The six tank lines are rows of ONE [6, LT] matrix, so
+all six reads are two gathers (lerp endpoints), the six writes one aligned
+dynamic-update-slice, and the 14 output taps two more gathers.  The only
+sub-block recurrences — the input-diffusion chain (lags ≥ ~158) and the two
+LFO-modulated allpasses (lags ≥ ~213) — run chunked over right-aligned work
+histories; on TPU they fuse with the bandwidth/damping scans into one
+Pallas kernel (ops/pallas_fx.py plate_block) where the modulated per-sample
+fractional reads become one-hot matmuls over a provably-wide-enough window
+(the smoother's per-chunk travel is analytically bounded).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +51,13 @@ MAX_PREDELAY_MS = 200.0
 OUTPUT_SCALE = 0.6
 MAX_SIZE_SCALE = 2.0
 
+#: tank matrix rows
+T_D1A, T_D1B, T_AP2A, T_AP2B, T_D2A, T_D2B = range(6)
+_TANK_BASES = (TANK_DELAY1_A, TANK_DELAY1_B, TANK_AP2_A, TANK_AP2_B,
+               TANK_DELAY2_A, TANK_DELAY2_B)
+_LINE_ROW = {"d1a": T_D1A, "d1b": T_D1B, "ap2a": T_AP2A, "ap2b": T_AP2B,
+             "d2a": T_D2A, "d2b": T_D2B}
+
 # left taps: (line, offset at 29761 Hz, sign); lines: d1a,d1b,ap2a,ap2b,d2a,d2b
 LEFT_TAPS = (
     ("d1b", 266.0, +1.0), ("d1b", 2974.0, +1.0), ("ap2b", 1913.0, -1.0),
@@ -60,6 +73,10 @@ RIGHT_TAPS = (
 PARAMS = ("decay", "mix", "damping", "predelay", "width", "size")
 P_DECAY, P_MIX, P_DAMPING, P_PREDELAY, P_WIDTH, P_SIZE = range(6)
 
+#: "auto" -> fused Pallas kernel for the chunked recurrences on TPU,
+#: XLA chunk loop elsewhere; "xla" / "pallas" force a path.
+IMPL = "auto"
+
 
 def size_to_scale(size):
     """0 → 0.25x, 0.5 → 1x, 1 → 2x (plate_reverb.rs:83-90)."""
@@ -70,46 +87,55 @@ def size_to_scale(size):
     )
 
 
+def _srs(sample_rate: float) -> float:
+    return sample_rate / DATTORRO_SR
+
+
+def tank_len(sample_rate: float) -> int:
+    """[6, LT] tank-matrix row length: covers the longest lag at 2x size,
+    rounded to a multiple of 512 so block writes are one aligned
+    dynamic-update-slice."""
+    need = int(np.ceil(max(_TANK_BASES) * MAX_SIZE_SCALE * _srs(sample_rate))) + 8
+    return ((need + 511) // 512) * 512
+
+
+def in_hist_len(sample_rate: float) -> int:
+    return int(np.ceil(max(INPUT_AP_DELAYS) * _srs(sample_rate))) + 4
+
+
+def mod_hist_len(sample_rate: float) -> int:
+    srs = _srs(sample_rate)
+    return int(np.ceil(
+        max(TANK_AP1_A, TANK_AP1_B) * MAX_SIZE_SCALE * srs + EXCURSION * srs
+    )) + 4
+
+
 class PlateState(NamedTuple):
     predelay: ringbuf.Ring
-    input_aps: tuple            # 4 rings
-    mod_ap_a: ringbuf.Ring
-    delay1_a: ringbuf.Ring
-    ap2_a: ringbuf.Ring
-    delay2_a: ringbuf.Ring
-    mod_ap_b: ringbuf.Ring
-    delay1_b: ringbuf.Ring
-    ap2_b: ringbuf.Ring
-    delay2_b: ringbuf.Ring
-    bandwidth: jnp.ndarray      # scalar one-pole state
+    in_hist: jnp.ndarray   # [4, DIN] input-AP histories, right-aligned
+    mod_hist: jnp.ndarray  # [2, DMOD] modulated-AP histories, right-aligned
+    tank: jnp.ndarray      # [6, LT] rows d1a,d1b,ap2a,ap2b,d2a,d2b
+    pos: jnp.ndarray       # scalar int32: samples written to the tank
+    bandwidth: jnp.ndarray
     damp_a: jnp.ndarray
     damp_b: jnp.ndarray
-    fb_a: jnp.ndarray           # cross-feed carries
+    fb_a: jnp.ndarray
     fb_b: jnp.ndarray
-    lfo_phase: jnp.ndarray      # [2]
-    smooth: SmootherBank        # [6]
+    lfo_phase: jnp.ndarray  # [2]
+    smooth: SmootherBank    # [6]
 
 
 def init_state(sample_rate: float, decay: float = 0.5, mix: float = 0.3,
                damping: float = 0.5, predelay: float = 0.0, width: float = 1.0,
                size: float = 0.5) -> PlateState:
-    srs = sample_rate / DATTORRO_SR
-    exc = EXCURSION * srs
-    fixed = lambda base: ringbuf.Ring.init(int(np.ceil(base * srs)) + 4)
-    sized = lambda base, head: ringbuf.Ring.init(
-        int(np.ceil(base * MAX_SIZE_SCALE * srs + head)) + 4
-    )
     return PlateState(
-        predelay=ringbuf.Ring.init(int(np.ceil(MAX_PREDELAY_MS * 0.001 * sample_rate)) + 8),
-        input_aps=tuple(fixed(d) for d in INPUT_AP_DELAYS),
-        mod_ap_a=sized(TANK_AP1_A, exc),
-        delay1_a=sized(TANK_DELAY1_A, 0.0),
-        ap2_a=sized(TANK_AP2_A, 0.0),
-        delay2_a=sized(TANK_DELAY2_A, 0.0),
-        mod_ap_b=sized(TANK_AP1_B, exc),
-        delay1_b=sized(TANK_DELAY1_B, 0.0),
-        ap2_b=sized(TANK_AP2_B, 0.0),
-        delay2_b=sized(TANK_DELAY2_B, 0.0),
+        predelay=ringbuf.Ring.init(
+            int(np.ceil(MAX_PREDELAY_MS * 0.001 * sample_rate)) + 8
+        ),
+        in_hist=jnp.zeros((4, in_hist_len(sample_rate)), jnp.float32),
+        mod_hist=jnp.zeros((2, mod_hist_len(sample_rate)), jnp.float32),
+        tank=jnp.zeros((6, tank_len(sample_rate)), jnp.float32),
+        pos=jnp.zeros((), jnp.int32),
         bandwidth=jnp.zeros((), jnp.float32),
         damp_a=jnp.zeros((), jnp.float32),
         damp_b=jnp.zeros((), jnp.float32),
@@ -129,7 +155,7 @@ def chunk_size(sample_rate: float, block_size: int) -> int:
     """Chunk must not exceed the shortest *chunk-processed* lag at minimum
     size (0.25x): the input-diffusion and modulated allpasses.  All other
     tank lags exceed :func:`min_tank_lag` and are read at block level."""
-    srs = sample_rate / DATTORRO_SR
+    srs = _srs(sample_rate)
     min_lag = min(
         min(INPUT_AP_DELAYS) * srs,
         TANK_AP1_A * 0.25 * srs - EXCURSION * srs,
@@ -143,9 +169,54 @@ def chunk_size(sample_rate: float, block_size: int) -> int:
 
 def min_tank_lag(sample_rate: float) -> int:
     """Shortest possible non-chunked tank lag (ap2_a at 0.25x size)."""
-    srs = sample_rate / DATTORRO_SR
-    return int(min(TANK_AP2_A, TANK_AP2_B, TANK_DELAY1_A, TANK_DELAY1_B,
-                   TANK_DELAY2_A, TANK_DELAY2_B) * 0.25 * srs)
+    return int(min(_TANK_BASES) * 0.25 * _srs(sample_rate))
+
+
+def _tank_read(tank, pos, offs):
+    """Pre-write fractional read of all 6 tank rows at once.
+
+    offs: [6, B] float offsets (samples ago); clamped [1, LT-2].  TWO
+    gathers (lerp endpoints) instead of twelve.
+    """
+    LT = tank.shape[-1]
+    B = offs.shape[-1]
+    offs = jnp.clip(offs, 1.0, LT - 2.0)
+    whole = jnp.floor(offs)
+    frac = offs - whole
+    n = jnp.arange(B, dtype=jnp.int32)[None, :]
+    base = pos + n - whole.astype(jnp.int32)
+    a = jnp.take_along_axis(tank, jnp.mod(base, LT), axis=-1)
+    b = jnp.take_along_axis(tank, jnp.mod(base - 1, LT), axis=-1)
+    return a + frac * (b - a)
+
+
+def _tank_taps(tank, pos_after, offs, rows, n_written):
+    """Post-write fractional taps: offs [14, B] with static source rows."""
+    LT = tank.shape[-1]
+    B = offs.shape[-1]
+    offs = jnp.clip(offs, 0.0, LT - 2.0)
+    whole = jnp.floor(offs)
+    frac = offs - whole
+    n = jnp.arange(B, dtype=jnp.int32)[None, :]
+    base = pos_after - n_written + n - whole.astype(jnp.int32)
+    rsel = np.asarray(rows, np.int32)[:, None]
+    a = tank[rsel, jnp.mod(base, LT)]
+    b = tank[rsel, jnp.mod(base - 1, LT)]
+    return a + frac * (b - a)
+
+
+def _tank_write(tank, pos, vals):
+    """Append vals [6, B]; one aligned dynamic-update-slice (LT % B == 0
+    and pos advances in fixed B steps), else a modulo scatter."""
+    LT = tank.shape[-1]
+    B = vals.shape[-1]
+    if LT % B == 0:
+        return jax.lax.dynamic_update_slice(
+            tank, vals, (jnp.int32(0), jnp.mod(pos, LT))
+        )
+    idx = jnp.mod(pos + jnp.arange(B, dtype=jnp.int32), LT)
+    return tank.at[:, idx].set(vals)
+
 
 
 def process_block(
@@ -154,11 +225,15 @@ def process_block(
     targets,       # [6]: decay, mix, damping, predelay, width, size (0-1)
     *,
     sample_rate: float,
+    impl: str | None = None,
 ):
     """One block of the plate → ``(new_state, out[2, B])``."""
+    impl = IMPL if impl is None else impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     B = x.shape[-1]
     C = chunk_size(sample_rate, B)
-    srs = sample_rate / DATTORRO_SR
+    srs = _srs(sample_rate)
     exc = EXCURSION * srs
     x = jnp.where(jnp.isfinite(x), x, 0.0)
     mono_in = 0.5 * (x[0] + x[1])
@@ -190,13 +265,11 @@ def process_block(
     lfo_b_t = jnp.sin(2.0 * np.pi * ph_b)
 
     s = state
+    DIN = s.in_hist.shape[-1]
+    DMOD = s.mod_hist.shape[-1]
 
-    # Every non-chunked tank lag is >= min_tank_lag (ap2_a at 0.25x size =
-    # ~666 samples at 44.1 kHz), so for B <= that bound a read at sample n
-    # only ever touches pre-block history: those reads, the damping scans,
-    # the ap2 allpasses and the cross-feeds all hoist to BLOCK level.  Only
-    # the input-diffusion chain and the two modulated allpasses (lags that
-    # can dip to ~158/~213 samples) stay in the chunk loop.
+    # The tank is feed-forward at block level: every tank lag is >= B
+    # (see module docstring), so reads gather pre-block history only.
     assert B <= min_tank_lag(sample_rate), (
         "block exceeds the shortest block-level tank lag; lower block_size"
     )
@@ -205,113 +278,163 @@ def process_block(
     pre_ring = ringbuf.write_block(s.predelay, mono_in)
     delayed_in = ringbuf.tap_frac(pre_ring, predelay_t, B)
 
-    # --- input bandwidth one-pole, block level ------------------------------
-    bw_full = gscan.linrec1(
-        jnp.full((B,), 1.0 - INPUT_BANDWIDTH, jnp.float32),
-        INPUT_BANDWIDTH * delayed_in,
-        s.bandwidth,
-    )
-    bw0 = bw_full[-1]
+    # --- block-level tank reads: ONE pair of gathers for all 6 lines --------
+    tank_offs = jnp.stack([
+        TANK_DELAY1_A * srs * size_t, TANK_DELAY1_B * srs * size_t,
+        TANK_AP2_A * srs * size_t, TANK_AP2_B * srs * size_t,
+        TANK_DELAY2_A * srs * size_t, TANK_DELAY2_B * srs * size_t,
+    ])
+    reads = _tank_read(s.tank, s.pos, tank_offs)
+    d1a_read, d1b_read = reads[T_D1A], reads[T_D1B]
+    ap2a_read, ap2b_read = reads[T_AP2A], reads[T_AP2B]
+    d2a_read, d2b_read = reads[T_D2A], reads[T_D2B]
 
-    # --- block-level tank reads (pre-write rings: exact, lags >= B) ---------
-    d2a_read = ringbuf.read_frac(s.delay2_a, TANK_DELAY2_A * srs * size_t)
-    d2b_read = ringbuf.read_frac(s.delay2_b, TANK_DELAY2_B * srs * size_t)
     fb_a_t = jnp.concatenate([s.fb_a[None], (d2a_read * decay_t)[:-1]])
     fb_b_t = jnp.concatenate([s.fb_b[None], (d2b_read * decay_t)[:-1]])
 
-    d1a_read = ringbuf.read_frac(s.delay1_a, TANK_DELAY1_A * srs * size_t)
-    d1b_read = ringbuf.read_frac(s.delay1_b, TANK_DELAY1_B * srs * size_t)
-    da = gscan.linrec1(damping_t, d1a_read * (1.0 - damping_t), s.damp_a)
-    db = gscan.linrec1(damping_t, d1b_read * (1.0 - damping_t), s.damp_b)
-    da0, db0 = da[-1], db[-1]
+    # modulated-allpass per-sample offsets (clamped like ring read_frac)
+    moda_off = jnp.clip(TANK_AP1_A * srs * size_t + lfo_a_t * exc,
+                        1.0, DMOD - 2.0)
+    modb_off = jnp.clip(TANK_AP1_B * srs * size_t + lfo_b_t * exc,
+                        1.0, DMOD - 2.0)
 
-    del_ap2a = ringbuf.read_frac(s.ap2_a, TANK_AP2_A * srs * size_t)
-    v2a = da * decay_t - dd2_t * del_ap2a
-    a2 = dd2_t * v2a + del_ap2a
-    del_ap2b = ringbuf.read_frac(s.ap2_b, TANK_AP2_B * srs * size_t)
-    v2b = db * decay_t - dd2_t * del_ap2b
-    b2 = dd2_t * v2b + del_ap2b
+    if impl == "pallas":
+        from libgooey_tpu.ops import pallas_fx
 
-    # --- chunk loop: input diffusion + modulated allpasses only -------------
-    input_aps = list(s.input_aps)
-    mod_ap_a, mod_ap_b = s.mod_ap_a, s.mod_ap_b
-    a1_parts, b1_parts = [], []
-    for k in range(B // C):
-        sl = slice(k * C, (k + 1) * C)
-        size = size_t[sl]
-        bw = bw_full[sl]
+        # per-chunk window bases for the one-hot modulated reads
+        wholes = jnp.stack([
+            jnp.floor(moda_off), jnp.floor(modb_off)
+        ]).astype(jnp.int32)                       # [2, B]
+        n_i = jnp.arange(B, dtype=jnp.int32)[None, :]
+        col_b = DMOD + n_i - wholes - 1            # lerp's older endpoint
+        wbase = jnp.min(col_b.reshape(2, B // C, C), axis=-1)  # [2, n_chunks]
 
-        in_offs = [jnp.full((C,), max(d * srs, 1.0), jnp.float32) for d in INPUT_AP_DELAYS]
-        a_in, beta_in, sdir, sadd, sdel = ringbuf.affine_allpass_reads(
-            input_aps, INPUT_AP_GAINS, in_offs
+        (a1, b1, da, db, new_in_hist, new_mod_hist,
+         seeds_out) = pallas_fx.plate_block(
+            delayed_in, fb_a_t, fb_b_t, damping_t,
+            d1a_read, d1b_read,
+            jnp.stack([moda_off, modb_off]), wbase,
+            s.in_hist, s.mod_hist,
+            jnp.stack([s.bandwidth, s.damp_a, s.damp_b]),
+            chunk=C, sample_rate=sample_rate,
         )
-        sig = a_in * bw + beta_in
-        for i, (g, ring_i) in enumerate(zip(INPUT_AP_GAINS, input_aps)):
-            v_i = (sdir[i] * bw + sadd[i]) - g * sdel[i]
-            input_aps[i] = ringbuf.write_block(ring_i, v_i)
-
-        in_a = sig + fb_b_t[sl]
-        in_b = sig + fb_a_t[sl]
-
-        del_ap1a = ringbuf.read_frac(
-            mod_ap_a, TANK_AP1_A * srs * size + lfo_a_t[sl] * exc
+        bw0, da0, db0 = seeds_out[0], seeds_out[1], seeds_out[2]
+    else:
+        # --- XLA path: bandwidth + damping scans, chunked input/mod APs -----
+        bw_full = gscan.linrec1(
+            jnp.full((B,), 1.0 - INPUT_BANDWIDTH, jnp.float32),
+            INPUT_BANDWIDTH * delayed_in,
+            s.bandwidth,
         )
-        v_a = in_a - DECAY_DIFFUSION_1 * del_ap1a
-        a1_parts.append(DECAY_DIFFUSION_1 * v_a + del_ap1a)
-        mod_ap_a = ringbuf.write_block(mod_ap_a, v_a)
+        bw0 = bw_full[-1]
+        da = gscan.linrec1(damping_t, d1a_read * (1.0 - damping_t), s.damp_a)
+        db = gscan.linrec1(damping_t, d1b_read * (1.0 - damping_t), s.damp_b)
+        da0, db0 = da[-1], db[-1]
 
-        del_ap1b = ringbuf.read_frac(
-            mod_ap_b, TANK_AP1_B * srs * size + lfo_b_t[sl] * exc
+        W_in = jnp.concatenate(
+            [s.in_hist, jnp.zeros((4, B), jnp.float32)], axis=-1
         )
-        v_b = in_b - DECAY_DIFFUSION_1 * del_ap1b
-        b1_parts.append(DECAY_DIFFUSION_1 * v_b + del_ap1b)
-        mod_ap_b = ringbuf.write_block(mod_ap_b, v_b)
+        W_mod = jnp.concatenate(
+            [s.mod_hist, jnp.zeros((2, B), jnp.float32)], axis=-1
+        )
+        mod_off = jnp.stack([moda_off, modb_off])  # [2, B]
+        mod_whole = jnp.floor(mod_off)
+        mod_frac = mod_off - mod_whole
+        a1_parts, b1_parts = [], []
+        for k in range(B // C):
+            sl = slice(k * C, (k + 1) * C)
+            sck = k * C
+            bw = bw_full[sl]
 
-    a1 = jnp.concatenate(a1_parts)
-    b1 = jnp.concatenate(b1_parts)
+            # input diffusion: static-lag reads + affine chain
+            alpha, beta = 1.0, 0.0
+            sdir, sadd, sdel = [], [], []
+            for i, (d, g) in enumerate(zip(INPUT_AP_DELAYS, INPUT_AP_GAINS)):
+                o = max(d * srs, 1.0)
+                w = int(np.floor(o))
+                f = np.float32(o - w)
+                col = DIN + sck - w
+                av = W_in[i, col:col + C]
+                bv = W_in[i, col - 1:col - 1 + C]
+                dv = av + f * (bv - av)
+                sdir.append(alpha)
+                sadd.append(beta)
+                sdel.append(dv)
+                beta = g * beta + (1.0 - g * g) * dv
+                alpha = alpha * g
+            sig = alpha * bw + beta
+            for i, g in enumerate(INPUT_AP_GAINS):
+                v_i = (sdir[i] * bw + sadd[i]) - g * sdel[i]
+                W_in = jax.lax.dynamic_update_slice(
+                    W_in, v_i[None, :], (jnp.int32(i), jnp.int32(DIN + sck))
+                )
 
-    # --- block-level tank writes, then post-write taps ----------------------
-    delay1_a = ringbuf.write_block(s.delay1_a, a1)
-    delay1_b = ringbuf.write_block(s.delay1_b, b1)
-    ap2_a = ringbuf.write_block(s.ap2_a, v2a)
-    ap2_b = ringbuf.write_block(s.ap2_b, v2b)
-    delay2_a = ringbuf.write_block(s.delay2_a, a2)
-    delay2_b = ringbuf.write_block(s.delay2_b, b2)
+            in_a = sig + fb_b_t[sl]
+            in_b = sig + fb_a_t[sl]
 
-    lines = {
-        "d1a": delay1_a, "d1b": delay1_b, "ap2a": ap2_a, "ap2b": ap2_b,
-        "d2a": delay2_a, "d2b": delay2_b,
-    }
-    tap_scale = srs * size_t
+            # modulated APs: per-sample gathers into the work rows
+            n_c = jnp.arange(sck, sck + C, dtype=jnp.int32)[None, :]
+            col_a = DMOD + n_c - mod_whole[:, sl].astype(jnp.int32)
+            av = jnp.take_along_axis(W_mod, col_a, axis=-1)
+            bv = jnp.take_along_axis(W_mod, col_a - 1, axis=-1)
+            delayed = av + mod_frac[:, sl] * (bv - av)
+            ins = jnp.stack([in_a, in_b])
+            v = ins - DECAY_DIFFUSION_1 * delayed
+            outs = DECAY_DIFFUSION_1 * v + delayed
+            a1_parts.append(outs[0])
+            b1_parts.append(outs[1])
+            W_mod = jax.lax.dynamic_update_slice(
+                W_mod, v, (jnp.int32(0), jnp.int32(DMOD + sck))
+            )
 
-    def taps(table):
-        acc = 0.0
-        for line, off, sign in table:
-            acc = acc + sign * ringbuf.tap_frac(lines[line], off * tap_scale, B)
-        return OUTPUT_SCALE * acc
+        a1 = jnp.concatenate(a1_parts)
+        b1 = jnp.concatenate(b1_parts)
+        new_in_hist = W_in[:, B:B + DIN]
+        new_mod_hist = W_mod[:, B:B + DMOD]
 
-    yl = taps(LEFT_TAPS)
-    yr = taps(RIGHT_TAPS)
+    # --- tank math (block-level, elementwise) -------------------------------
+    v2a = da * decay_t - dd2_t * ap2a_read
+    a2 = dd2_t * v2a + ap2a_read
+    v2b = db * decay_t - dd2_t * ap2b_read
+    b2 = dd2_t * v2b + ap2b_read
+
+    # --- one aligned write for all 6 lines, then the 14 output taps ---------
+    tank = _tank_write(
+        s.tank, s.pos, jnp.stack([a1, b1, v2a, v2b, a2, b2])
+    )
+    pos_after = s.pos + B
+
+    tap_rows = [_LINE_ROW[ln] for ln, _, _ in LEFT_TAPS + RIGHT_TAPS]
+    tap_offs = jnp.stack(
+        [off * srs * size_t for _, off, _ in LEFT_TAPS + RIGHT_TAPS]
+    )
+    tap_signs = np.asarray(
+        [sg for _, _, sg in LEFT_TAPS + RIGHT_TAPS], np.float32
+    )[:, None]
+    tapped = _tank_taps(tank, pos_after, tap_offs, tap_rows, B) * tap_signs
+    yl = OUTPUT_SCALE * jnp.sum(tapped[:7], axis=0)
+    yr = OUTPUT_SCALE * jnp.sum(tapped[7:], axis=0)
     mid = 0.5 * (yl + yr)
     side = 0.5 * (yl - yr) * width_t
     wet_l = mid + side
     wet_r = mid - side
 
-    s = s._replace(
-        predelay=pre_ring, input_aps=tuple(input_aps),
-        mod_ap_a=mod_ap_a, delay1_a=delay1_a, ap2_a=ap2_a, delay2_a=delay2_a,
-        mod_ap_b=mod_ap_b, delay1_b=delay1_b, ap2_b=ap2_b, delay2_b=delay2_b,
-        fb_a=d2a_read[-1] * decay_t[-1], fb_b=d2b_read[-1] * decay_t[-1],
-    )
     out = jnp.stack(
         [x[0] * (1.0 - mix_t) + wet_l * mix_t, x[1] * (1.0 - mix_t) + wet_r * mix_t]
     )
     out = jnp.where(jnp.isfinite(out), out, x)
 
     new_state = s._replace(
+        predelay=pre_ring,
+        in_hist=new_in_hist,
+        mod_hist=new_mod_hist,
+        tank=tank,
+        pos=pos_after,
         bandwidth=bw0,
         damp_a=da0,
         damp_b=db0,
+        fb_a=d2a_read[-1] * decay_t[-1],
+        fb_b=d2b_read[-1] * decay_t[-1],
         lfo_phase=jnp.stack([ph_a[-1], ph_b[-1]]),
         smooth=SmootherBank(
             current=jnp.stack([r[-1] for r in raw]),

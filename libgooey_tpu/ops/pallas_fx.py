@@ -1011,3 +1011,169 @@ def fbws_fast_block(x, env, drive, feedback, fbc, mix, packed, filt0, *,
         out_specs=(_vmem(), _vmem()),
         interpret=interpret,
     )(x.astype(jnp.float32), env.astype(jnp.float32), prm, packed_f)
+
+
+# ---------------------------------------------------------------------------
+# Plate reverb: fused chunked recurrences (effects/reverb_plate.py)
+# ---------------------------------------------------------------------------
+#
+# The tank is feed-forward at block level (reads gathered outside); this
+# kernel runs everything sub-block: the input-bandwidth one-pole, the two
+# damping one-poles, the 4-section input-diffusion chain (static fractional
+# lags -> two static slices + lerp per section) and the two LFO-modulated
+# allpasses.  The modulated reads have per-sample fractional offsets; each
+# chunk extracts a window of its work row via a dynamic roll (runtime
+# scalar base from SMEM) and gathers per-sample values as one-hot matmuls
+# [1, WD] x [WD, C] on the MXU.  WD is static and provably sufficient: a
+# smoothed size trajectory is monotone, so its per-chunk travel is bounded
+# by (scale range) * (1 - (1-coeff)^C), plus the LFO excursion.
+
+_PLATE_IN_GAINS = (0.750, 0.750, 0.625, 0.625)
+_PLATE_G1 = 0.70
+
+
+def _plate_kernel(din_ref, fba_ref, fbb_ref, damp_ref, d1a_ref, d1b_ref,
+                  modoff_ref, inh_ref, modh_ref, seeds_ref, wb_ref,
+                  a1b1_ref, dadb_ref, inh_out_ref, modh_out_ref, seeds_out_ref,
+                  Win, Wmod,
+                  *, B, C, DIN, DMOD, WD, in_lags, bandwidth):
+    Win[:, :DIN] = inh_ref[...]
+    Wmod[:, :DMOD] = modh_ref[...]
+
+    bw_full = _scan_const(
+        np.float32(bandwidth) * din_ref[...], 1.0 - bandwidth,
+        seeds_ref[:, 0:1],
+    )
+    damp = damp_ref[...]
+    da = _affine_scan(damp, d1a_ref[...] * (1.0 - damp), seeds_ref[:, 1:2])
+    db = _affine_scan(damp, d1b_ref[...] * (1.0 - damp), seeds_ref[:, 2:3])
+    dadb_ref[0:1, :] = da
+    dadb_ref[1:2, :] = db
+    seeds_out_ref[:, 0:1] = bw_full[:, -1:]
+    seeds_out_ref[:, 1:2] = da[:, -1:]
+    seeds_out_ref[:, 2:3] = db[:, -1:]
+
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (WD, C), 0)
+
+    for c in range(B // C):
+        s = c * C
+        bw = bw_full[:, s:s + C]
+
+        # input diffusion: static-lag lerp reads + affine chain
+        alpha, beta = 1.0, 0.0
+        sdir, sadd, sdel = [], [], []
+        for i, (o, g) in enumerate(zip(in_lags, _PLATE_IN_GAINS)):
+            w = int(np.floor(o))
+            f = np.float32(o - w)
+            col = DIN + s - w
+            av = Win[i:i + 1, col:col + C]
+            bv = Win[i:i + 1, col - 1:col - 1 + C]
+            dv = av + f * (bv - av)
+            sdir.append(alpha)
+            sadd.append(beta)
+            sdel.append(dv)
+            beta = g * beta + (1.0 - g * g) * dv
+            alpha = alpha * g
+        sig = alpha * bw + beta
+        for i, g in enumerate(_PLATE_IN_GAINS):
+            Win[i:i + 1, DIN + s:DIN + s + C] = (
+                (sdir[i] * bw + sadd[i]) - g * sdel[i]
+            )
+
+        ins = (sig + fbb_ref[:, s:s + C], sig + fba_ref[:, s:s + C])
+
+        for br in range(2):
+            wb = wb_ref[br, c]
+            # positive dynamic shift only: the negative-shift lowering
+            # miscompiles for non-power-of-two lane widths
+            wmod_pad = Wmod.shape[-1]
+            window = pltpu.roll(Wmod[br:br + 1, :], wmod_pad - wb, 1)[:, :WD]
+            off = modoff_ref[br:br + 1, s:s + C]
+            wn = jnp.floor(off)
+            frac = off - wn
+            idx_a = (DMOD + s) + iota_c - wn.astype(jnp.int32) - wb
+            oh_a = (iota_w == idx_a).astype(jnp.float32)
+            oh_b = (iota_w == idx_a - 1).astype(jnp.float32)
+            dims = (((1,), (0,)), ((), ()))
+            # HIGHEST: a bf16-multiply MXU pass would truncate the window
+            # values; the one-hot "gather" must be bit-exact
+            av = jax.lax.dot_general(window, oh_a, dims,
+                                     precision=jax.lax.Precision.HIGHEST,
+                                     preferred_element_type=jnp.float32)
+            bv = jax.lax.dot_general(window, oh_b, dims,
+                                     precision=jax.lax.Precision.HIGHEST,
+                                     preferred_element_type=jnp.float32)
+            delayed = av + frac * (bv - av)
+            v = ins[br] - _PLATE_G1 * delayed
+            a1b1_ref[br:br + 1, s:s + C] = _PLATE_G1 * v + delayed
+            Wmod[br:br + 1, DMOD + s:DMOD + s + C] = v
+
+    inh_out_ref[...] = Win[:, B:B + DIN]
+    modh_out_ref[...] = Wmod[:, B:B + DMOD]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk", "sample_rate", "interpret"),
+)
+def plate_block(delayed_in, fb_a_t, fb_b_t, damping_t, d1a_read, d1b_read,
+                mod_off, wbase, in_hist, mod_hist, seeds, *,
+                chunk, sample_rate, interpret=None):
+    """Fused plate sub-block recurrences.
+
+    delayed_in/fb_a_t/fb_b_t/damping_t/d1a_read/d1b_read: [B]; mod_off:
+    [2, B] modulated-AP offsets; wbase: [2, n_chunks] int32 window bases
+    (min lerp-endpoint work-column per chunk); seeds: [3] = (bandwidth,
+    damp_a, damp_b).  Returns (a1, b1, da, db, new_in_hist, new_mod_hist,
+    seeds_out[3]).
+    """
+    from libgooey_tpu.core.smoother import smoothing_coeff
+    from libgooey_tpu.effects import reverb_plate as _plate
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = delayed_in.shape[-1]
+    C = int(chunk)
+    DIN = in_hist.shape[-1]
+    DMOD = mod_hist.shape[-1]
+    srs = sample_rate / _plate.DATTORRO_SR
+    coeff = smoothing_coeff(sample_rate)
+    travel = (_plate.MAX_SIZE_SCALE - 0.25) * (1.0 - (1.0 - coeff) ** C)
+    bound = (max(_plate.TANK_AP1_A, _plate.TANK_AP1_B) * srs * travel
+             + 2.0 * _plate.EXCURSION * srs + 8.0)
+    WD = int(np.ceil((C + bound) / 128.0)) * 128
+    in_lags = tuple(max(d * srs, 1.0) for d in _plate.INPUT_AP_DELAYS)
+
+    kernel = functools.partial(
+        _plate_kernel, B=B, C=C, DIN=DIN, DMOD=DMOD, WD=WD,
+        in_lags=in_lags, bandwidth=float(_plate.INPUT_BANDWIDTH),
+    )
+    row = lambda v: v.astype(jnp.float32).reshape(1, B)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    a1b1, dadb, nin, nmod, seeds_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((2, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, B), jnp.float32),
+            jax.ShapeDtypeStruct(in_hist.shape, jnp.float32),
+            jax.ShapeDtypeStruct(mod_hist.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 4), jnp.float32),
+        ),
+        in_specs=[_vmem()] * 10 + [smem],
+        out_specs=(_vmem(),) * 5,
+        scratch_shapes=[
+            pltpu.VMEM((4, DIN + B), jnp.float32),
+            # lane width padded to 128 for tpu.dynamic_rotate; the pad tail
+            # is never one-hot-selected (indices stay < DMOD+B - wbase)
+            pltpu.VMEM((2, ((DMOD + B + 127) // 128) * 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(row(delayed_in), row(fb_a_t), row(fb_b_t), row(damping_t),
+      row(d1a_read), row(d1b_read), mod_off.astype(jnp.float32),
+      in_hist.astype(jnp.float32), mod_hist.astype(jnp.float32),
+      jnp.concatenate([jnp.asarray(seeds, jnp.float32).reshape(3),
+                       jnp.zeros(1, jnp.float32)]).reshape(1, 4),
+      jnp.asarray(wbase, jnp.int32))
+    return (a1b1[0], a1b1[1], dadb[0], dadb[1], nin, nmod,
+            seeds_out.reshape(4)[:3])

@@ -197,3 +197,20 @@ def test_fbws_fast_kernel_matches_xla():
 
     err = np.max(np.abs(run("pallas") - run("xla")))
     assert err < 2e-4, err
+
+
+def test_plate_fused_kernel_matches_xla():
+    from libgooey_tpu.effects import reverb_plate
+
+    rs = np.random.RandomState(19)
+    n = 4 * B
+    x = np.zeros((2, n), np.float32)
+    x[:, :400] = rs.uniform(-1, 1, (2, 400)).astype(np.float32)
+    # decay/mix/damping/predelay/width/size; size sweeps mid-stream so the
+    # modulated-allpass one-hot windows see real trajectory travel
+    seq = [(0.6, 1.0, 0.4, 0.1, 1.0, 0.5), (0.6, 1.0, 0.4, 0.1, 1.0, 0.5),
+           (0.6, 1.0, 0.4, 0.1, 0.5, 0.9), (0.3, 0.8, 0.2, 0.0, 0.8, 0.2)]
+    want = _run_mod(reverb_plate, seq[0], x, seq, "xla")
+    got = _run_mod(reverb_plate, seq[0], x, seq, "pallas")
+    err = np.max(np.abs(got - want))
+    assert err < 5e-5, err
