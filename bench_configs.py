@@ -159,6 +159,32 @@ def bench_effects_chain():
            "stereo bus")
 
 
+def bench_effects_chain_all9():
+    """All nine reorderable effects in series (the worst-case master bus)."""
+    chain = chain_mod.EffectChain(SR, 120.0)
+    for eid in range(chain_mod.REORDERABLE_EFFECT_COUNT):
+        chain.add(eid)
+    chain.add(chain_mod.EFFECT_PLATE_REVERB)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(N_BLOCKS, 2, B).astype(np.float32) * 0.3
+    )
+    targets = tuple(chain.targets_list())
+    key = chain.static_key()
+
+    @jax.jit
+    def run(states, x):
+        def step(st, xb):
+            st2, y = chain_mod.process_chain(st, xb, targets, key,
+                                             sample_rate=SR)
+            return tuple(st2), y
+
+        return jax.lax.scan(step, states, x)
+
+    states = tuple(chain.states)
+    wall = timed(lambda s: run(s, x), states)
+    report("fx_chain_all9_4x", N_BLOCKS * B / SR, wall, "stereo bus")
+
+
 def bench_granulator_sampler_4k():
     # one granulator "mega-instance" with 4,000 grain lanes (the grain state
     # is shape-driven, so the 4k-concurrent-grains config is literally one
@@ -238,6 +264,7 @@ def main():
     bench_single_kick()
     bench_full_kit()
     bench_effects_chain()
+    bench_effects_chain_all9()
     bench_granulator_sampler_4k()
     bench_sequenced_submix()
 
