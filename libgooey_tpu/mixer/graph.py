@@ -38,6 +38,50 @@ SOURCE_CAPACITY = SOURCE_COUNT + SAMPLER_SOURCE_COUNT
 
 MAX_TRACK_GAIN = 2.0
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("coeff", "block_size", "sample_rate", "rack_keys"),
+)
+def _graph_render_jit(bank, targets, source_frames, routing,
+                      rack_states, rack_targets, *,
+                      coeff, block_size, sample_rate, rack_keys):
+    """Whole-graph block render as ONE jitted computation (the product
+    path otherwise dispatches ~20 eager ops + per-track chains per
+    block).  rack_keys: per-track static chain keys."""
+    bank = bank.with_targets(targets)
+    bank, traj = smooth_block(bank, coeff, block_size)              # [T,3,B]
+    tracks_in = jnp.einsum("ts,scb->tcb", routing, source_frames)   # [T,2,B]
+
+    gain_t = traj[:, 0, :]
+    pan_t = traj[:, 1, :]
+    mute_t = traj[:, 2, :]
+    lg = jnp.minimum(2.0 * (1.0 - pan_t), 1.0)
+    rg = jnp.minimum(2.0 * pan_t, 1.0)
+    stripped = jnp.stack(
+        [tracks_in[:, 0] * gain_t * lg, tracks_in[:, 1] * gain_t * rg], axis=1
+    ) * mute_t[:, None, :]
+
+    outs, peaks, new_states = [], [], []
+    for ti, key in enumerate(rack_keys):
+        sig = stripped[ti]
+        if key:
+            st, sig = chain_mod.process_chain(
+                rack_states[ti], sig, rack_targets[ti], key,
+                sample_rate=sample_rate,
+            )
+            new_states.append(tuple(st))
+        else:
+            new_states.append(rack_states[ti])
+        outs.append(sig)
+        peaks.append(jnp.max(jnp.abs(sig)))
+    master = (sum(outs) if outs
+              else jnp.zeros_like(source_frames[0]))
+    peaks_arr = jnp.stack(peaks) if peaks else jnp.zeros((0,))
+    return bank, tuple(new_states), master, peaks_arr
+
 
 class Track:
     def __init__(self, name: str, sample_rate: float, bpm: float):
@@ -128,35 +172,21 @@ class MixerGraph:
         """
         if self._smooth is None:
             self._smooth = SmootherBank.init(self._strip_targets())
-        self._smooth = self._smooth.with_targets(self._strip_targets())
-        bank, traj = smooth_block(self._smooth, self._coeff, block_size)  # [T,3,B]
+
+        rack_keys = tuple(t.rack.static_key() for t in self.tracks)
+        rack_states = tuple(tuple(t.rack.states) for t in self.tracks)
+        rack_targets = tuple(tuple(t.rack.targets_list()) for t in self.tracks)
+        bank, new_states, master, peaks = _graph_render_jit(
+            self._smooth, jnp.asarray(self._strip_targets()),
+            source_frames, jnp.asarray(self.routing_matrix()),
+            rack_states, rack_targets,
+            coeff=self._coeff, block_size=block_size, sample_rate=self.sr,
+            rack_keys=rack_keys,
+        )
         self._smooth = bank
-
-        routing = jnp.asarray(self.routing_matrix())                      # [T,S]
-        tracks_in = jnp.einsum("ts,scb->tcb", routing, source_frames)     # [T,2,B]
-
-        gain_t = traj[:, 0, :]
-        pan_t = traj[:, 1, :]
-        mute_t = traj[:, 2, :]
-        lg = jnp.minimum(2.0 * (1.0 - pan_t), 1.0)
-        rg = jnp.minimum(2.0 * pan_t, 1.0)
-        stripped = jnp.stack(
-            [tracks_in[:, 0] * gain_t * lg, tracks_in[:, 1] * gain_t * rg], axis=1
-        ) * mute_t[:, None, :]
-
-        outs = []
-        peaks = []
-        for ti, track in enumerate(self.tracks):
-            sig = stripped[ti]
-            if track.rack.entries:
-                track.rack.states, sig = chain_mod.process_chain(
-                    track.rack.states, sig, track.rack.targets_list(),
-                    track.rack.static_key(), sample_rate=self.sr,
-                )
-            outs.append(sig)
-            peaks.append(jnp.max(jnp.abs(sig)))
-        master = sum(outs) if outs else jnp.zeros_like(source_frames[0])
-        return master, jnp.stack(peaks) if peaks else jnp.zeros((0,))
+        for t, st in zip(self.tracks, new_states):
+            t.rack.states = list(st)
+        return master, peaks
 
     def record_peaks(self, peaks: np.ndarray):
         for t, p in zip(self.tracks, np.asarray(peaks)):

@@ -24,13 +24,18 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 # XLA:CPU compiles are ~0.4 s per distinct op in this image; persist them.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# MUST be a dir separate from the TPU/driver cache (.jax_cache): that one
+# accumulates XLA:CPU AOT entries compiled on OTHER machine types, and
+# loading a foreign entry (e.g. +prefer-no-scatter/+amx features) segfaults
+# inside the cache read.  Env vars are ignored here (jax pre-imported) —
+# only the config API below takes effect.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/root/repo/.jax_cache_cpu"
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
