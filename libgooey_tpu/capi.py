@@ -737,11 +737,16 @@ def engine_poly_set_preset(handle, preset_id):
     return 1
 
 
-def engine_poly_trigger_chord(handle, root, scale_type, degree, voicing, octave,
-                              velocity):
+def engine_poly_trigger_chord(handle, root, scale_type, degree, voicing, preset,
+                              octave, velocity):
+    """Trigger + stamp into the performance clip when recording
+    (ffi.rs:5571-5621; the recorder ignores playback-driven calls)."""
     e = _e(handle)
     e._apply_chord(int(root), int(scale_type), int(degree), int(voicing),
-                   int(octave), float(velocity))
+                   int(preset), int(octave), float(velocity))
+    e.performance.record_chord_on(int(root), int(scale_type), int(degree),
+                                  int(voicing), int(preset), int(octave),
+                                  float(velocity))
     return 1
 
 
@@ -749,6 +754,7 @@ def engine_poly_release(handle):
     e = _e(handle)
     e._release_chord()
     e.engine.poly_release_all("poly")
+    e.performance.record_chord_off()
 
 
 def engine_poly_available_voicing_count(handle=0):

@@ -22,5 +22,5 @@ def soft_limit(x, threshold: float = 1.0):
 
     Threshold is clamped to [0.001, 1.0] like the reference setter.
     """
-    t = min(max(float(threshold), 0.001), 1.0)
+    t = jnp.clip(jnp.asarray(threshold, jnp.float32), 0.001, 1.0)
     return jnp.tanh(x * (1.0 / t)) * t

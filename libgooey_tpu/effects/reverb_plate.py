@@ -402,7 +402,10 @@ def process_block(
     tank = _tank_write(
         s.tank, s.pos, jnp.stack([a1, b1, v2a, v2b, a2, b2])
     )
-    pos_after = s.pos + B
+    # keep pos reduced mod LT: a free-running int32 would wrap after ~13.5 h
+    # at 44.1 kHz, and LT is not a power of two, so the wrap would misindex
+    # the tank; every consumer already reduces mod LT so this is free
+    pos_after = jnp.mod(s.pos + B, s.tank.shape[-1])
 
     tap_rows = [_LINE_ROW[ln] for ln, _, _ in LEFT_TAPS + RIGHT_TAPS]
     tap_offs = jnp.stack(

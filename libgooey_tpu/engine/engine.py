@@ -86,6 +86,36 @@ FAMILIES = {
 def _lanes_per_slot(kind: str) -> int:
     return poly.NUM_VOICES if kind == "poly" else 1
 
+
+def _pack_triggers(pend: dict, V: int, B: int):
+    """Pack per-voice trigger lists into event arrays.
+
+    ``pend`` maps flat voice index -> list of ``(offset, velocity, freq)``.
+    Returns ``(offs, vels, freqs)`` shaped ``[V]`` when no voice has more
+    than one trigger this block (the common case — keeps the compiled
+    single-trigger graphs hot), else ``[V, K]`` slot arrays with offsets
+    ascending per voice and empty slots filled with ``B`` (= no trigger).
+    A later trigger re-snapshots envelopes mid-block exactly like the
+    reference's per-sample retrigger (ffi.rs:1152-1205).
+    """
+    K = max((len(v) for v in pend.values()), default=1) or 1
+    if K == 1:
+        offs = np.full(V, B, np.int32)
+        vels = np.zeros(V, np.float32)
+        freqs = np.zeros(V, np.float32)
+        for flat, lst in pend.items():
+            off, vel, freq = lst[0]
+            offs[flat], vels[flat], freqs[flat] = off, vel, freq
+        return offs, vels, freqs
+    offs = np.full((V, K), B, np.int32)
+    vels = np.zeros((V, K), np.float32)
+    freqs = np.zeros((V, K), np.float32)
+    for flat, lst in pend.items():
+        # stable sort: same-offset triggers keep arrival order (last wins)
+        for k, (off, vel, freq) in enumerate(sorted(lst, key=lambda t: t[0])):
+            offs[flat, k], vels[flat, k], freqs[flat, k] = off, vel, freq
+    return offs, vels, freqs
+
 #: Per-family extra static kwargs for render_block.
 FAMILY_STATIC = {
     "kick": dict(max_harmonics=128, feedback_path=False),
@@ -403,9 +433,13 @@ class Engine:
         self.add_sequencer(seq)
         return seq
 
-    def trigger(self, name: str, velocity: float = 0.5):
-        """Queue a manual trigger for the next block start (ffi.rs:1078-1095)."""
-        self._trigger_queue.append((self._names[name], float(velocity)))
+    def trigger(self, name: str, velocity: float = 0.5, offset: int = 0):
+        """Queue a trigger for the next block (ffi.rs:1078-1095).
+
+        ``offset`` is the in-block sample offset; manual (host) triggers land
+        at block start like the reference's atomics drain, sequenced triggers
+        carry their exact sample offset (ffi.rs:1152-1205)."""
+        self._trigger_queue.append((self._names[name], float(velocity), int(offset)))
 
     # --- LFOs (engine/lfo.rs; 8-LFO pool ffi.rs:33-67) ---------------------------
 
@@ -616,45 +650,37 @@ class Engine:
     def _collect_events(self) -> dict:
         B = self.block_size
         kinds = self.instrument_kinds()
-        offs = {
-            k: np.full(len(self._targets[k]) * _lanes_per_slot(k), B, np.int32)
-            for k in kinds
-        }
-        vels = {
-            k: np.zeros(len(self._targets[k]) * _lanes_per_slot(k), np.float32)
-            for k in kinds
-        }
-        poly_freq = (
-            np.zeros(len(self._targets["poly"]) * poly.NUM_VOICES, np.float32)
-            if "poly" in kinds else None
-        )
+        # Per-voice trigger LISTS: every trigger this block is kept, with its
+        # exact sample offset (ffi.rs:1152-1205 applies each trigger at its
+        # in-block position).  Packed below into [V] arrays (single-trigger
+        # common case) or [V, K] slot arrays (multi-trigger blocks) — see
+        # instruments/common.py VoiceBlock.
+        pend = {k: {} for k in kinds}          # kind -> {flat: [(off, vel, freq)]}
+
+        def add(kind, flat, off, vel, freq=0.0):
+            pend[kind].setdefault(flat, []).append(
+                (int(off), float(vel), float(freq))
+            )
+
         poly_rel = (
             np.full(len(self._targets["poly"]) * poly.NUM_VOICES, B, np.int32)
             if "poly" in kinds else None
-        )
-        bass_freq = (
-            np.zeros(len(self._targets["bass"]), np.float32) if "bass" in kinds else None
         )
         # drain poly note events (host voice allocation already chose lanes)
         for (slot, lane, kind_ev, note, velocity) in self._poly_queue:
             flat = slot * poly.NUM_VOICES + lane
             if kind_ev == "on":
-                offs["poly"][flat] = 0
-                vels["poly"][flat] = velocity
-                poly_freq[flat] = music.midi_to_freq(note)
+                add("poly", flat, 0, velocity, music.midi_to_freq(note))
             else:
                 poly_rel[flat] = 0
         self._poly_queue.clear()
-        for (kind, slot), velocity in self._trigger_queue:
+        for (kind, slot), velocity, offset in self._trigger_queue:
             if kind == "poly":
                 lane = self._poly_allocate(slot, 60)
                 flat = slot * poly.NUM_VOICES + lane
-                offs[kind][flat] = 0
-                vels[kind][flat] = velocity
-                poly_freq[flat] = music.midi_to_freq(60)
+                add(kind, flat, offset, velocity, music.midi_to_freq(60))
             else:
-                offs[kind][slot] = 0
-                vels[kind][slot] = velocity
+                add(kind, slot, offset, velocity)
         self._trigger_queue.clear()
         for seq in self.sequencers:
             kind, slot = self._names[seq.name]
@@ -663,17 +689,14 @@ class Engine:
                     note = trig.note if trig.note is not None else 60
                     lane = self._poly_allocate(slot, note)
                     flat = slot * poly.NUM_VOICES + lane
-                    offs[kind][flat] = trig.offset
-                    vels[kind][flat] = trig.velocity
-                    poly_freq[flat] = music.midi_to_freq(note)
+                    add(kind, flat, trig.offset, trig.velocity,
+                        music.midi_to_freq(note))
                 elif kind == "bass" and trig.note is not None:
                     # per-step note override sets the trigger frequency
-                    offs[kind][slot] = trig.offset
-                    vels[kind][slot] = trig.velocity
-                    bass_freq[slot] = music.midi_to_freq(trig.note)
+                    add(kind, slot, trig.offset, trig.velocity,
+                        music.midi_to_freq(trig.note))
                 else:
-                    offs[kind][slot] = trig.offset
-                    vels[kind][slot] = trig.velocity
+                    add(kind, slot, trig.offset, trig.velocity)
                 # per-step blend override: SNAP the voice to the blended
                 # config (ffi.rs:1163-1205 snap_params on step blends)
                 blender = self.blenders.get(seq.name)
@@ -688,13 +711,15 @@ class Engine:
             self.midi_out = self.midi_out[-64:]
         events = {"block_start": jnp.asarray(np.int32(self.sample_count))}
         for k in kinds:
-            events[k + "_off"] = jnp.asarray(offs[k])
-            events[k + "_vel"] = jnp.asarray(vels[k])
-        if poly_freq is not None:
-            events["poly_freq"] = jnp.asarray(poly_freq)
-            events["poly_rel"] = jnp.asarray(poly_rel)
-        if bass_freq is not None:
-            events["bass_freq"] = jnp.asarray(bass_freq)
+            V = len(self._targets[k]) * _lanes_per_slot(k)
+            offs, vels, freqs = _pack_triggers(pend[k], V, B)
+            events[k + "_off"] = jnp.asarray(offs)
+            events[k + "_vel"] = jnp.asarray(vels)
+            if k == "poly":
+                events["poly_freq"] = jnp.asarray(freqs)
+                events["poly_rel"] = jnp.asarray(poly_rel)
+            elif k == "bass":
+                events["bass_freq"] = jnp.asarray(freqs)
         if self.lfo_routes:
             phases, incs, amounts, offsets = [], [], [], []
             for cfg in self.lfos:

@@ -69,8 +69,8 @@ def _fx_flag(ent) -> bool:
     return False
 
 
-def _fx_chain_block(states, bus, targets, key, sidechain, *,
-                    sample_rate, limiter_threshold):
+def _fx_chain_block(states, bus, targets, key, sidechain, limiter_threshold,
+                    *, sample_rate, limiter_enabled):
     """Fold the enabled global-FX chain + soft limiter over one block.
 
     Jitted as ONE function (static ``key``) so the product render path
@@ -88,7 +88,10 @@ def _fx_chain_block(states, bus, targets, key, sidechain, *,
             eid, st, bus, tg, sample_rate=sample_rate, pingpong=flag, **kw
         )
         new_states.append(st)
-    if limiter_threshold is not None:
+    if limiter_enabled:
+        # threshold is a TRACED operand: host automation of the limiter
+        # threshold must not retrace the whole bus chain (it only feeds
+        # elementwise soft_limit math)
         bus = lim.soft_limit(bus, limiter_threshold)
     return tuple(new_states), bus
 
@@ -98,7 +101,7 @@ import jax as _jax
 
 _fx_chain_jit = _jax.jit(
     _fx_chain_block,
-    static_argnames=("key", "sample_rate", "limiter_threshold"),
+    static_argnames=("key", "sample_rate", "limiter_enabled"),
 )
 DEFAULT_CHANNEL_KINDS = ("kick", "snare", "hihat2", "tom2")
 
@@ -136,6 +139,7 @@ class GooeyEngine:
         self.strip_solo = np.zeros(NUM_KIT_CHANNELS + 1, bool)
         self.strip_peak = np.zeros(NUM_KIT_CHANNELS + 1, np.float32)
         self._pending_triggers: List = []   # (strip, velocity)
+        self._post_restore: List = []       # (name, pname, saved) note restores
 
         # poly / granulator / loops / racks / graph / performance
         self.engine.add_instrument("poly", "poly")
@@ -286,7 +290,8 @@ class GooeyEngine:
 
     def perf_chord_on(self, root: int, scale_type: int, degree: int, voicing: int,
                       preset: int, octave: int, velocity: float):
-        self._apply_chord(root, scale_type, degree, voicing, octave, velocity)
+        self._apply_chord(root, scale_type, degree, voicing, preset, octave,
+                          velocity)
         self.performance.record_chord_on(
             root, scale_type, degree, voicing, preset, octave, velocity
         )
@@ -295,17 +300,29 @@ class GooeyEngine:
         self._release_chord()
         self.performance.record_chord_off()
 
-    def _apply_chord(self, root, scale_type, degree, voicing, octave, velocity):
+    def _apply_chord(self, root, scale_type, degree, voicing, preset, octave,
+                     velocity):
+        """Trigger a diatonic-seventh chord (ffi.rs:5571-5621): apply the poly
+        preset as smoothed targets (no snap — snapping clicks while voices
+        release), release sounding notes, then trigger the voiced chord."""
+        from libgooey_tpu.instruments import poly as poly_mod
+
+        names = ("default", "pad", "pluck", "keys", "strings")
+        name = names[preset] if 0 <= int(preset) < len(names) else "default"
+        self.engine.set_config(self.perf_chord_target, poly_mod.PRESETS[name]())
         key = music.Key(
             music.NOTE_NAMES[root % 12],
             "major" if scale_type == 0 else "natural_minor",
         )
-        chord = key.diatonic_triads()[degree % 7]
+        chord = key.diatonic_sevenths()[degree % 7]
+        octave = min(max(int(octave), 0), 8)
         notes = music.apply_voicing(chord, music.VOICINGS[voicing % len(music.VOICINGS)],
                                     octave)
+        self._release_chord()
         self._perf_sounding = notes
         for n in notes:
-            self.engine.poly_note_on(self.perf_chord_target, n, velocity)
+            self.engine.poly_note_on(self.perf_chord_target, n,
+                                     min(max(velocity, 0.0), 1.0))
 
     def _release_chord(self):
         if self._perf_sounding:
@@ -419,16 +436,24 @@ class GooeyEngine:
                     lo, hi = getattr(mod, "FREQ_RANGE", (30.0, 120.0))
                     e.set_param(name, pname, float(np.clip((freq - lo) / (hi - lo), 0, 1)))
                     e._snap_queue.append((kind, slot))
-                    e._trigger_queue.append(((kind, slot), trig.velocity))
-                    self._post_restore = (name, pname, saved)
+                    e._trigger_queue.append(((kind, slot), trig.velocity,
+                                             trig.offset))
+                    # two note steps for the same strip in one block: keep
+                    # the FIRST saved value (the second read would see the
+                    # first note's override, not the user's param)
+                    if not any(n == name and p == pname
+                               for n, p, _ in self._post_restore):
+                        self._post_restore.append((name, pname, saved))
                 else:
-                    e._trigger_queue.append(((kind, slot), trig.velocity))
+                    e._trigger_queue.append(((kind, slot), trig.velocity,
+                                             trig.offset))
                 if len(self.midi_out) < 64:  # overflow drops new (ffi.rs:69-71)
                     self.midi_out.append((self.sample_count + trig.offset,
                                           name, trig.velocity))
         for strip, velocity in self._pending_triggers:
             name = self._strip_name(strip)
-            e._trigger_queue.append((e._names[name], velocity))
+            # manual triggers land at block start (ffi.rs:1078-1095 drain)
+            e._trigger_queue.append((e._names[name], velocity, 0))
         self._pending_triggers.clear()
 
         # 5. performance clip replay (ffi.rs:1212-1235)
@@ -439,9 +464,8 @@ class GooeyEngine:
         if action is not None:
             if action[0] == "trigger":
                 ev = action[1]
-                self._release_chord()
                 self._apply_chord(ev.root, ev.scale_type, ev.degree, ev.voicing,
-                                  ev.octave, ev.velocity)
+                                  ev.preset, ev.octave, ev.velocity)
             else:
                 self._release_chord()
         for hit in self.performance.take_sampler_hits():
@@ -484,13 +508,14 @@ class GooeyEngine:
         e._state = new_state
         e.sample_count += B
 
-        # restore a per-step note override after the trigger latched it
-        if getattr(self, "_post_restore", None):
-            name, pname, saved = self._post_restore
+        # restore per-step note overrides after the triggers latched them
+        # (one entry per note-bearing step — several strips may carry notes
+        # in the same block, each must get its frequency param back)
+        for name, pname, saved in self._post_restore:
             e.set_param(name, pname, saved)
             kind, slot = e._names[name]
             e._snap_queue.append((kind, slot))
-            self._post_restore = None
+        self._post_restore = []
 
         # strip peaks
         vp = np.asarray(voice_peaks)
@@ -558,10 +583,9 @@ class GooeyEngine:
         states = tuple(self.fx.states[i] for i, _ in enabled_entries)
         new_states, bus = _fx_chain_jit(
             states, bus, targets, key, sidechain,
+            jnp.float32(self.limiter_threshold),
             sample_rate=self.sr,
-            limiter_threshold=(
-                float(self.limiter_threshold) if self.limiter_enabled else None
-            ),
+            limiter_enabled=bool(self.limiter_enabled),
         )
         for (i, _), st in zip(enabled_entries, new_states):
             self.fx.states[i] = st

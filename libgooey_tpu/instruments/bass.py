@@ -188,6 +188,8 @@ def render_block(
     freq_new = dsp.denormalize(vat("frequency"), *FREQ_RANGE)
     if note_freq is not None:
         nf = jnp.asarray(note_freq, jnp.float32)
+        if nf.ndim < jnp.ndim(freq_new):
+            nf = nf[:, None]  # [V] note against [V, K] trigger slots
         freq_new = jnp.where(nf > 0.0, nf, freq_new)
     ad_new = dsp.denormalize(vat("amp_decay"), *AMP_DECAY_RANGE)
     ac_new = dsp.denormalize(vat("amp_decay_curve"), *AMP_CURVE_RANGE)

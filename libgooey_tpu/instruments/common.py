@@ -12,6 +12,13 @@ realization used by all instrument banks:
   ffi.rs:1152-1205);
 * per-sample latched values via ``after``-masks; elapsed-time arrays from a
   carried last-trigger sample index.
+
+Multiple triggers per voice per block: ``trig_offset`` may be ``[V, K]``
+(offsets ascending per voice, ``block_size`` = none).  Each sample sees the
+snapshot of the *most recent* trigger at or before it, exactly like the
+reference's per-sample retrigger (a later trigger re-snapshots envelopes and
+resets phases mid-block).  K is static — the host packs the per-block trigger
+lists and only K > 1 blocks compile the wider variant.
 """
 
 from __future__ import annotations
@@ -43,12 +50,31 @@ class VoiceBlock:
         self.powers = jnp.power(self.q, jnp.arange(1, block_size + 1, dtype=jnp.float32))
 
         self.n_local = jnp.arange(block_size, dtype=jnp.int32)
-        self.trig_offset = jnp.asarray(trig_offset, jnp.int32)
+        off = jnp.asarray(trig_offset, jnp.int32)
+        #: legacy single-trigger mode: snapshots stay [V]-shaped so existing
+        #: instrument math (and its compiled graphs) is untouched
+        self.legacy = off.ndim == 1
+        if self.legacy:
+            off = off[:, None]
+        self.trig_offset = off                                   # [V, K]
+        self.K = off.shape[1]
         self.block_start = jnp.asarray(block_start, jnp.int32)
-        self.has_trig = self.trig_offset < block_size                      # [V]
-        off = self.trig_offset[:, None]
-        self.after = (self.n_local[None, :] >= off) & self.has_trig[:, None]   # [V,B]
-        self.at_trig = (self.n_local[None, :] == off) & self.has_trig[:, None]  # [V,B]
+        self.trig_global = self.block_start + off                # [V, K]
+        self.has_trig_k = off < block_size                       # [V, K]
+        self.has_trig = jnp.any(self.has_trig_k, axis=1)         # [V]
+        n = self.n_local[None, :]
+        # per-slot masks [V, K, B]; `after`/`at_trig` collapse over K
+        self.after_k = (n[:, None, :] >= off[:, :, None]) & self.has_trig_k[:, :, None]
+        self.after = jnp.any(self.after_k, axis=1)               # [V, B]
+        self.at_trig = jnp.any(
+            (n[:, None, :] == off[:, :, None]) & self.has_trig_k[:, :, None], axis=1
+        )                                                        # [V, B]
+
+    def _as_vk(self, new):
+        """Normalize a snapshot to ``[V, K]`` (a ``[V]`` value fills slot 0;
+        only valid in legacy K=1 mode where that's the only slot)."""
+        new = jnp.asarray(new)
+        return new[:, None] if new.ndim == 1 else new
 
     def ptraj(self, name: str):
         """Smoothed per-sample trajectory of one param, ``[V, B]``."""
@@ -61,33 +87,70 @@ class VoiceBlock:
         return tgt + jnp.where(jnp.abs(decayed) < 1e-4, 0.0, decayed)
 
     def value_at_trigger(self, name: str):
-        """Smoothed value as read by this block's trigger ([V])."""
+        """Smoothed value as read by each trigger slot.
+
+        Returns ``[V]`` in legacy single-trigger mode, ``[V, K]`` otherwise —
+        matching the shape of the host-supplied trigger arrays so snapshot
+        arithmetic composes without silent broadcasting.
+        """
         idx = self.param_index[name]
         if name in self.overrides:
-            traj = self.overrides[name]
-            off = jnp.clip(self.trig_offset - 1, 0, self.B - 1)
-            at = jnp.take_along_axis(traj, off[:, None], axis=1)[:, 0]
-            return jnp.where(self.trig_offset == 0, self.bank.current[:, idx], at)
-        tgt = self.bank.target[:, idx]
-        delta = self.bank.current[:, idx] - tgt
-        decayed = delta * jnp.power(self.q, self.trig_offset.astype(jnp.float32))
-        return tgt + jnp.where(jnp.abs(decayed) < 1e-4, 0.0, decayed)
+            traj = self.overrides[name]                              # [V, B]
+            off = jnp.clip(self.trig_offset - 1, 0, self.B - 1)      # [V, K]
+            at = jnp.take_along_axis(traj, off, axis=1)              # [V, K]
+            out = jnp.where(
+                self.trig_offset == 0, self.bank.current[:, idx, None], at
+            )
+        else:
+            tgt = self.bank.target[:, idx, None]                     # [V, 1]
+            delta = self.bank.current[:, idx, None] - tgt
+            decayed = delta * jnp.power(
+                self.q, jnp.clip(self.trig_offset, 0, self.B).astype(jnp.float32)
+            )
+            out = tgt + jnp.where(jnp.abs(decayed) < 1e-4, 0.0, decayed)
+        return out[:, 0] if self.legacy else out
 
     def eff(self, new, old):
-        """Per-sample latched value ([V,B]): `new` from the trigger offset on."""
-        return jnp.where(self.after, new[:, None], old[:, None])
+        """Per-sample latched value ([V,B]): each trigger's snapshot applies
+        from its offset; the most recent trigger wins (slots ascending)."""
+        new = self._as_vk(new)
+        out = jnp.broadcast_to(old[:, None], self.after.shape)
+        for k in range(self.K):
+            out = jnp.where(self.after_k[:, k, :], new[:, k, None], out)
+        return out
+
+    def eff_vec(self, new, old):
+        """Vector variant: new ``[V,K,D]``, old ``[V,D]`` → ``[V,B,D]``."""
+        out = jnp.broadcast_to(old[:, None, :], self.after.shape + old.shape[-1:])
+        for k in range(self.K):
+            out = jnp.where(self.after_k[:, k, :, None], new[:, k, None, :], out)
+        return out
 
     def latch(self, new, old):
-        """End-of-block latched state ([V]): `new` where a trigger occurred."""
-        return jnp.where(self.has_trig, new, old)
+        """End-of-block latched state ([V]): the LAST trigger's value."""
+        new = self._as_vk(new)
+        out = old
+        for k in range(self.K):
+            out = jnp.where(self.has_trig_k[:, k], new[:, k], out)
+        return out
+
+    def latch_vec(self, new, old):
+        """Vector variant: new ``[V,K,D]``, old ``[V,D]`` → ``[V,D]``."""
+        out = old
+        for k in range(self.K):
+            out = jnp.where(self.has_trig_k[:, k, None], new[:, k, :], out)
+        return out
+
+    def trig_eff(self, prev_trig_sample):
+        """Per-sample global index of the governing trigger ([V,B])."""
+        out = jnp.broadcast_to(prev_trig_sample[:, None], self.after.shape)
+        for k in range(self.K):
+            out = jnp.where(self.after_k[:, k, :], self.trig_global[:, k, None], out)
+        return out
 
     def elapsed(self, prev_trig_sample, sample_rate: float):
         """(trig_eff, elapsed_i[V,B] int32, idx_f[V,B] f32, elapsed_s[V,B] s)."""
-        trig_eff = jnp.where(
-            self.after,
-            (self.block_start + self.trig_offset)[:, None],
-            prev_trig_sample[:, None],
-        )
+        trig_eff = self.trig_eff(prev_trig_sample)
         n_global = self.block_start + self.n_local
         elapsed_i = n_global[None, :] - trig_eff
         idx_f = elapsed_i.astype(jnp.float32)

@@ -236,9 +236,11 @@ def render_block(
 
     Args:
       trig_offset: ``[V]`` int32 — sample offset of this block's trigger per
-        voice, or >= block_size for none (one trigger per voice per block;
-        the host splits pathological multi-trigger blocks).
-      trig_velocity: ``[V]`` f32.
+        voice, >= block_size for none — or ``[V, K]`` slot arrays when some
+        voice takes several triggers this block (offsets ascending; the
+        latest trigger at or before each sample governs, like the
+        reference's per-sample retrigger).
+      trig_velocity: f32, same shape as ``trig_offset``.
       block_start: scalar int32 — global sample index of the block's start.
       feedback_path: static — enable the waveshaper's true feedback loop
         (needed only when the `feedback` param is driven above 0).

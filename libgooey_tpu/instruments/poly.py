@@ -196,8 +196,14 @@ def render_block(
 
     vel = eff(vel_new, state.velocity)
     freq0 = eff(freq_new, state.freq)
-    amp_cfg = jnp.where(vb.after[..., None], amp_new[:, None, :], state.amp_adsr[:, None, :])
-    filt_cfg = jnp.where(vb.after[..., None], filt_new[:, None, :], state.filt_adsr[:, None, :])
+    if vb.legacy:
+        amp_cfg = jnp.where(vb.after[..., None], amp_new[:, None, :],
+                            state.amp_adsr[:, None, :])
+        filt_cfg = jnp.where(vb.after[..., None], filt_new[:, None, :],
+                             state.filt_adsr[:, None, :])
+    else:
+        amp_cfg = vb.eff_vec(amp_new, state.amp_adsr)
+        filt_cfg = vb.eff_vec(filt_new, state.filt_adsr)
     ever = vb.after | state.ever[:, None]
 
     _t, _ei, _idx, elapsed = vb.elapsed(state.trig_sample, sr)
@@ -215,8 +221,7 @@ def render_block(
     )
     # a (re)trigger at or after the release clears it (trigger sets
     # release_time_start = None, poly_synth.rs trigger_note)
-    trig_abs = jnp.where(vb.after, (vb.block_start + vb.trig_offset)[:, None],
-                         state.trig_sample[:, None])
+    trig_abs = vb.trig_eff(state.trig_sample)
     rel_eff = jnp.where(rel_eff <= trig_abs, NEVER, rel_eff)
     n_global = vb.block_start + vb.n_local
     rel_elapsed = jnp.where(
@@ -288,8 +293,10 @@ def render_block(
         ever=ever[:, -1],
         velocity=vb.latch(vel_new, state.velocity),
         freq=vb.latch(freq_new, state.freq),
-        amp_adsr=jnp.where(vb.has_trig[:, None], amp_new, state.amp_adsr),
-        filt_adsr=jnp.where(vb.has_trig[:, None], filt_new, state.filt_adsr),
+        amp_adsr=(jnp.where(vb.has_trig[:, None], amp_new, state.amp_adsr)
+                  if vb.legacy else vb.latch_vec(amp_new, state.amp_adsr)),
+        filt_adsr=(jnp.where(vb.has_trig[:, None], filt_new, state.filt_adsr)
+                   if vb.legacy else vb.latch_vec(filt_new, state.filt_adsr)),
         phase_a=ph_a[:, -1],
         phase_b=ph_b[:, -1],
         svf=svf_state,

@@ -139,9 +139,16 @@ def render_block(
     n_local = jnp.arange(B, dtype=jnp.int32)
     trig_offset = jnp.asarray(trig_offset, jnp.int32)
     block_start = jnp.asarray(block_start, jnp.int32)
-    has_trig = trig_offset < B
-    after = (n_local[None, :] >= trig_offset[:, None]) & has_trig[:, None]
-    at_trig = (n_local[None, :] == trig_offset[:, None]) & has_trig[:, None]
+    if trig_offset.ndim == 1:
+        trig_offset = trig_offset[:, None]   # [V, K] trigger slots (ascending)
+    valid_k = trig_offset < B                                          # [V, K]
+    has_trig = jnp.any(valid_k, axis=1)
+    after_k = (n_local[None, None, :] >= trig_offset[:, :, None]) & valid_k[:, :, None]
+    after = jnp.any(after_k, axis=1)
+    at_trig = jnp.any(
+        (n_local[None, None, :] == trig_offset[:, :, None]) & valid_k[:, :, None],
+        axis=1,
+    )
 
     p = lambda name: state.params[:, PARAM_INDEX[name]][:, None]  # [V,1]
 
@@ -149,9 +156,10 @@ def render_block(
                  * (DECAY_MAX_MS - DECAY_MIN_MS)) * 0.001
     decay_s = jnp.where(after, decay_new[:, None], state.decay_s[:, None])
 
-    trig_eff = jnp.where(
-        after, (block_start + trig_offset)[:, None], state.trig_sample[:, None]
-    )
+    trig_global = block_start + trig_offset                             # [V, K]
+    trig_eff = jnp.broadcast_to(state.trig_sample[:, None], after.shape)
+    for _k in range(trig_offset.shape[1]):
+        trig_eff = jnp.where(after_k[:, _k, :], trig_global[:, _k, None], trig_eff)
     n_global = block_start + n_local
     elapsed_i = n_global[None, :] - trig_eff
     elapsed = elapsed_i.astype(jnp.float32) * np.float32(1.0 / sr)
@@ -234,9 +242,12 @@ def render_block(
     out = jnp.where(main_done & (ring <= 0.0001), 0.0, out)
     out = jnp.where(elapsed_i >= 0, out, 0.0)
 
+    last_trig = state.trig_sample
+    for _k in range(trig_offset.shape[1]):
+        last_trig = jnp.where(valid_k[:, _k], trig_global[:, _k], last_trig)
     new_state = Tom2State(
         params=state.params,
-        trig_sample=jnp.where(has_trig, block_start + trig_offset, state.trig_sample),
+        trig_sample=last_trig,
         decay_s=jnp.where(has_trig, decay_new, state.decay_s),
         tri_phase=jnp.mod(tri_phase[:, -1], 1.0),
         morph=morph_state,

@@ -47,6 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NUM_AP = 6  # allpasses per channel (reverb.rs:30-39)
 
+#: Largest block the flat-SMEM kernels (env follower, resonant LP) accept in
+#: one pallas_call: ~5 x [2*B] f32 refs must stay under the ~24 KB SMEM
+#: ceiling (overflow is silent garbage, not a compile error).  Larger blocks
+#: are split and the scalar carries chained.
+_SMEM_MAX_B = 512
+
 
 def _vmem():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -558,6 +564,20 @@ def env_follower_block(rect, att_c, rel_c, byp, env0, *, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = rect.shape[-1]
+    if B > _SMEM_MAX_B:
+        # 5 flat [2*B] f32 SMEM refs overflow the ~24 KB SMEM budget past
+        # B=512, and SMEM overflow is silent garbage on real TPUs — split
+        # the block and chain the envelope carry instead.
+        e0 = jnp.asarray(env0, jnp.float32).reshape(2)
+        segs = []
+        for s in range(0, B, _SMEM_MAX_B):
+            sl = slice(s, min(s + _SMEM_MAX_B, B))
+            seg, e0 = env_follower_block(
+                rect[:, sl], att_c[:, sl], rel_c[:, sl], byp[:, sl], e0,
+                interpret=interpret,
+            )
+            segs.append(seg)
+        return jnp.concatenate(segs, axis=-1), e0
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     flat = lambda v: v.astype(jnp.float32).reshape(2 * B)
     frozen = byp > 0.5
@@ -899,6 +919,17 @@ def lowpass_block(x, g, fb, stages, *, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = x.shape[-1]
+    if B > _SMEM_MAX_B:
+        # 4 flat [2*B] f32 SMEM refs exceed the ~24 KB SMEM budget past
+        # B=512 (silent garbage, not a compile error) — split + chain.
+        st = jnp.asarray(stages, jnp.float32)
+        segs = []
+        for s in range(0, B, _SMEM_MAX_B):
+            sl = slice(s, min(s + _SMEM_MAX_B, B))
+            seg, st = lowpass_block(x[:, sl], g[:, sl], fb[:, sl], st,
+                                    interpret=interpret)
+            segs.append(seg)
+        return jnp.concatenate(segs, axis=-1), st
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     flat = lambda v: v.astype(jnp.float32).reshape(2 * B)
     out, stl = pl.pallas_call(
@@ -1024,9 +1055,9 @@ def fbws_fast_block(x, env, drive, feedback, fbc, mix, packed, filt0, *,
 # allpasses.  The modulated reads have per-sample fractional offsets; each
 # chunk extracts a window of its work row via a dynamic roll (runtime
 # scalar base from SMEM) and gathers per-sample values as one-hot matmuls
-# [1, WD] x [WD, C] on the MXU.  WD is static and provably sufficient: a
-# smoothed size trajectory is monotone, so its per-chunk travel is bounded
-# by (scale range) * (1 - (1-coeff)^C), plus the LFO excursion.
+# [1, WD] x [WD, C] on the MXU.  WD is static and sized from the size
+# map's Lipschitz constant (see plate_block's travel bound), plus the LFO
+# excursion; in-kernel index clamping guards the remaining edge.
 
 _PLATE_IN_GAINS = (0.750, 0.750, 0.625, 0.625)
 _PLATE_G1 = 0.70
@@ -1039,6 +1070,11 @@ def _plate_kernel(din_ref, fba_ref, fbb_ref, damp_ref, d1a_ref, d1b_ref,
                   *, B, C, DIN, DMOD, WD, in_lags, bandwidth):
     Win[:, :DIN] = inh_ref[...]
     Wmod[:, :DMOD] = modh_ref[...]
+    # VMEM scratch is not zero-initialized: the one-hot matmul multiplies
+    # the ENTIRE rolled window, so 0 * NaN = NaN from ANY not-yet-written
+    # column the window can cover (future chunks and the 128-lane pad tail)
+    # poisons the whole chunk.  Zero everything past the history once.
+    Wmod[:, DMOD:] = jnp.zeros_like(Wmod[:, DMOD:])
 
     bw_full = _scan_const(
         np.float32(bandwidth) * din_ref[...], 1.0 - bandwidth,
@@ -1093,6 +1129,10 @@ def _plate_kernel(din_ref, fba_ref, fbb_ref, damp_ref, d1a_ref, d1b_ref,
             wn = jnp.floor(off)
             frac = off - wn
             idx_a = (DMOD + s) + iota_c - wn.astype(jnp.int32) - wb
+            # belt-and-braces: an out-of-window index would select NOTHING
+            # (silent zeros); clamp to the window edge instead so a
+            # beyond-bound excursion degrades to a slightly-off read
+            idx_a = jnp.clip(idx_a, 1, WD - 1)
             oh_a = (iota_w == idx_a).astype(jnp.float32)
             oh_b = (iota_w == idx_a - 1).astype(jnp.float32)
             dims = (((1,), (0,)), ((), ()))
@@ -1139,7 +1179,13 @@ def plate_block(delayed_in, fb_a_t, fb_b_t, damping_t, d1a_read, d1b_read,
     DMOD = mod_hist.shape[-1]
     srs = sample_rate / _plate.DATTORRO_SR
     coeff = smoothing_coeff(sample_rate)
-    travel = (_plate.MAX_SIZE_SCALE - 0.25) * (1.0 - (1.0 - coeff) ** C)
+    # Per-chunk size-scale travel bound: the smoothed size KNOB moves at most
+    # (1 - (1-coeff)^C) of its range per chunk, and size_to_scale has
+    # Lipschitz constant max|d(scale)/d(knob)| = 2*ln(4)*scale for knob<=0.5
+    # (scale<=1) and 2*ln(2)*scale above (scale<=2) — both peak at 2*ln(4).
+    # (The round-1 bound used the scale RANGE 1.75 instead of the slope and
+    # under-covered a full-range size jump by ~70 columns.)
+    travel = 2.0 * np.log(4.0) * (1.0 - (1.0 - coeff) ** C)
     bound = (max(_plate.TANK_AP1_A, _plate.TANK_AP1_B) * srs * travel
              + 2.0 * _plate.EXCURSION * srs + 8.0)
     WD = int(np.ceil((C + bound) / 128.0)) * 128

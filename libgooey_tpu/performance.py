@@ -74,7 +74,7 @@ def cut_gates_at(events: List[ChordClipEvent], tick: int, length_ticks: int):
 class PerformanceRecorder:
     def __init__(self):
         self.length_ticks = DEFAULT_LENGTH_TICKS
-        self.mode = MODE_OVERDUB
+        self.mode = MODE_PUNCH_OUT  # reference default (performance/mod.rs:161)
         self.events: List[ChordClipEvent] = []
         self.sampler_events: List[SamplerClipEvent] = []
         self.armed = False

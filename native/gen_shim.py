@@ -128,7 +128,7 @@ TABLE = [
     ("poly_set_param", "i", "hid"),
     ("poly_get_param", "f", "hi"),
     ("poly_set_preset", "i", "hi"),
-    ("poly_trigger_chord", "i", "hiiiiid"),
+    ("poly_trigger_chord", "i", "hiiiiiid"),
     ("poly_release", "v", "h"),
     ("poly_available_voicing_count", "i", "h"),
     # blend pads

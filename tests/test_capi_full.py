@@ -136,7 +136,7 @@ def test_poly_family(h):
     assert capi.engine_poly_set_preset(h, 4) == 1  # strings
     assert capi.engine_poly_set_param(h, 13, 0.9) == 1  # volume
     assert abs(capi.engine_poly_get_param(h, 13) - 0.9) < 1e-7
-    assert capi.engine_poly_trigger_chord(h, 0, 0, 0, 0, 4, 0.9) == 1
+    assert capi.engine_poly_trigger_chord(h, 0, 0, 0, 0, 0, 4, 0.9) == 1
     out = capi.engine_render(h, 8192)
     assert np.abs(out).max() > 1e-4
     capi.engine_poly_release(h)

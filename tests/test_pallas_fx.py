@@ -72,6 +72,47 @@ def test_compressor_fused_kernel_matches_xla():
     assert err < 5e-5, err
 
 
+def test_smem_kernels_split_large_blocks():
+    """B > 512 overflows the ~24 KB SMEM budget in one pallas_call (silent
+    garbage on real TPUs); the wrappers must split + chain carries so any
+    engine block_size stays correct."""
+    from libgooey_tpu.ops import pallas_fx
+
+    rs = np.random.RandomState(11)
+    n = 1024 + 128  # non-multiple tail segment too
+    rect = np.abs(rs.uniform(0, 1, (2, n))).astype(np.float32)
+    ac = np.full((2, n), 0.9, np.float32)
+    rc = np.full((2, n), 0.99, np.float32)
+    byp = np.zeros((2, n), np.float32)
+    env0 = np.zeros(2, np.float32)
+    big_env, big_last = pallas_fx.env_follower_block(rect, ac, rc, byp, env0)
+    # reference: manual 512-sample calls with chained carries
+    segs, e0 = [], env0
+    for s in range(0, n, 512):
+        sl = slice(s, min(s + 512, n))
+        seg, e0 = pallas_fx.env_follower_block(
+            rect[:, sl], ac[:, sl], rc[:, sl], byp[:, sl], e0
+        )
+        segs.append(np.asarray(seg))
+    np.testing.assert_allclose(np.asarray(big_env),
+                               np.concatenate(segs, -1), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(big_last), np.asarray(e0), atol=1e-7)
+
+    x = rs.uniform(-1, 1, (2, n)).astype(np.float32)
+    g = np.full((2, n), 0.2, np.float32)
+    fb = np.full((2, n), 1.5, np.float32)
+    st = np.zeros((2, 2), np.float32)
+    big_out, big_st = pallas_fx.lowpass_block(x, g, fb, st)
+    segs, s0 = [], st
+    for s in range(0, n, 512):
+        sl = slice(s, min(s + 512, n))
+        seg, s0 = pallas_fx.lowpass_block(x[:, sl], g[:, sl], fb[:, sl], s0)
+        segs.append(np.asarray(seg))
+    np.testing.assert_allclose(np.asarray(big_out),
+                               np.concatenate(segs, -1), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(big_st), np.asarray(s0), atol=1e-7)
+
+
 def test_waveshaper_fused_kernel_matches_xla():
     import jax.numpy as jnp
 
@@ -210,6 +251,26 @@ def test_plate_fused_kernel_matches_xla():
     # modulated-allpass one-hot windows see real trajectory travel
     seq = [(0.6, 1.0, 0.4, 0.1, 1.0, 0.5), (0.6, 1.0, 0.4, 0.1, 1.0, 0.5),
            (0.6, 1.0, 0.4, 0.1, 0.5, 0.9), (0.3, 0.8, 0.2, 0.0, 0.8, 0.2)]
+    want = _run_mod(reverb_plate, seq[0], x, seq, "xla")
+    got = _run_mod(reverb_plate, seq[0], x, seq, "pallas")
+    err = np.max(np.abs(got - want))
+    assert err < 5e-5, err
+
+
+def test_plate_fused_kernel_full_range_size_jump():
+    """Worst-case size jump 1.0 -> 0.0: the one-hot window must still cover
+    the per-chunk offset travel (the round-1 bound under-covered this —
+    out-of-window reads silently selected nothing on the Pallas path)."""
+    from libgooey_tpu.effects import reverb_plate
+
+    rs = np.random.RandomState(23)
+    n = 6 * B
+    x = np.zeros((2, n), np.float32)
+    x[:, :400] = rs.uniform(-1, 1, (2, 400)).astype(np.float32)
+    # start fully large, then slam size to minimum (and back up) mid-tail
+    seq = [(0.6, 1.0, 0.3, 0.0, 1.0, 1.0), (0.6, 1.0, 0.3, 0.0, 1.0, 1.0),
+           (0.6, 1.0, 0.3, 0.0, 1.0, 0.0), (0.6, 1.0, 0.3, 0.0, 1.0, 0.0),
+           (0.6, 1.0, 0.3, 0.0, 1.0, 1.0)]
     want = _run_mod(reverb_plate, seq[0], x, seq, "xla")
     got = _run_mod(reverb_plate, seq[0], x, seq, "pallas")
     err = np.max(np.abs(got - want))

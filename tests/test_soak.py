@@ -51,7 +51,7 @@ def test_everything_on_soak():
         capi.engine_clip_launch(h, 0, 0, 3)  # immediate
         # poly chord + perf recorder armed
         capi.engine_perf_set_record_armed(h, 1)
-        capi.engine_poly_trigger_chord(h, 0, 0, 0, 0, 4, 0.8)
+        capi.engine_poly_trigger_chord(h, 0, 0, 0, 0, 0, 4, 0.8)
         # global FX all on, sidechained compressor, reordered
         for eid in range(10):
             capi.engine_set_effect_enabled(h, eid, 1)
