@@ -211,19 +211,15 @@ def render_block(
     detune_cents = dsp.denormalize(ptraj("detune_amount"), *DETUNE_RANGE)
     det_freq = freq * jnp.exp2(detune_cents / 1200.0)
 
-    def phases(inc, carry):
-        acc = gscan.cumsum_reset(inc, reset, jnp.zeros_like(inc), carry)
-        return acc
-
     sub_inc = freq / sr
     osc_inc = freq / sr
     det_inc = det_freq / sr
-    sub_acc = phases(sub_inc, state.sub_phase)
-    osc_acc = phases(osc_inc, state.osc_phase)
-    det_acc = phases(det_inc, state.det_phase)
-    sub_phase = jnp.mod(sub_acc, 1.0)
-    osc_phase = jnp.mod(osc_acc, 1.0)
-    det_phase = jnp.mod(det_acc, 1.0)
+    # exact mod-1 accumulation (~1e-7 cycles/block) — the reference keeps
+    # f64 phase accumulators here (bass.rs), so the exact recurrence IS the
+    # reference behavior
+    sub_phase = gscan.phase_cumsum_reset(sub_inc, reset, state.sub_phase)
+    osc_phase = gscan.phase_cumsum_reset(osc_inc, reset, state.osc_phase)
+    det_phase = gscan.phase_cumsum_reset(det_inc, reset, state.det_phase)
 
     sub_out = jnp.sin(sub_phase * TWO_PI)
     shape = ptraj("osc_shape")

@@ -175,14 +175,10 @@ def render_block(
     mod_inc = pitch_hz * 0.1 / sr
     main_inc = pitch_hz / sr
     reset = vb.at_trig
-    mod_phase = jnp.mod(
-        gscan.cumsum_reset(mod_inc, reset, jnp.zeros_like(mod_inc), state.mod_phase),
-        1.0,
-    )
-    main_phase = jnp.mod(
-        gscan.cumsum_reset(main_inc, reset, jnp.zeros_like(main_inc), state.main_phase),
-        1.0,
-    )
+    # high-accuracy mod-1 accumulation: at 10 kHz a raw tree cumsum rounds
+    # at eps(inc*B) per level, and the FM chain amplifies phase error ~30x
+    mod_phase = gscan.phase_cumsum_reset(mod_inc, reset, state.mod_phase)
+    main_phase = gscan.phase_cumsum_reset(main_inc, reset, state.main_phase)
     mod_sig = noise_sig * 0.25
     mod_out = jnp.sin(TWO_PI * jnp.mod(mod_phase + mod_sig, 1.0))
     main_out = jnp.sin(TWO_PI * jnp.mod(main_phase + mod_out * 0.75, 1.0))

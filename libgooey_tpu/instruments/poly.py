@@ -251,10 +251,9 @@ def render_block(
     detune_ratio = 1.0 + ptraj("detune_amount") * 0.0175
     inc_a = freq0 / sr
     inc_b = freq0 * detune_ratio / sr
-    acc_a = gscan.cumsum_reset(inc_a, reset, jnp.zeros_like(inc_a), state.phase_a)
-    acc_b = gscan.cumsum_reset(inc_b, reset, jnp.zeros_like(inc_b), state.phase_b)
-    ph_a = jnp.mod(acc_a, 1.0)
-    ph_b = jnp.mod(acc_b, 1.0)
+    # exact mod-1 accumulation (poly_synth.rs oscillators use f64 phase)
+    ph_a = gscan.phase_cumsum_reset(inc_a, reset, state.phase_a)
+    ph_b = gscan.phase_cumsum_reset(inc_b, reset, state.phase_b)
     shape = ptraj("osc_shape")
 
     def pair(phase, inc):

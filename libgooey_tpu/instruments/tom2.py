@@ -194,9 +194,7 @@ def render_block(
     click_out = morph.click_block(elapsed_i) * 1.1
 
     tri_inc = modulated_freq / sr
-    tri_phase = gscan.cumsum_reset(
-        tri_inc, at_trig, jnp.zeros_like(tri_inc), state.tri_phase
-    )
+    tri_phase = gscan.phase_cumsum_reset(tri_inc, at_trig, state.tri_phase)
     tri_out = (
         morph.triangle_from_phase(jnp.mod(tri_phase - tri_inc, 1.0)) * 0.5
         if triangle_enabled

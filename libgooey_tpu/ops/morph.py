@@ -79,10 +79,15 @@ def morph_block(
         return gscan.cumsum_reset(inc, reset, jnp.zeros_like(inc), carry)
 
     inc = frequency / sr
-    main_phase = accum(inc, state.main_phase)
-    tri_phase = accum(inc, state.tri_phase)
-    gated_phase = accum(inc, state.gated_phase)
-    fixed_phase = accum(jnp.full_like(inc, 190.0 / sr), state.fixed_phase)
+    # exact mod-1 accumulation (~1e-7 cycles/block; see
+    # scan.phase_cumsum_reset) — the rand~ accumulator below stays a raw
+    # cumsum because it needs the unwrapped total for segment counting
+    main_phase = gscan.phase_cumsum_reset(inc, reset, state.main_phase)
+    tri_phase = gscan.phase_cumsum_reset(inc, reset, state.tri_phase)
+    gated_phase = gscan.phase_cumsum_reset(inc, reset, state.gated_phase)
+    fixed_phase = gscan.phase_cumsum_reset(
+        jnp.full_like(inc, 190.0 / sr), reset, state.fixed_phase
+    )
 
     # NOTE (phase semantics): the reference *uses* the phase, then advances —
     # so at the first sample after reset the phase is 0.  Our cumulative sum
@@ -129,10 +134,10 @@ def morph_block(
     out = ch1 * w1 + ch2 * w2 + ch3 * w3
 
     new_state = MorphState(
-        main_phase=jnp.mod(main_phase[..., -1], 1.0),
-        tri_phase=jnp.mod(tri_phase[..., -1], 1.0),
-        fixed_phase=jnp.mod(fixed_phase[..., -1], 1.0),
-        gated_phase=jnp.mod(gated_phase[..., -1], 1.0),
+        main_phase=main_phase[..., -1],
+        tri_phase=tri_phase[..., -1],
+        fixed_phase=fixed_phase[..., -1],
+        gated_phase=gated_phase[..., -1],
         rand_seg=seg[..., -1],
         rand_frac=frac[..., -1],
     )

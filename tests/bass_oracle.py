@@ -78,9 +78,11 @@ class BassOracle:
         self.ac = F(1.0)
         self.fd = F(0.3)
         self.fc = F(1.0)
-        self.sub_phase = F(0.0)
-        self.osc_phase = F(0.0)
-        self.det_phase = F(0.0)
+        # f64 phase accumulators, exactly like the reference (bass.rs uses
+        # f64 phases; only the emitted samples are f32)
+        self.sub_phase = 0.0
+        self.osc_phase = 0.0
+        self.det_phase = 0.0
         self.ic1 = F(0.0)
         self.ic2 = F(0.0)
         self.ovs = OracleOversampler(4)
@@ -125,10 +127,11 @@ class BassOracle:
                                     / 1200.0))
         sub_inc = F(freq / self.sr)
         det_inc = F(det_freq / self.sr)
-        # cumsum_reset: acc[n] = inc + (reset ? 0 : acc[n-1])
-        self.sub_phase = F((sub_inc + (0.0 if reset else self.sub_phase)) % 1.0)
-        self.osc_phase = F((sub_inc + (0.0 if reset else self.osc_phase)) % 1.0)
-        self.det_phase = F((det_inc + (0.0 if reset else self.det_phase)) % 1.0)
+        # f64 accumulation (bass.rs f64 phase accumulators): acc[n] = inc +
+        # (reset ? 0 : acc[n-1]); the f32 increments are widened exactly
+        self.sub_phase = (float(sub_inc) + (0.0 if reset else self.sub_phase)) % 1.0
+        self.osc_phase = (float(sub_inc) + (0.0 if reset else self.osc_phase)) % 1.0
+        self.det_phase = (float(det_inc) + (0.0 if reset else self.det_phase)) % 1.0
 
         sub_out = F(np.sin(self.sub_phase * TWO_PI))
         shape = p["osc_shape"]

@@ -75,8 +75,14 @@ class HiHat2Oracle:
         self.salt = np.uint32(voice_salt) * np.uint32(0x9E3779B9)
         self.trig_sample = -(2**30)
         self.vel = F(1.0)
-        self.mod_phase = F(0.0)
-        self.main_phase = F(0.0)
+        # f64 phase accumulators = the exact mod-1 recurrence.  DOCUMENTED
+        # DEVIATION: hihat2.rs PhaseModOsc keeps phase_cycle in f32 and
+        # drifts from the exact phase by a per-sample rounding random walk
+        # (~1e-4 of output amplitude after 2k samples through the FM
+        # chain); the bank's split-increment accumulation tracks the exact
+        # phase to ~1e-7 cycles, so the oracle pins the exact recurrence.
+        self.mod_phase = 0.0
+        self.main_phase = 0.0
         self.env = F(0.0)
         self.hp1 = [F(0.0)] * 4  # x1 x2 y1 y2
         self.hp2 = [F(0.0)] * 4
@@ -142,8 +148,8 @@ class HiHat2Oracle:
         # phase-mod chain
         mod_inc = F(pitch_hz * 0.1 / self.sr)
         main_inc = F(pitch_hz / self.sr)
-        self.mod_phase = F((mod_inc + (0.0 if reset else self.mod_phase)) % 1.0)
-        self.main_phase = F((main_inc + (0.0 if reset else self.main_phase)) % 1.0)
+        self.mod_phase = (float(mod_inc) + (0.0 if reset else self.mod_phase)) % 1.0
+        self.main_phase = (float(main_inc) + (0.0 if reset else self.main_phase)) % 1.0
         mod_out = F(np.sin(TWO_PI * ((self.mod_phase + noise * F(0.25)) % 1.0)))
         main_out = F(np.sin(TWO_PI * ((self.main_phase + mod_out * F(0.75)) % 1.0)))
 

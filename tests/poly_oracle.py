@@ -104,8 +104,11 @@ class PolyVoiceOracle:
         detune = F(1.0 + p["detune_amount"] * 0.0175)
         inc_a = F(self.freq / self.sr)
         inc_b = F(self.freq * detune / self.sr)
-        self.ph_a = F((inc_a + (0.0 if reset else self.ph_a)) % 1.0)
-        self.ph_b = F((inc_b + (0.0 if reset else self.ph_b)) % 1.0)
+        # f64 phase accumulation — reference-true (polyblep.rs keeps f64
+        # phase); the bank's split-increment cumsum tracks the exact
+        # recurrence to ~1e-7 cycles
+        self.ph_a = (float(inc_a) + (0.0 if reset else self.ph_a)) % 1.0
+        self.ph_b = (float(inc_b) + (0.0 if reset else self.ph_b)) % 1.0
         self.phase_trace.append((self.ph_a, self.ph_b, inc_a, inc_b))
         shape = p["osc_shape"]
 

@@ -61,12 +61,15 @@ class Tom2Oracle:
         self.p = {k: F(v) for k, v in config.items()}
         self.trig_sample = -(2**30)
         self.decay_s = F(2.0)
-        # standalone triangle + morph phase accumulators
-        self.tri_phase = F(0.0)
-        self.m_main = F(0.0)
-        self.m_tri = F(0.0)
-        self.m_fixed = F(0.0)
-        self.m_gated = F(0.0)
+        # standalone triangle + morph phase accumulators.  f64 = the exact
+        # mod-1 recurrence; DOCUMENTED DEVIATION: morph_osc.rs keeps f32
+        # phases that drift from the exact phase by per-sample rounding —
+        # the bank tracks the exact recurrence (scan.phase_cumsum_reset)
+        self.tri_phase = 0.0
+        self.m_main = 0.0
+        self.m_tri = 0.0
+        self.m_fixed = 0.0
+        self.m_gated = 0.0
         self.m_rand_seg = 0
         self.m_rand_frac = F(0.0)
         self.bandpass = _Biquad()
@@ -116,19 +119,19 @@ class Tom2Oracle:
         click = F(TOM_IMPULSE[elapsed_i] * 1.1) \
             if 0 <= elapsed_i < len(TOM_IMPULSE) else F(0.0)
         tri_inc = F(mod_freq / sr)
-        self.tri_phase = F(tri_inc + (0.0 if reset else self.tri_phase))
-        tri = F(triangle_from_phase((self.tri_phase - tri_inc) % 1.0) * 0.5)
+        self.tri_phase = (float(tri_inc) + (0.0 if reset else self.tri_phase)) % 1.0
+        tri = F(triangle_from_phase((self.tri_phase - float(tri_inc)) % 1.0) * 0.5)
 
         mix_control = F((p["tone"] / 100.0) * 2.0 - 1.0)
         color_midi = F(30.0 + (p["color"] / 100.0) * 20.0)
         # morph oscillator
         inc = F(mod_freq / sr)
-        self.m_main = F(inc + (0.0 if reset else self.m_main))
-        self.m_tri = F(inc + (0.0 if reset else self.m_tri))
-        self.m_gated = F(inc + (0.0 if reset else self.m_gated))
+        self.m_main = (float(inc) + (0.0 if reset else self.m_main)) % 1.0
+        self.m_tri = (float(inc) + (0.0 if reset else self.m_tri)) % 1.0
+        self.m_gated = (float(inc) + (0.0 if reset else self.m_gated)) % 1.0
         fixed_inc = F(190.0 / sr)
-        self.m_fixed = F(fixed_inc + (0.0 if reset else self.m_fixed))
-        used = lambda ph, i: F((ph - i) % 1.0)
+        self.m_fixed = (float(fixed_inc) + (0.0 if reset else self.m_fixed)) % 1.0
+        used = lambda ph, i: F((ph - float(i)) % 1.0)
         main_sine = F(np.sin(TWO_PI * used(self.m_main, inc)) * 0.5)
         m_tri = F(triangle_from_phase(used(self.m_tri, inc)) * 0.5)
         fixed_sine = F(np.sin(TWO_PI * used(self.m_fixed, fixed_inc)) * 0.5)
