@@ -68,7 +68,12 @@ def process_block(state: TiltState, x, targets, *, sample_rate: float,
             svf=filters.SVFState(ic1=nst[:, 0], ic2=nst[:, 1]),
             smooth=SmootherBank(current=nst[:, 2:4], target=bank.target),
         ), out
-    powers = jnp.power(np.float32(1.0 - coeff), jnp.arange(1, B + 1, dtype=jnp.float32))
+    # op-for-op identical to the Pallas kernel's _traj / freq maps so the
+    # two paths produce bit-identical coefficient streams (the SVF rings at
+    # Q up to 8.5, so a 1-ulp coefficient difference is audible in the twin
+    # comparison): exp(log(q)*n) instead of power, exp(log(ratio)*t) maps
+    n1 = jnp.arange(1, B + 1, dtype=jnp.float32)
+    powers = jnp.exp(np.float32(np.log(1.0 - coeff)) * n1)
 
     def traj(idx):
         tgt = bank.target[:, idx, None]
@@ -79,11 +84,11 @@ def process_block(state: TiltState, x, targets, *, sample_rate: float,
     res = traj(P_RES)
 
     lp_mix = 1.0 - knob * 2.0
-    lp_t = knob * 2.0
-    lp_freq = LP_FREQ[0] * jnp.power(LP_FREQ[1] / LP_FREQ[0], lp_t)
+    lp_freq = LP_FREQ[0] * jnp.exp(
+        np.float32(np.log(LP_FREQ[1] / LP_FREQ[0])) * (knob * 2.0))
     hp_mix = (knob - 0.5) * 2.0
-    hp_t = (knob - 0.5) * 2.0
-    hp_freq = HP_FREQ[0] * jnp.power(HP_FREQ[1] / HP_FREQ[0], hp_t)
+    hp_freq = HP_FREQ[0] * jnp.exp(
+        np.float32(np.log(HP_FREQ[1] / HP_FREQ[0])) * ((knob - 0.5) * 2.0))
 
     use_lp = knob < 0.5
     mix = jnp.where(use_lp, lp_mix, hp_mix)

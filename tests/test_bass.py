@@ -114,7 +114,7 @@ def test_bass_sine_path_matches_everywhere():
     got = render_bank(cfg, 2048, 100, 0.9)
     want, _ = run_oracle(cfg, 2048, 100, 0.9)
     err = np.abs(got - want).max()
-    assert err < 2e-4, err
+    assert err < 1e-4, err
 
 
 def test_bass_matches_oracle_with_param_smoothing():

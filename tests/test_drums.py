@@ -90,7 +90,7 @@ def test_hihat_oracle_closed():
         filt_state += g * (shaped - filt_state)
         want[n_i] = filt_state * vals["volume"] * np.sqrt(vel)
     err = np.max(np.abs(got - want))
-    assert err < 3e-4, err
+    assert err < 1e-4, err
 
 
 # --- HiHat2 --------------------------------------------------------------------
@@ -283,7 +283,7 @@ def test_hihat2_matches_oracle():
         got = render_bank(cfg, 2048, trigs)
         want = run_oracle(cfg, 2048, trigs)
         err = np.abs(got - want).max()
-        assert err < 2e-4, (cfg, err)
+        assert err < 1e-4, (cfg, err)
         assert np.abs(got).max() > 1e-3
 
 
@@ -415,5 +415,5 @@ def test_tom_v1_matches_oracle():
         amp = env(el, 0.001, ad, 0.5, ac)
         want[n] = F((tonal + punch) * amp * np.sqrt(F(velocity)))
     err = np.abs(got - want).max()
-    assert err < 2e-4, err
+    assert err < 1e-4, err
     assert np.abs(got).max() > 0.01

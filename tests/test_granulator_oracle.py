@@ -131,7 +131,7 @@ def test_granulator_device_path_matches_scalar_oracle():
         want[n] = F(driven * vol_cur)
 
     err = np.abs(got - want).max()
-    assert err < 2e-4, err
+    assert err < 1e-4, err
     assert np.abs(got).max() > 1e-3
 
 

@@ -64,7 +64,7 @@ def test_kick_matches_oracle_tight():
     got = render_bank(cfg, 2000, trigger_at=37, velocity=0.8)
     want = run_oracle(cfg, 2000, trigger_at=37, velocity=0.8)
     err = np.max(np.abs(got - want))
-    assert err < 2e-4, f"max err {err} ({20*np.log10(max(err,1e-12)):.1f} dBFS)"
+    assert err < 1e-4, f"max err {err} ({20*np.log10(max(err,1e-12)):.1f} dBFS)"
 
 
 def test_kick_matches_oracle_punch_preset():
@@ -72,7 +72,7 @@ def test_kick_matches_oracle_punch_preset():
     got = render_bank(cfg, 1500, trigger_at=0, velocity=0.5)
     want = run_oracle(cfg, 1500, trigger_at=0, velocity=0.5)
     err = np.max(np.abs(got - want))
-    assert err < 3e-4, f"max err {err}"
+    assert err < 1e-4, f"max err {err}"
 
 
 def test_kick_matches_oracle_dirt_with_param_motion():
@@ -81,7 +81,7 @@ def test_kick_matches_oracle_dirt_with_param_motion():
     got = render_bank(cfg, 1500, trigger_at=10, velocity=1.0, param_changes=changes)
     want = run_oracle(cfg, 1500, trigger_at=10, velocity=1.0, param_changes=changes)
     err = np.max(np.abs(got - want))
-    assert err < 3e-4, f"max err {err}"
+    assert err < 1e-4, f"max err {err}"
 
 
 def test_kick_volume_linearity():

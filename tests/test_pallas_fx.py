@@ -41,7 +41,7 @@ def test_spring_serial_kernel_matches_xla():
     want = _run(x, seq, "xla")
     got = _run(x, seq, "pallas")
     err = np.max(np.abs(got - want))
-    assert err < 2e-5, err
+    assert err < 1e-5, err   # measured 6e-8
 
 
 def test_saturation_fused_kernel_matches_xla():
@@ -53,7 +53,7 @@ def test_saturation_fused_kernel_matches_xla():
     want = _run_mod(saturation, seq[0], x, seq, "xla")
     got = _run_mod(saturation, seq[0], x, seq, "pallas")
     err = np.max(np.abs(got - want))
-    assert err < 5e-5, err
+    assert err < 2e-5, err   # measured 1.9e-5: serial in-kernel allpasses vs the XLA path's tree scans at the 4x rate
 
 
 def test_compressor_fused_kernel_matches_xla():
@@ -69,7 +69,7 @@ def test_compressor_fused_kernel_matches_xla():
     want = _run_mod(compressor, seq[0], x, seq, "xla")
     got = _run_mod(compressor, seq[0], x, seq, "pallas")
     err = np.max(np.abs(got - want))
-    assert err < 5e-5, err
+    assert err < 1e-5, err   # measured 7.2e-7
 
 
 def test_smem_kernels_split_large_blocks():
@@ -141,7 +141,7 @@ def test_waveshaper_fused_kernel_matches_xla():
         st_p, _, _, _ = pallas_fx.unpack_ovs4_dc(nst, st_p)
         outs_p.append(np.asarray(y))
     err = np.max(np.abs(np.concatenate(outs_p, -1) - np.concatenate(outs_x, -1)))
-    assert err < 2e-5, err
+    assert err < 1e-5, err   # measured 5.4e-7
 
 
 def test_tilt_fused_kernel_matches_xla():
@@ -157,7 +157,7 @@ def test_tilt_fused_kernel_matches_xla():
     err = np.max(np.abs(got - want))
     # tan(pi*fc/sr) near Nyquist amplifies trajectory ulps ~45x and the
     # resonant SVF rings them; 2e-4 is the suite-wide oracle tolerance.
-    assert err < 2e-4, err
+    assert err < 1e-5, err   # measured 1.8e-7 after op-for-op coefficient alignment
 
 
 def test_delay_fused_kernel_matches_xla():
@@ -171,7 +171,7 @@ def test_delay_fused_kernel_matches_xla():
     want = _run_mod(delay, seq[0], x, seq, "xla")
     got = _run_mod(delay, seq[0], x, seq, "pallas")
     err = np.max(np.abs(got - want))
-    assert err < 5e-5, err
+    assert err < 2e-5, err   # measured 6.3e-6
 
 
 def test_delay_pingpong_fused_kernel_matches_xla():
@@ -193,7 +193,7 @@ def test_delay_pingpong_fused_kernel_matches_xla():
         return np.concatenate(outs, -1)
 
     err = np.max(np.abs(run("pallas") - run("xla")))
-    assert err < 5e-5, err
+    assert err < 1e-5, err   # measured 6e-8
 
 
 def test_lowpass_fused_kernel_matches_xla():
@@ -206,7 +206,7 @@ def test_lowpass_fused_kernel_matches_xla():
     want = _run_mod(lowpass, seq[0], x, seq, "xla")
     got = _run_mod(lowpass, seq[0], x, seq, "pallas")
     err = np.max(np.abs(got - want))
-    assert err < 2e-4, err
+    assert err < 1e-5, err   # measured 0.0
 
 
 def test_fbws_fast_kernel_matches_xla():
@@ -237,7 +237,7 @@ def test_fbws_fast_kernel_matches_xla():
             fbws.IMPL = "auto"
 
     err = np.max(np.abs(run("pallas") - run("xla")))
-    assert err < 2e-4, err
+    assert err < 1e-5, err   # measured 1.4e-6
 
 
 def test_plate_fused_kernel_matches_xla():
@@ -254,7 +254,7 @@ def test_plate_fused_kernel_matches_xla():
     want = _run_mod(reverb_plate, seq[0], x, seq, "xla")
     got = _run_mod(reverb_plate, seq[0], x, seq, "pallas")
     err = np.max(np.abs(got - want))
-    assert err < 5e-5, err
+    assert err < 1e-5, err   # measured 2.6e-8
 
 
 def test_plate_fused_kernel_full_range_size_jump():
@@ -274,4 +274,4 @@ def test_plate_fused_kernel_full_range_size_jump():
     want = _run_mod(reverb_plate, seq[0], x, seq, "xla")
     got = _run_mod(reverb_plate, seq[0], x, seq, "pallas")
     err = np.max(np.abs(got - want))
-    assert err < 5e-5, err
+    assert err < 1e-5, err   # measured 3e-8

@@ -119,7 +119,7 @@ def test_plate_matches_oracle():
     # wet-only: mix=1 → out = wet
     err = max(np.max(np.abs(got[0] - wl)), np.max(np.abs(got[1] - wr)))
     peak = max(np.abs(wl).max(), 1e-9)
-    assert err < 5e-4, (err, peak)
+    assert err < 1e-4, (err, peak)
 
 
 def test_plate_matches_oracle_small_size():
@@ -129,7 +129,7 @@ def test_plate_matches_oracle_small_size():
     got = run_plate(x, 0.7, 1.0, 0.2, size=0.1)
     wl, wr = plate_oracle(x[0], 0.7, 1.0, 0.2, size=0.1)
     err = max(np.max(np.abs(got[0] - wl)), np.max(np.abs(got[1] - wr)))
-    assert err < 5e-4, err
+    assert err < 1e-4, err
 
 
 def test_plate_t60_in_range():

@@ -63,7 +63,7 @@ def check(cfg, n_samples, events):
     mask = blep_window_mask(o, n_samples, ring=16)
     d = np.abs(got - want)
     assert mask.mean() < 0.9, mask.mean()
-    assert d[~mask].max() < 2e-4, d[~mask].max()
+    assert d[~mask].max() < 1e-4, d[~mask].max()
     assert d.max() < 2e-2, d.max()
     assert np.abs(got).max() > 1e-3
 

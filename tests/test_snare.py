@@ -83,7 +83,7 @@ def test_snare_matches_oracle_tight():
     got = render_bank(cfg, 1500, trigger_at=23, velocity=0.7)
     want = run_oracle(cfg, 1500, trigger_at=23, velocity=0.7)
     err = np.max(np.abs(got - want))
-    assert err < 3e-4, f"max err {err}"
+    assert err < 1e-4, f"max err {err}"
 
 
 def test_snare_matches_oracle_smack():
@@ -91,7 +91,7 @@ def test_snare_matches_oracle_smack():
     got = render_bank(cfg, 1500, trigger_at=0, velocity=1.0)
     want = run_oracle(cfg, 1500, trigger_at=0, velocity=1.0)
     err = np.max(np.abs(got - want))
-    assert err < 3e-4, f"max err {err}"
+    assert err < 1e-4, f"max err {err}"
 
 
 def test_snare_matches_oracle_hiss_overdriven():
@@ -99,7 +99,7 @@ def test_snare_matches_oracle_hiss_overdriven():
     got = render_bank(cfg, 1200, trigger_at=5, velocity=0.6)
     want = run_oracle(cfg, 1200, trigger_at=5, velocity=0.6)
     err = np.max(np.abs(got - want))
-    assert err < 3e-4, f"max err {err}"
+    assert err < 1e-4, f"max err {err}"
 
 
 def test_snare_filter_types_differ():
