@@ -94,6 +94,9 @@ class HiHatConfig:
 
 
 PRESETS = {
+    # a HiHat starts closed (hihat.rs HiHat::new) — "default" is the engine's
+    # generic add_instrument preset name
+    "default": HiHatConfig.closed_default,
     "closed_default": HiHatConfig.closed_default,
     "open_default": HiHatConfig.open_default,
     "closed_tight": HiHatConfig.closed_tight,

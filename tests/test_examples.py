@@ -17,6 +17,14 @@ MODULES = [
     "loops_and_clips", "sampler_rack", "performance_record", "dsl_demo",
 ]
 
+#: Per-reference-example scripts (round 2): main(out_path=..., quick=True)
+#: renders a shortened but complete pass and writes a WAV.
+QUICK_MODULES = [
+    "kick", "snare", "hihat", "hihat2", "tom", "tom2", "bass",
+    "delay", "reverb", "reverb_lab", "tilt_filter", "lfo_test",
+    "sequencer", "membrane", "multi_channel_submix",
+]
+
 
 @pytest.mark.parametrize("name", MODULES)
 def test_example_runs(name, tmp_path):
@@ -28,3 +36,62 @@ def test_example_runs(name, tmp_path):
     assert np.all(np.isfinite(audio))
     if name != "loops_and_clips":  # its first half waits for the bar boundary
         assert np.abs(audio).max() > 1e-5, name
+
+
+@pytest.mark.parametrize("name", QUICK_MODULES)
+def test_quick_example_runs(name, tmp_path):
+    mod = importlib.import_module(name)
+    out = mod.main(out_path=str(tmp_path / f"{name}.wav"), quick=True)
+    audio, sr = read_wav(out)
+    assert sr == 44100
+    assert audio.shape[-1] >= 2048
+    assert np.all(np.isfinite(audio))
+    assert np.abs(audio).max() > 1e-5, name
+
+
+def test_bounce_example(capsys):
+    import bounce as bounce_example
+
+    paths = bounce_example.main(quick=True)
+    assert len(paths) == 3
+    ref = None
+    for p in paths:
+        audio, sr = read_wav(p)
+        assert sr == 44100 and np.all(np.isfinite(audio))
+        mono = audio if audio.ndim == 1 else audio.mean(axis=0)
+        if ref is None:
+            ref = mono
+        else:  # same render at every bit depth (within quantization)
+            assert np.max(np.abs(mono[: len(ref)] - ref[: len(mono)])) < 2e-4
+    assert "deterministic: True" in capsys.readouterr().out
+
+
+def test_antialias_and_aliasing_examples(tmp_path, capsys):
+    import aliasing_plots
+    import antialias_validation
+
+    antialias_validation.main(quick=True)
+    out = capsys.readouterr().out
+    # the reference asserts >= 20 dB alias reduction at 4x
+    for line in out.splitlines():
+        if line.startswith("4x known-bin alias reduction"):
+            assert float(line.split(":")[1].split("dB")[0]) >= 20.0
+
+    csv_path = aliasing_plots.main(csv_path=str(tmp_path / "alias.csv"),
+                                   quick=True)
+    import csv as _csv
+
+    with open(csv_path) as fh:
+        rows = list(_csv.DictReader(fh))
+    assert rows and all(
+        float(r["improvement_db"]) > 6.0 for r in rows
+    )  # polyBLEP clearly beats naive at every probed frequency
+
+
+def test_scope_example(tmp_path):
+    """The realtime terminal scope example renders a frame headless."""
+    import scope
+
+    out = scope.main(out_path=str(tmp_path / "scope.txt"), quick=True)
+    text = open(out).read()
+    assert "┌" in text and "master" in text and "dB" in text
