@@ -89,3 +89,62 @@ def test_legacy_sequencer_8th_grid():
     # stopped sequencer advances time but never fires
     seq2.stop()
     assert seq2.tick_block(44100) == []
+
+
+def test_terminal_scope_frame_headless():
+    """The TUI scope renders a frame with a visible trace, a spectrum row,
+    and dB meters — all as plain text (the realtime front-end is a string
+    renderer, so it's testable without a terminal)."""
+    from libgooey_tpu.tui import TerminalScope
+
+    ring = AudioBuffer(4096)
+    t = np.arange(4096, dtype=np.float32)
+    ring.push(0.8 * np.sin(2 * np.pi * 440.0 * t / 44100.0))
+    scope = TerminalScope(ring, width=40, height=8, sample_rate=44100.0)
+    scope.set_meter("strip0", 0.5)
+    frame = scope.frame()
+    lines = frame.splitlines()
+    # box geometry: height scope rows + spectrum rows + 3 border lines
+    assert lines[0].startswith("┌") and len(lines[0]) == 42
+    assert any("█" in ln for ln in lines[1:9]), "no trace drawn"
+    spec = lines[10:16]
+    assert any(ch != " " for ln in spec for ch in ln[1:-1]), "no spectrum"
+    assert "master" in frame and "strip0" in frame and "dB" in frame
+    # a silent ring still renders (meters at the -60 dB floor)
+    empty_scope = TerminalScope(AudioBuffer(512), width=40, height=8)
+    assert "master" in empty_scope.frame()
+
+
+def test_terminal_scope_runs_against_output_adapter():
+    """run() drives an EngineOutput at a frame rate and paints in place."""
+    import io
+
+    from libgooey_tpu.engine.output import EngineOutput
+    from libgooey_tpu.tui import TerminalScope
+
+    class ToneEngine:
+        block = 256
+        pos = 0
+
+        def render(self, frames):
+            n = np.arange(self.pos, self.pos + frames, dtype=np.float32)
+            self.pos += frames
+            s = 0.5 * np.sin(2 * np.pi * 220.0 * n / 44100.0)
+            out = np.empty(frames * 2, np.float32)
+            out[0::2] = s
+            out[1::2] = s
+            return out
+
+    out = EngineOutput(prefetch_blocks=0)
+    out.initialize(44100.0)
+    out.create_stream_with_engine(ToneEngine())
+    out.start()
+    ring = AudioBuffer(4096)
+    scope = TerminalScope(ring, width=32, height=6)
+    sink = io.StringIO()
+    painted = scope.run(out, seconds=0.15, fps=30, frames_per_pull=256,
+                        out=sink)
+    out.stop()
+    assert painted >= 2
+    assert "\x1b[H" in sink.getvalue()  # in-place repaint escape
+    assert "master" in sink.getvalue()
