@@ -133,6 +133,60 @@ def bench_sequenced_submix():
            "full product pipeline, 1 block/dispatch — tunnel-RTT bound")
 
 
+def bench_interactive_pipelined():
+    """The interactive realtime story (engine_output.rs:293-311 contract).
+
+    Drives the FULL product pipeline block-by-block like a host callback,
+    but pipelined: block N+1 is dispatched before block N is read, so host
+    event prep overlaps device compute (render_blocks does the same).  Two
+    numbers:
+
+    * on-chip sustained block time — amortized over a pipelined run
+      (dispatch all, block_until_ready once): the realtime contract is
+      <11.6 ms/block at 44.1 kHz/512;
+    * worst-case single-block latency with a depth-1 pipeline (the host
+      reads block N-1 right after dispatching N) — on a tunneled device
+      this is RTT-bound and reported separately.
+    """
+    from libgooey_tpu.gooey import GooeyEngine
+
+    g = GooeyEngine(SR)
+    for ch in range(4):
+        g.sequencers[ch].set_pattern_string("x.x.x.x.x.x.x.x.")
+        g.sequencers[ch].set_swing(0.6)
+        g.sequencers[ch].start()
+    for eid in (chain_mod.EFFECT_SATURATION, chain_mod.EFFECT_DELAY,
+                chain_mod.EFFECT_REVERB):
+        g.set_effect_enabled(eid, True)
+    g.render(4 * B)  # warm every graph in the path
+    n = 64
+
+    # sustained: dispatch every block, sync once at the end
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [g._render_one_block() for _ in range(n)]
+        jax.block_until_ready(outs[-1])
+        best = min(best, (time.perf_counter() - t0) / n)
+    report("interactive_pipelined_sustained", B / SR, best,
+           "full product pipeline, pipelined dispatch")
+
+    # worst-case latency, depth-1 pipeline
+    prev = g._render_one_block()
+    worst = 0.0
+    for _ in range(n):
+        t0 = time.perf_counter()
+        nxt = g._render_one_block()
+        np.asarray(prev)
+        worst = max(worst, time.perf_counter() - t0)
+        prev = nxt
+    print(json.dumps({
+        "config": "interactive_depth1_worst_block_latency",
+        "value": round(worst * 1e3, 3),
+        "unit": "ms (includes tunnel RTT on remote devices)",
+    }))
+
+
 def bench_effects_chain():
     chain = chain_mod.EffectChain(SR, 120.0)
     for eid in (chain_mod.EFFECT_DELAY, chain_mod.EFFECT_REVERB,
@@ -267,6 +321,7 @@ def main():
     bench_effects_chain_all9()
     bench_granulator_sampler_4k()
     bench_sequenced_submix()
+    bench_interactive_pipelined()
 
 
 if __name__ == "__main__":

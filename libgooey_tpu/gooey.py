@@ -138,6 +138,12 @@ class GooeyEngine:
         self.strip_mute = np.zeros(NUM_KIT_CHANNELS + 1, bool)
         self.strip_solo = np.zeros(NUM_KIT_CHANNELS + 1, bool)
         self.strip_peak = np.zeros(NUM_KIT_CHANNELS + 1, np.float32)
+        #: device-side per-strip peak accumulator: the render loop folds each
+        #: block's voice peaks in WITHOUT a host sync (the round-1 path pulled
+        #: voice_peaks to the host every block, serializing the pipeline);
+        #: take_strip_peak() drains it lazily on the host query.
+        self._strip_peak_dev = jnp.zeros(NUM_KIT_CHANNELS + 1, jnp.float32)
+        self._strip_voice_idx: Optional[np.ndarray] = None
         self._pending_triggers: List = []   # (strip, velocity)
         self._post_restore: List = []       # (name, pname, saved) note restores
 
@@ -400,12 +406,16 @@ class GooeyEngine:
             return np.zeros(frames * 2, np.float32)
 
     def _render_blocks(self, frames: int) -> np.ndarray:
+        # dispatch every block before materializing any: JAX dispatch is
+        # async, so host event prep for block N+1 overlaps device compute
+        # for block N (the interactive pipelining engine_output.rs:293-311
+        # gets from its callback/prefetch split)
         outs = []
         rendered = 0
         while rendered < frames:
-            outs.append(np.asarray(self._render_one_block()))
+            outs.append(self._render_one_block())
             rendered += self.block
-        return np.concatenate(outs, axis=-1)[:, :frames]
+        return np.concatenate([np.asarray(o) for o in outs], axis=-1)[:, :frames]
 
     def _render_one_block(self):
         B = self.block
@@ -517,11 +527,15 @@ class GooeyEngine:
             e._snap_queue.append((kind, slot))
         self._post_restore = []
 
-        # strip peaks
-        vp = np.asarray(voice_peaks)
-        for strip in range(NUM_KIT_CHANNELS + 1):
-            idx = e._global_voice_index(self._strip_name(strip))
-            self.strip_peak[strip] = max(self.strip_peak[strip], float(vp[idx]))
+        # strip peaks: fold into the device accumulator — NO host sync here
+        # (ffi.rs:649-658 peak metering; drained by take_strip_peak)
+        if self._strip_voice_idx is None:
+            self._strip_voice_idx = np.asarray(
+                [e._global_voice_index(self._strip_name(s))
+                 for s in range(NUM_KIT_CHANNELS + 1)], np.int32)
+        self._strip_peak_dev = jnp.maximum(
+            self._strip_peak_dev, voice_peaks[self._strip_voice_idx]
+        )
 
         # granulator (center-panned mono source); grain reads go through
         # the contiguous-window Pallas kernel on real TPUs (~5x the gather)
@@ -599,6 +613,12 @@ class GooeyEngine:
         self.master = self.master.with_targets(np.float32(gain))
 
     def take_strip_peak(self, strip: int) -> float:
+        # drain the device accumulator into the host mirror (the only sync
+        # point for peaks — a host-initiated query, off the render hot path)
+        dev = np.asarray(self._strip_peak_dev)
+        if dev.any():
+            np.maximum(self.strip_peak, dev, out=self.strip_peak)
+            self._strip_peak_dev = jnp.zeros_like(self._strip_peak_dev)
         p = float(self.strip_peak[strip])
         self.strip_peak[strip] = 0.0
         return p

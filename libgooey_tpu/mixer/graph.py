@@ -104,6 +104,10 @@ class MixerGraph:
         self.routes: List[Optional[int]] = [None] * SOURCE_CAPACITY
         self._smooth: Optional[SmootherBank] = None  # [T, 3]: gain, pan, mute
         self._coeff = smoothing_coeff(sample_rate, 10.0)
+        #: device-side per-track peak accumulator (graph.rs:93-98 meters):
+        #: record_peaks folds block maxima in without a host sync; take_peak
+        #: drains it on the host query.
+        self._peak_dev = None
 
     @staticmethod
     def with_default_layout(sample_rate: float, bpm: float) -> "MixerGraph":
@@ -143,9 +147,19 @@ class MixerGraph:
         self.tracks[track].soloed = bool(soloed)
 
     def take_peak(self, track: int) -> float:
+        self._drain_peaks()
         p = self.tracks[track].peak
         self.tracks[track].peak = 0.0
         return p
+
+    def _drain_peaks(self):
+        """Pull the device peak accumulator into the host mirrors (the only
+        peak sync point — a host-initiated query, off the render hot path)."""
+        if self._peak_dev is None:
+            return
+        for t, p in zip(self.tracks, np.asarray(self._peak_dev)):
+            t.peak = max(t.peak, float(p))
+        self._peak_dev = None
 
     def _strip_targets(self) -> np.ndarray:
         any_solo = any(t.soloed for t in self.tracks)
@@ -188,6 +202,9 @@ class MixerGraph:
             t.rack.states = list(st)
         return master, peaks
 
-    def record_peaks(self, peaks: np.ndarray):
-        for t, p in zip(self.tracks, np.asarray(peaks)):
-            t.peak = max(t.peak, float(p))
+    def record_peaks(self, peaks):
+        """Fold a block's per-track maxima into the accumulator — NO sync."""
+        if self._peak_dev is None or self._peak_dev.shape != peaks.shape:
+            self._peak_dev = peaks
+        else:
+            self._peak_dev = jnp.maximum(self._peak_dev, peaks)

@@ -101,6 +101,79 @@ def test_take_overrun_count_resets():
     out.stop()
 
 
+class JitterEngine(RampEngine):
+    """Render time alternates fast/slow per block (a jittery device)."""
+
+    def __init__(self, fast_s=0.0, slow_s=0.004, period=3):
+        super().__init__()
+        self.calls = 0
+        self.fast_s = fast_s
+        self.slow_s = slow_s
+        self.period = period
+
+    def render(self, frames):
+        self.calls += 1
+        time.sleep(self.slow_s if self.calls % self.period == 0 else self.fast_s)
+        return RampEngine.render(self, frames)
+
+
+def test_jittery_callback_clock_absorbed_by_prefetch():
+    """A simulated jittery callback clock (irregular fill() arrival) plus a
+    jittery renderer: with enough prefetch depth the occasional slow block
+    must NOT count as an overrun — the queue absorbs it
+    (engine_output.rs:293-311: overruns measure sustained deadline misses,
+    not one-off jitter)."""
+    out = EngineOutput(prefetch_blocks=4)
+    out.initialize(44100.0)
+    # 64-frame blocks at 44.1 kHz = 1.45 ms budget; every 3rd render takes
+    # 4 ms (a miss in isolation), the rest are instant — sustainable at 2x
+    # realtime on average
+    out.create_stream_with_engine(JitterEngine(slow_s=0.004, period=3))
+    out.start()
+    deadline = time.time() + 3.0
+    while time.time() < deadline:  # prime the queue
+        with out._lock:
+            if len(out._queue) >= 3:
+                break
+        time.sleep(0.005)
+    got = []
+    # jittery callback: sleeps 0.2-2.6 ms between fills of 64 frames
+    for i in range(24):
+        time.sleep([0.0002, 0.0026, 0.0015][i % 3])
+        buf = np.zeros(64 * 2, np.float32)
+        out.fill(buf, 2)
+        got.append(buf[0::2].copy())
+    seq = np.concatenate(got)
+    np.testing.assert_array_equal(seq, np.arange(len(seq), dtype=np.float32))
+    assert out.overrun_count() == 0, out.overrun_count()
+    out.stop()
+
+
+def test_sustained_deadline_miss_counts_and_threshold_stops():
+    """Sustained too-slow rendering drains the queue → every starved fill
+    counts; stop_if_overruns below threshold does NOT stop, at/above does
+    (engine_output.rs:507-528)."""
+    out = EngineOutput(prefetch_blocks=2)
+    out.create_stream_with_engine(SlowEngine())  # 50 ms per 64-frame block
+    out.start()
+    for _ in range(6):
+        out.fill(np.zeros(256 * 2, np.float32), 2)
+    n = out.overrun_count()
+    assert n >= 3, n
+    # below threshold: stream keeps running, counter was still consumed
+    assert not out.stop_if_overruns(n + 100)
+    assert out.is_active
+    # counter reset by the take; accumulate again and stop at threshold
+    for _ in range(4):
+        out.fill(np.zeros(256 * 2, np.float32), 2)
+    assert out.stop_if_overruns(1)
+    assert not out.is_active
+    # stopped stream: fill outputs silence and reports 0 frames
+    buf = np.ones(32 * 2, np.float32)
+    assert out.fill(buf, 2) == 0
+    np.testing.assert_array_equal(buf, np.zeros_like(buf))
+
+
 def test_output_drives_real_engine():
     """The prefetch adapter streams a real GooeyEngine: sequenced kick
     audio flows through fill() with the stereo contract intact."""
