@@ -65,8 +65,40 @@ def build_events():
     return offs, vels, starts
 
 
+def _discover_device(attempts: int = 4, timeout_s: float = 120.0):
+    """Bounded backend discovery: a dead TPU tunnel hangs ``jax.devices()``
+    forever inside PJRT client init — fail fast with a clear error instead
+    of hanging the driver's bench step."""
+    import threading
+
+    box = {}
+
+    def probe():
+        try:
+            box["devices"] = jax.devices()
+        except Exception as exc:  # noqa: BLE001 — reported below
+            box["error"] = repr(exc)
+
+    last_err = None
+    for attempt in range(attempts):
+        # daemon thread: a hung PJRT init must not block process exit
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout=timeout_s)
+        if "devices" in box:
+            return box["devices"][0]
+        last_err = box.pop("error", f"backend init timed out after {timeout_s:.0f}s")
+        print(f"# device discovery attempt {attempt + 1} failed: {last_err}",
+              file=sys.stderr)
+        time.sleep(15.0)
+        if "devices" in box:  # a hung attempt eventually completed
+            return box["devices"][0]
+    print(f"bench: no usable accelerator ({last_err})", file=sys.stderr)
+    os._exit(2)
+
+
 def main():
-    dev = jax.devices()[0]
+    dev = _discover_device()
     print(f"# device: {dev}", file=sys.stderr)
 
     state = {

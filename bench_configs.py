@@ -314,7 +314,9 @@ def bench_granulator_sampler_4k():
 
 
 def main():
-    print(f"# device: {jax.devices()[0]}", file=sys.stderr)
+    from bench import _discover_device
+
+    print(f"# device: {_discover_device()}", file=sys.stderr)
     bench_single_kick()
     bench_full_kit()
     bench_effects_chain()
