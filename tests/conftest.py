@@ -24,18 +24,23 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 # XLA:CPU compiles are ~0.4 s per distinct op in this image; persist them.
-# MUST be a dir separate from the TPU/driver cache (.jax_cache): that one
-# accumulates XLA:CPU AOT entries compiled on OTHER machine types, and
-# loading a foreign entry (e.g. +prefer-no-scatter/+amx features) segfaults
-# inside the cache read.  Env vars are ignored here (jax pre-imported) —
-# only the config API below takes effect.
-os.environ["JAX_COMPILATION_CACHE_DIR"] = "/root/repo/.jax_cache_cpu"
+# MUST be (a) a dir separate from the TPU/driver cache (.jax_cache) and
+# (b) keyed by the host CPU fingerprint: XLA:CPU cache entries are AOT host
+# binaries whose key ignores CPU features, and this harness migrates between
+# machine types mid-round.  Loading a foreign entry (e.g. compiled with
+# +prefer-no-scatter/+amx) executes mismatched machine code — observed as
+# SIGABRT mid-suite and ~1e-4 numeric drift vs native compiles.  Env vars
+# are ignored here (jax pre-imported) — only the config API takes effect.
+from cache_dirs import cpu_cache_dir  # noqa: E402
+
+_cache = cpu_cache_dir()
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

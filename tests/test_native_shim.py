@@ -28,7 +28,12 @@ def test_build_and_run_c_smoke():
     )
     env = dict(os.environ)
     env["LIBGOOEY_TPU_PLATFORM"] = "cpu"
-    env["JAX_COMPILATION_CACHE_DIR"] = str(REPO / ".jax_cache")
+    # CPU run — must use the machine-keyed CPU cache, never .jax_cache
+    # (the TPU/driver cache), so foreign-host AOT entries are never loaded
+    # and CPU entries never leak into the driver cache.
+    from cache_dirs import cpu_cache_dir
+
+    env["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir()
     # the embedded interpreter must resolve the same checkout
     env["PYTHONPATH"] = str(REPO)
     proc = subprocess.run(
