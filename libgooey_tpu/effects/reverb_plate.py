@@ -185,8 +185,10 @@ def _tank_read(tank, pos, offs):
     frac = offs - whole
     n = jnp.arange(B, dtype=jnp.int32)[None, :]
     base = pos + n - whole.astype(jnp.int32)
-    a = jnp.take_along_axis(tank, jnp.mod(base, LT), axis=-1)
-    b = jnp.take_along_axis(tank, jnp.mod(base - 1, LT), axis=-1)
+    # ONE gather for both lerp endpoints ([6, 2B] indices), not two
+    idx = jnp.concatenate([jnp.mod(base, LT), jnp.mod(base - 1, LT)], axis=-1)
+    ab = jnp.take_along_axis(tank, idx, axis=-1)
+    a, b = ab[:, :B], ab[:, B:]
     return a + frac * (b - a)
 
 
@@ -199,9 +201,14 @@ def _tank_taps(tank, pos_after, offs, rows, n_written):
     frac = offs - whole
     n = jnp.arange(B, dtype=jnp.int32)[None, :]
     base = pos_after - n_written + n - whole.astype(jnp.int32)
-    rsel = np.asarray(rows, np.int32)[:, None]
-    a = tank[rsel, jnp.mod(base, LT)]
-    b = tank[rsel, jnp.mod(base - 1, LT)]
+    rsel = np.asarray(rows, np.int32)[:, None] * LT
+    # ONE flat gather for all 14 taps x both lerp endpoints, not two
+    # 2-D advanced-index gathers
+    idx = jnp.concatenate(
+        [rsel + jnp.mod(base, LT), rsel + jnp.mod(base - 1, LT)], axis=-1
+    )
+    ab = jnp.take(tank.reshape(-1), idx)
+    a, b = ab[:, :B], ab[:, B:]
     return a + frac * (b - a)
 
 
