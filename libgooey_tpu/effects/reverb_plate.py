@@ -77,6 +77,14 @@ P_DECAY, P_MIX, P_DAMPING, P_PREDELAY, P_WIDTH, P_SIZE = range(6)
 #: XLA chunk loop elsewhere; "xla" / "pallas" force a path.
 IMPL = "auto"
 
+#: Pallas-path chunk override (None -> chunk_size()'s value).  Any C <=
+#: chunk_size() computes IDENTICAL per-sample values (chunking is exact
+#: evaluation order, not approximation); smaller C shrinks the one-hot
+#: window WD (the Lipschitz travel bound scales with C) and with it both
+#: the VPU compare volume and the M=1 MXU pass count — C=64 halves both
+#: vs C=128 at 44.1 kHz.  Tuned on hardware via tools/bench_fx.py.
+KERNEL_CHUNK: int | None = 64
+
 
 def size_to_scale(size):
     """0 → 0.25x, 0.5 → 1x, 1 → 2x (plate_reverb.rs:83-90)."""
@@ -307,6 +315,11 @@ def process_block(
 
     if impl == "pallas":
         from libgooey_tpu.ops import pallas_fx
+
+        # the kernel may run a smaller exact chunk than the XLA loop (see
+        # KERNEL_CHUNK): same per-sample values, smaller one-hot windows
+        if KERNEL_CHUNK is not None:
+            C = min(C, max(1, KERNEL_CHUNK))
 
         # per-chunk window bases for the one-hot modulated reads
         wholes = jnp.stack([

@@ -260,12 +260,15 @@ def _render_all(
     return new_state, out, mono
 
 
+# limiter_threshold is deliberately NOT here: it only feeds elementwise
+# soft_limit math, and marking it static would retrace the whole engine
+# for every distinct host-automated threshold value (ADVICE r1, gooey.py
+# had the same bug).
 _STATIC_NAMES = (
     "kinds",
     "sample_rate",
     "block_size",
     "smooth_coeff",
-    "limiter_threshold",
     "family_static",
     "lfo_routes",
     "fx_order",

@@ -550,7 +550,9 @@ def _env_kernel(rect_ref, ac_ref, rc_ref, env0_ref,
             new[ch] = e
         return tuple(new)
 
-    final = jax.lax.fori_loop(0, B, body, (env0_ref[0], env0_ref[1]))
+    # unroll: fewer scalar-core branch bubbles; semantics identical
+    final = jax.lax.fori_loop(0, B, body, (env0_ref[0], env0_ref[1]),
+                              unroll=8)
     envlast_ref[0] = final[0]
     envlast_ref[1] = final[1]
 
@@ -905,6 +907,7 @@ def _lowpass_kernel(x_ref, g_ref, fb_ref, st0_ref, out_ref, stl_ref, *, B):
     final = jax.lax.fori_loop(
         0, B, body,
         (st0_ref[0], st0_ref[1], st0_ref[2], st0_ref[3]),
+        unroll=8,  # fewer scalar-core branch bubbles; semantics identical
     )
     for k in range(4):
         stl_ref[k] = final[k]
