@@ -37,7 +37,10 @@ SR = 44100.0
 B = 512
 N_BLOCKS = 64
 COEFF = smoothing_coeff(SR)
-GRAIN_READ = "pallas" if jax.default_backend() == "tpu" else "gather"
+def _grain_read():
+    # resolved lazily: jax.default_backend() at import time dials the TPU
+    # tunnel and hangs forever when it's down (bench.py got the same fix)
+    return "pallas" if jax.default_backend() == "tpu" else "gather"
 
 
 def timed(fn, *args, iters=10, warmup=2):
@@ -299,10 +302,10 @@ def bench_granulator_sampler_4k():
             gs, ss = carry
             gs2, gout = gran.render_block(
                 gs, gev_empty, jnp.int32(i * B), sample_rate=SR, block_size=B,
-                smooth_coeff=COEFF, grain_read=GRAIN_READ)
+                smooth_coeff=COEFF, grain_read=_grain_read())
             ss2, sout = samp.render_block(
                 ss, sev_empty, jnp.int32(i * B), sample_rate=SR, block_size=B,
-                voice_read="pallas" if GRAIN_READ == "pallas" else "gather")
+                voice_read=_grain_read())
             return (gs2, ss2), gout + sout[0]
 
         return jax.lax.scan(step, (gs, ss), jnp.arange(N_BLOCKS))
