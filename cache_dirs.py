@@ -4,14 +4,18 @@ before jax initializes).
 XLA:CPU persistent-cache entries are AOT host binaries whose cache key does
 NOT include the compiling machine's CPU features.  When a session resumes on
 a different host (this harness migrates between machine types), loading a
-foreign entry executes mismatched machine code: the loader warns
-("Target machine feature +prefer-no-gather is not supported on the host
-machine ... could lead to execution errors such as SIGILL") and in practice
-we observed SIGABRT crashes mid-suite and small numeric drift vs natively
-compiled code.  Keying every CPU-backend cache dir by a host fingerprint
-(cpu model + feature flags) makes a machine swap start a clean cache instead
-of poisoning the run.  TPU-backend caches (.jax_cache) hold TPU binaries and
-don't need this.
+foreign entry executes machine code compiled for different CPU features —
+the loader warns "Target machine feature ... is not supported on the host
+machine ... could lead to execution errors such as SIGILL".  Keying every
+CPU-backend cache dir by a host fingerprint (cpu model + feature flags)
+makes a machine swap start a clean cache instead of poisoning the run.
+
+Caveat learned the hard way: the loader's warning also fires SPURIOUSLY for
+same-machine entries, because XLA bakes tuning attributes (+prefer-no-
+scatter/+prefer-no-gather) into the compile feature list and then compares
+against cpuid, which never reports tuning attrs.  Treat the warning as real
+only when actual ISA bits (avx512*, amx-*) differ.  TPU-backend caches
+(.jax_cache) hold TPU binaries and don't need any of this.
 """
 
 import hashlib
