@@ -77,6 +77,8 @@ def make_plate_kernel_runner(n_blocks):
 
     st = plate.init_state(SR)
     C = plate.chunk_size(SR, B)
+    if plate.KERNEL_CHUNK is not None:
+        C = min(C, max(1, plate.KERNEL_CHUNK))
     DMOD = st.mod_hist.shape[-1]
     rng = np.random.RandomState(1)
     r = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.1)
@@ -113,8 +115,13 @@ def main():
     ap.add_argument("--parts", action="store_true")
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated effect names to measure")
+    ap.add_argument("--plate-chunk", type=int, default=None,
+                    help="override reverb_plate.KERNEL_CHUNK for tuning")
     args = ap.parse_args()
     n = args.blocks
+    if args.plate_chunk is not None:
+        from libgooey_tpu.effects import reverb_plate
+        reverb_plate.KERNEL_CHUNK = args.plate_chunk
 
     print(f"# device: {jax.devices()[0].device_kind}", file=sys.stderr)
     cands = {"floor": make_runner((), n)}
