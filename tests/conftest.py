@@ -13,6 +13,20 @@ for _p in (_repo_root, os.path.dirname(os.path.abspath(__file__))):
     if _p not in sys.path:
         sys.path.insert(0, _p)
 
+# The full suite JIT-compiles/loads hundreds of XLA:CPU executables in one
+# process; each holds many code mappings, and the default vm.max_map_count
+# (65530) exhausts ~94 tests in.  LLVM then fails mmap with "Cannot
+# allocate memory" — a fatal abort on the cache-write (serialize/AOT) path
+# and a SIGSEGV on the cache-read path.  Raise the limit when privileged;
+# the test_examples cache-write guard remains as defense-in-depth.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1_000_000:
+            with open("/proc/sys/vm/max_map_count", "w") as _f:
+                _f.write("4194304")
+except (OSError, ValueError):
+    pass
+
 # jax is pre-imported in this image with JAX_PLATFORMS=axon; the env var is
 # therefore ignored — override through the config API (backend not yet
 # initialized at conftest time).

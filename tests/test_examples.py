@@ -17,18 +17,17 @@ sys.path.insert(0, str(EXAMPLES))
 def _no_persistent_cache_writes():
     """Skip persistent compile-cache WRITES while example tests run.
 
-    Mid-full-suite, XLA:CPU ``executable.serialize()`` SIGABRTs (rc=134)
-    while writing the cache entry for the tom2-only engine executable —
-    reproduced twice at the same site (~94 tests in), but NOT in a fresh
-    process, NOT with the 8-virtual-device client alone, and NOT when
-    test_examples runs by itself (27/27 pass with serialize enabled): the
-    trigger is the earlier ~80 tests' accumulated in-process compiler
-    state.  Raising the min-compile-time threshold skips the write path
-    (the check precedes serialize in jax/_src/compiler.py::_cache_write)
-    while cache READS still hit, so warm reruns stay fast.  Examples are
-    the heaviest fresh compiles in the suite and the only observed crash
-    site; tools/warm_cache.py pre-populates their entries from fresh
-    subprocesses where serialize is safe.
+    Root cause (diagnosed round 2): the full suite exhausts the kernel's
+    vm.max_map_count ~94 tests in (hundreds of in-process XLA:CPU JIT
+    compiles/loads, each holding many code mappings); LLVM's mmap then
+    fails "Cannot allocate memory" — fatal abort (rc=134) on the cache-
+    write serialize/AOT path, SIGSEGV on the cache-read path.  conftest
+    raises the limit when privileged; this fixture is defense-in-depth
+    for unprivileged boxes: the examples are the heaviest fresh compiles,
+    and skipping their cache writes (min-compile-time threshold precedes
+    serialize in jax/_src/compiler.py::_cache_write) removes the largest
+    mapping spike while cache READS still hit.  tools/warm_cache.py
+    pre-populates example entries from fresh subprocesses.
     """
     import jax
 
