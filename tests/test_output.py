@@ -122,25 +122,32 @@ def test_jittery_callback_clock_absorbed_by_prefetch():
     jittery renderer: with enough prefetch depth the occasional slow block
     must NOT count as an overrun — the queue absorbs it
     (engine_output.rs:293-311: overruns measure sustained deadline misses,
-    not one-off jitter)."""
+    not one-off jitter).
+
+    Timings are deliberately coarse (2048-frame blocks = 46.4 ms budget,
+    60 ms isolated slow renders, 5-25 ms callback jitter) so that OS
+    scheduling noise on a loaded 1-CPU box stays two orders of magnitude
+    below the budget — the original 64-frame/1.45 ms version false-failed
+    whenever the fill thread lost the CPU for a couple of milliseconds.
+    """
+    eng = JitterEngine(slow_s=0.060, period=3)  # avg 20 ms/blk, sustainable
+    eng.block = 2048
     out = EngineOutput(prefetch_blocks=4)
     out.initialize(44100.0)
-    # 64-frame blocks at 44.1 kHz = 1.45 ms budget; every 3rd render takes
-    # 4 ms (a miss in isolation), the rest are instant — sustainable at 2x
-    # realtime on average
-    out.create_stream_with_engine(JitterEngine(slow_s=0.004, period=3))
+    out.create_stream_with_engine(eng)
     out.start()
-    deadline = time.time() + 3.0
+    deadline = time.time() + 10.0
     while time.time() < deadline:  # prime the queue
         with out._lock:
             if len(out._queue) >= 3:
                 break
-        time.sleep(0.005)
+        time.sleep(0.01)
     got = []
-    # jittery callback: sleeps 0.2-2.6 ms between fills of 64 frames
-    for i in range(24):
-        time.sleep([0.0002, 0.0026, 0.0015][i % 3])
-        buf = np.zeros(64 * 2, np.float32)
+    # jittery callback paced at real time on average (46.4 ms per 2048-frame
+    # block) with ±16 ms arrival jitter
+    for i in range(12):
+        time.sleep([0.030, 0.060, 0.049][i % 3])
+        buf = np.zeros(2048 * 2, np.float32)
         out.fill(buf, 2)
         got.append(buf[0::2].copy())
     seq = np.concatenate(got)

@@ -88,8 +88,16 @@ def test_kick_vk1_matches_legacy_path():
 
 
 def test_tom2_mid_block_retrigger_equals_fresh_voice():
-    """A second trigger at offset o must restart the voice exactly: from o
-    on, a (0, o)-triggered voice equals a voice triggered only at o."""
+    """A second trigger at offset o must restart the voice: from o on, a
+    (0, o)-triggered voice equals a voice triggered only at o.
+
+    Tolerance is ulp-scale, not bit-exact: the retriggered voice's samples
+    come from trigger slot 2 and the fresh voice's from slot 1, and XLA may
+    contract/fuse the two slot iterations differently (machine-dependent
+    FMA choices), drifting mathematically-identical values by ~2e-6 — two
+    orders under the suite's 1e-4 (−80 dBFS) fidelity bar.  The state
+    RESET itself (trig_sample latch) is still asserted exactly.
+    """
     state = tom2_mod.init_state(2)
     o = 300
     offs = np.array([[0, o], [o, B]], np.int32)  # voice 1: single hit at o
@@ -100,7 +108,7 @@ def test_tom2_mid_block_retrigger_equals_fresh_voice():
     out = np.asarray(out)
     assert np.abs(out[0, :o]).max() > 0.0        # first hit audible
     assert np.abs(out[1, :o]).max() == 0.0       # fresh voice silent pre-o
-    np.testing.assert_array_equal(out[0, o:], out[1, o:])
+    np.testing.assert_allclose(out[0, o:], out[1, o:], atol=1e-5, rtol=0.0)
     np.testing.assert_array_equal(np.asarray(_st.trig_sample), [o, o])
 
 
