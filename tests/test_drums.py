@@ -6,6 +6,7 @@ import numpy as np
 
 from libgooey_tpu.core.smoother import smoothing_coeff
 from libgooey_tpu.instruments import bass, hihat, hihat2, tom, tom2
+import pytest
 
 SR = 44100.0
 
@@ -96,6 +97,7 @@ def test_hihat_oracle_closed():
 # --- HiHat2 --------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_hihat2_presets_render_and_decay():
     for preset in ["short", "loose", "dark", "soft"]:
         cfg = hihat2.PRESETS[preset]()
@@ -162,6 +164,7 @@ def test_tom_velocity_scales_decay():
 # --- Tom2 ----------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_tom2_presets_render():
     for preset in ["derp", "ring", "brush", "void"]:
         out = run_bank(tom2, tom2.PRESETS[preset](), 20000)

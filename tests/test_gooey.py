@@ -12,6 +12,7 @@ from libgooey_tpu.instruments.kick import KickConfig
 from libgooey_tpu.performance import (
     MODE_PUNCH_OUT, PerformanceRecorder, TICKS_PER_STEP,
 )
+import pytest
 
 SR = 44100.0
 
@@ -76,6 +77,7 @@ def test_param_round_trip():
     assert abs(g.get_effect_param(1, 1) - 0.66) < 1e-6
 
 
+@pytest.mark.slow
 def test_effect_order_changes_sound():
     def render(order):
         g = GooeyEngine()
@@ -132,6 +134,7 @@ def test_performance_punch_out_disarms():
     assert not p.armed and not p.is_recording()
 
 
+@pytest.mark.slow
 def test_perf_chords_drive_poly_through_engine():
     g = GooeyEngine()
     g.mixer.clip_grid.transport_running = True

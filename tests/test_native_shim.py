@@ -21,6 +21,7 @@ BUILD = REPO / "native" / "build"
     shutil.which("g++") is None or shutil.which("python3-config") is None,
     reason="native toolchain unavailable",
 )
+@pytest.mark.slow
 def test_build_and_run_c_smoke():
     subprocess.run(
         ["sh", str(REPO / "native" / "build.sh")], check=True,

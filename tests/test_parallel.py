@@ -16,6 +16,7 @@ SR, B = 44100.0, 256
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_render_matches_single_device():
     V = 64  # 8 voices per device
     state = {

@@ -39,6 +39,7 @@ def test_perf_defaults_disarmed_empty_clip(h):
     assert capi.engine_perf_get_length_ticks(h) == 384
 
 
+@pytest.mark.slow
 def test_perf_record_punch_out_one_chord(h):
     """performance_recording.rs:37-98: punch-out disarms after one loop and
     the stamped event round-trips degree/duration/velocity."""
@@ -69,6 +70,7 @@ def test_perf_record_punch_out_one_chord(h):
     assert abs(velocity - 0.9) < 1e-3
 
 
+@pytest.mark.slow
 def test_perf_overdub_keeps_arm_and_appends(h):
     """performance_recording.rs:100-135."""
     capi.engine_perf_set_record_mode(h, PERF_RECORD_MODE_OVERDUB)
@@ -117,6 +119,7 @@ def test_live_chord_still_works_without_arm(h):
     assert capi.engine_perf_get_event_count(h) == 0
 
 
+@pytest.mark.slow
 def test_perf_record_then_replay_next_loop(h):
     """A recorded chord REPLAYS on the following loops (ffi.rs:1212-1235):
     the second pass re-triggers the poly chord without any live input."""
@@ -140,6 +143,7 @@ def test_perf_record_then_replay_next_loop(h):
     assert np.abs(replay).max() > 1e-3, "clip should replay the chord"
 
 
+@pytest.mark.slow
 def test_perf_overdub_gate_cutting(h):
     """A new chord recorded OVER an old one cuts the old gate at that tick
     (performance/mod.rs cut_gates_at): total event count stays consistent
