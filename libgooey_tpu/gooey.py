@@ -21,9 +21,11 @@ state rebuild, no recompilation.
 
 from __future__ import annotations
 
+import functools
 import traceback
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -179,6 +181,20 @@ class GooeyEngine:
 
         self._smooth_coeff = smoothing_coeff(self.sr)
         self._source_matrix = None
+
+        # Jitted per-block instrument programs.  render_block functions are
+        # plain traceable fns; calling them EAGERLY here ran the granulator
+        # op-by-op (~460k primitive dispatches per 100 blocks, 0.58 s/block
+        # host-side — found by cProfile in round 2) and would pay tunnel RTT
+        # per op on a remote device.  One jit per engine instance.
+        self._gran_render = jax.jit(functools.partial(
+            gran_mod.render_block, sample_rate=self.sr, block_size=self.block,
+            smooth_coeff=self._smooth_coeff, grain_read=_GRAIN_READ,
+        ))
+        self._rack_render = jax.jit(functools.partial(
+            samp_mod.render_block, sample_rate=self.sr, block_size=self.block,
+            voice_read=_GRAIN_READ,
+        ))
 
     # --- naming helpers ----------------------------------------------------------
 
@@ -540,10 +556,8 @@ class GooeyEngine:
         # granulator (center-panned mono source); grain reads go through
         # the contiguous-window Pallas kernel on real TPUs (~5x the gather)
         gev = self.gran_host.collect_events(self.sample_count, B)
-        self.gran_state, gout = gran_mod.render_block(
-            self.gran_state, gev, np.int32(self.sample_count),
-            sample_rate=self.sr, block_size=B, smooth_coeff=self._smooth_coeff,
-            grain_read=_GRAIN_READ,
+        self.gran_state, gout = self._gran_render(
+            self.gran_state, gev, np.int32(self.sample_count)
         )
         sqrt_half = np.float32(np.sqrt(0.5))
         gran_frame = jnp.stack([gout * sqrt_half, gout * sqrt_half])
@@ -563,9 +577,8 @@ class GooeyEngine:
                     arena=jnp.asarray(rack.arena)
                 )
                 rack.arena_dirty = False
-            self.rack_states[i], rout = samp_mod.render_block(
-                self.rack_states[i], sev, np.int32(self.sample_count),
-                sample_rate=self.sr, block_size=B, voice_read=_GRAIN_READ,
+            self.rack_states[i], rout = self._rack_render(
+                self.rack_states[i], sev, np.int32(self.sample_count)
             )
             sources = sources.at[graph_mod.SOURCE_SAMPLER_BASE + i].set(rout)
 
