@@ -108,6 +108,11 @@ class MixerGraph:
         #: record_peaks folds block maxima in without a host sync; take_peak
         #: drains it on the host query.
         self._peak_dev = None
+        #: per-block host-prep caches (render() rebuilt + re-uploaded the
+        #: routing matrix and strip targets every block — ~4 ms/block of
+        #: interactive host time); invalidated by the mutators above
+        self._routing_dev = None
+        self._targets_host = None
 
     @staticmethod
     def with_default_layout(sample_rate: float, bpm: float) -> "MixerGraph":
@@ -124,6 +129,8 @@ class MixerGraph:
     def add_track(self, name: str) -> int:
         self.tracks.append(Track(name, self.sr, self.bpm))
         self._smooth = None
+        self._routing_dev = None
+        self._targets_host = None
         return len(self.tracks) - 1
 
     def route(self, source: int, track: Optional[int]) -> bool:
@@ -132,19 +139,24 @@ class MixerGraph:
         if track is not None and not (0 <= track < len(self.tracks)):
             return False
         self.routes[source] = track
+        self._routing_dev = None
         return True
 
     def set_track_gain(self, track: int, gain: float):
         self.tracks[track].gain = float(np.clip(gain, 0.0, MAX_TRACK_GAIN))
+        self._targets_host = None
 
     def set_track_pan(self, track: int, pan: float):
         self.tracks[track].pan = float(np.clip(pan, 0.0, 1.0))
+        self._targets_host = None
 
     def set_track_mute(self, track: int, muted: bool):
         self.tracks[track].muted = bool(muted)
+        self._targets_host = None
 
     def set_track_solo(self, track: int, soloed: bool):
         self.tracks[track].soloed = bool(soloed)
+        self._targets_host = None
 
     def take_peak(self, track: int) -> float:
         self._drain_peaks()
@@ -190,9 +202,13 @@ class MixerGraph:
         rack_keys = tuple(t.rack.static_key() for t in self.tracks)
         rack_states = tuple(tuple(t.rack.states) for t in self.tracks)
         rack_targets = tuple(tuple(t.rack.targets_list()) for t in self.tracks)
+        if self._routing_dev is None:
+            self._routing_dev = jnp.asarray(self.routing_matrix())
+        if self._targets_host is None:
+            self._targets_host = jnp.asarray(self._strip_targets())
         bank, new_states, master, peaks = _graph_render_jit(
-            self._smooth, jnp.asarray(self._strip_targets()),
-            source_frames, jnp.asarray(self.routing_matrix()),
+            self._smooth, self._targets_host,
+            source_frames, self._routing_dev,
             rack_states, rack_targets,
             coeff=self._coeff, block_size=block_size, sample_rate=self.sr,
             rack_keys=rack_keys,
