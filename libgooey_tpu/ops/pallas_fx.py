@@ -550,9 +550,10 @@ def _env_kernel(rect_ref, ac_ref, rc_ref, env0_ref,
             new[ch] = e
         return tuple(new)
 
-    # unroll: fewer scalar-core branch bubbles; semantics identical
-    final = jax.lax.fori_loop(0, B, body, (env0_ref[0], env0_ref[1]),
-                              unroll=8)
+    # unroll must stay 1: Mosaic only lowers unroll=1 or unroll=num_steps
+    # for loops inside TPU kernels, and a full 512-step unroll explodes
+    # compile time for no measurable win on the scalar core.
+    final = jax.lax.fori_loop(0, B, body, (env0_ref[0], env0_ref[1]))
     envlast_ref[0] = final[0]
     envlast_ref[1] = final[1]
 
@@ -904,10 +905,10 @@ def _lowpass_kernel(x_ref, g_ref, fb_ref, st0_ref, out_ref, stl_ref, *, B):
             s[2 * ch], s[2 * ch + 1] = s1, s2
         return tuple(s)
 
+    # unroll=1 only: Mosaic rejects partial unrolls inside TPU kernels.
     final = jax.lax.fori_loop(
         0, B, body,
         (st0_ref[0], st0_ref[1], st0_ref[2], st0_ref[3]),
-        unroll=8,  # fewer scalar-core branch bubbles; semantics identical
     )
     for k in range(4):
         stl_ref[k] = final[k]
