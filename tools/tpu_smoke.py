@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Compile-and-run every Pallas kernel on the ambient (real TPU) backend.
+
+The test suite runs Pallas kernels in interpret mode on CPU, which never
+exercises the Mosaic lowering — features it rejects (e.g. partial loop
+unrolls) therefore only surface on real hardware.  This smoke drives every
+kernel entry point plus the full GooeyEngine render path on whatever
+backend jax picks (the TPU tunnel under the driver), so a lowering or
+runtime regression fails loudly before a round ends.
+
+Usage: python tools/tpu_smoke.py        (~2-4 min cold, seconds warm)
+Prints one OK line per surface and "SMOKE OK" at the end; any exception is
+fatal.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SR = 44100.0
+B = 512
+
+
+def _ok(name, t0):
+    print(f"OK {name} ({time.perf_counter() - t0:.1f}s)", flush=True)
+
+
+def smoke_bus_chain():
+    """All 10 reorderable effects in one chain — hits every bus kernel:
+    spring/saturation/waveshaper/env-follower/compressor/tilt/delay/
+    lowpass/feedback-waveshaper/plate."""
+    t0 = time.perf_counter()
+    from libgooey_tpu.mixer import chain as chain_mod
+
+    chain = chain_mod.EffectChain(SR, 120.0)
+    for eid in range(chain_mod.REORDERABLE_EFFECT_COUNT + 1):
+        chain.add(eid)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(4, 2, B).astype(np.float32) * 0.3
+    )
+    targets = tuple(chain.targets_list())
+    key = chain.static_key()
+
+    @jax.jit
+    def run(states, xs):
+        def step(st, xb):
+            st2, y = chain_mod.process_chain(
+                st, xb, targets, key, sample_rate=SR
+            )
+            return tuple(st2), y
+
+        return jax.lax.scan(step, states, xs)
+
+    _, y = jax.block_until_ready(run(tuple(chain.states), x))
+    assert np.isfinite(np.asarray(y)).all(), "bus chain produced non-finite"
+    _ok("bus_chain(10 effects)", t0)
+
+
+def smoke_linrec1():
+    t0 = time.perf_counter()
+    from libgooey_tpu.ops import pallas_scan
+
+    V = pallas_scan.ROW_TILE * 2
+    a = jnp.full((V, B), 0.99, jnp.float32)
+    b = jnp.ones((V, B), jnp.float32) * 0.01
+    y0 = jnp.zeros((V,), jnp.float32)
+    assert pallas_scan.supported(a, y0)
+    y = jax.block_until_ready(
+        jax.jit(lambda a, b, y0: pallas_scan.linrec1_pallas(a, b, y0))(a, b, y0)
+    )
+    assert np.isfinite(np.asarray(y)).all()
+    _ok("linrec1_pallas", t0)
+
+
+def smoke_grain_read():
+    t0 = time.perf_counter()
+    from libgooey_tpu.ops import pallas_grain
+
+    L, G = 4096, 64
+    buf = jnp.asarray(np.random.RandomState(1).randn(L).astype(np.float32))
+    p0 = jnp.linspace(0.0, L - 8.0, G).astype(jnp.float32)
+    step = jnp.full((G,), 0.731, jnp.float32)
+    y = jax.block_until_ready(
+        jax.jit(
+            lambda b, p, s: pallas_grain.grain_read_cubic(b, p, s, B=B)
+        )(buf, p0, step)
+    )
+    assert np.isfinite(np.asarray(y)).all()
+    _ok("grain_read_cubic", t0)
+
+
+def smoke_engine_render():
+    """Full product path: GooeyEngine render with sequenced drums, the bus
+    FX, granulator and a sampler rack — the driver-bench-shaped workload."""
+    t0 = time.perf_counter()
+    from libgooey_tpu import capi
+    from libgooey_tpu.mixer.chain import EFFECT_DELAY, EFFECT_PLATE_REVERB
+
+    e = capi.engine_new(SR)
+    capi.engine_set_bpm(e, 120.0)
+    for ch in range(4):
+        capi.engine_sequencer_set_step(e, ch, ch * 2, True, 0.9)
+        capi.engine_sequencer_start(e, ch)
+    capi.engine_set_effect_enabled(e, EFFECT_DELAY, True)
+    capi.engine_set_effect_enabled(e, EFFECT_PLATE_REVERB, True)
+    capi.engine_granulator_load(
+        e, np.random.RandomState(2).randn(int(SR)).astype(np.float32), SR
+    )
+    capi.engine_granulator_trigger(e, 0.9)
+    buf = capi.engine_render(e, B * 4)
+    buf = np.asarray(buf)
+    assert np.isfinite(buf).all(), "engine render produced non-finite"
+    assert np.abs(buf).max() > 0.0, "engine render silent"
+    _ok("gooey_engine_render", t0)
+
+
+def smoke_entry():
+    t0 = time.perf_counter()
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.block_until_ready(jax.jit(fn)(*args))
+    assert np.isfinite(np.asarray(out[1])).all()
+    _ok("graft entry()", t0)
+
+
+def main():
+    print(f"# backend: {jax.default_backend()}  device: "
+          f"{jax.devices()[0].device_kind}", file=sys.stderr)
+    smoke_linrec1()
+    smoke_grain_read()
+    smoke_bus_chain()
+    smoke_entry()
+    smoke_engine_render()
+    print("SMOKE OK")
+
+
+if __name__ == "__main__":
+    main()
