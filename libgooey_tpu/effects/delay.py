@@ -62,7 +62,10 @@ IMPL = "auto"
 
 def init_state(sample_rate: float, time_s: float = 0.5, feedback: float = 0.3,
                mix: float = 0.3, cutoff: float = 8000.0) -> DelayState:
-    L = int(sample_rate * MAX_DELAY_TIME) + 1
+    # rounded to a multiple of 512 so block writes are one aligned
+    # dynamic-update-slice for any power-of-two block size up to 512
+    # (the extra capacity is inert: reads never exceed MAX_DELAY_TIME)
+    L = (int(sample_rate * MAX_DELAY_TIME) + 1 + 511) // 512 * 512
     init = np.array([
         [min(time_s, MAX_DELAY_TIME), np.clip(feedback, 0, 0.95),
          np.clip(mix, 0, 1), np.clip(cutoff, 20.0, 20000.0)],

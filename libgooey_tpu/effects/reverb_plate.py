@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff
-from libgooey_tpu.ops import ringbuf, scan as gscan
+from libgooey_tpu.ops import mxgather, ringbuf, scan as gscan
 
 DATTORRO_SR = 29_761.0
 INPUT_AP_DELAYS = (142.0, 107.0, 379.0, 277.0)
@@ -137,8 +137,12 @@ def init_state(sample_rate: float, decay: float = 0.5, mix: float = 0.3,
                damping: float = 0.5, predelay: float = 0.0, width: float = 1.0,
                size: float = 0.5) -> PlateState:
     return PlateState(
+        # rounded to a multiple of 128 so the TPU path can read it with
+        # one-hot MXU matmuls (extra capacity is inert: taps never exceed
+        # MAX_PREDELAY_MS)
         predelay=ringbuf.Ring.init(
-            int(np.ceil(MAX_PREDELAY_MS * 0.001 * sample_rate)) + 8
+            (int(np.ceil(MAX_PREDELAY_MS * 0.001 * sample_rate)) + 8 + 127)
+            // 128 * 128
         ),
         in_hist=jnp.zeros((4, in_hist_len(sample_rate)), jnp.float32),
         mod_hist=jnp.zeros((2, mod_hist_len(sample_rate)), jnp.float32),
@@ -291,15 +295,31 @@ def process_block(
 
     # --- predelay (post-write fractional tap), block level ------------------
     pre_ring = ringbuf.write_block(s.predelay, mono_in)
-    delayed_in = ringbuf.tap_frac(pre_ring, predelay_t, B)
+    PL = pre_ring.buf.shape[-1]
+    if impl == "pallas" and PL % mxgather.LANE == 0:
+        delayed_in = mxgather.lerp_read(
+            mxgather.overlap_view(pre_ring.buf[None]),
+            jnp.clip(predelay_t, 0.0, PL - 2.0)[None],
+            pre_ring.pos - B, min_offset=0.0,
+        )[0]
+    else:
+        delayed_in = ringbuf.tap_frac(pre_ring, predelay_t, B)
 
     # --- block-level tank reads: ONE pair of gathers for all 6 lines --------
+    # (on the TPU path: one-hot MXU matmuls — bit-exact, ~15x cheaper than
+    # XLA's per-element minor-dim gather; see ops/mxgather.py)
     tank_offs = jnp.stack([
         TANK_DELAY1_A * srs * size_t, TANK_DELAY1_B * srs * size_t,
         TANK_AP2_A * srs * size_t, TANK_AP2_B * srs * size_t,
         TANK_DELAY2_A * srs * size_t, TANK_DELAY2_B * srs * size_t,
     ])
-    reads = _tank_read(s.tank, s.pos, tank_offs)
+    if impl == "pallas":
+        reads = mxgather.lerp_read(
+            mxgather.overlap_view(s.tank),
+            jnp.clip(tank_offs, 1.0, s.tank.shape[-1] - 2.0), s.pos,
+        )
+    else:
+        reads = _tank_read(s.tank, s.pos, tank_offs)
     d1a_read, d1b_read = reads[T_D1A], reads[T_D1B]
     ap2a_read, ap2b_read = reads[T_AP2A], reads[T_AP2B]
     d2a_read, d2b_read = reads[T_D2A], reads[T_D2B]
@@ -434,7 +454,14 @@ def process_block(
     tap_signs = np.asarray(
         [sg for _, _, sg in LEFT_TAPS + RIGHT_TAPS], np.float32
     )[:, None]
-    tapped = _tank_taps(tank, pos_after, tap_offs, tap_rows, B) * tap_signs
+    if impl == "pallas":
+        tapped = mxgather.lerp_read(
+            mxgather.overlap_view(tank),
+            jnp.clip(tap_offs, 0.0, tank.shape[-1] - 2.0),
+            pos_after - B, rows=tap_rows, min_offset=0.0,
+        ) * tap_signs
+    else:
+        tapped = _tank_taps(tank, pos_after, tap_offs, tap_rows, B) * tap_signs
     yl = OUTPUT_SCALE * jnp.sum(tapped[:7], axis=0)
     yr = OUTPUT_SCALE * jnp.sum(tapped[7:], axis=0)
     mid = 0.5 * (yl + yr)

@@ -36,11 +36,25 @@ class Ring(NamedTuple):
 
 
 def write_block(ring: Ring, x) -> Ring:
-    """Append ``x[..., C]`` at the current position."""
+    """Append ``x[..., C]`` at the current position.
+
+    When ``L % C == 0`` the write is one aligned dynamic-update-slice (a
+    contiguous DMA) instead of a per-element scatter: every writer appends
+    fixed-size blocks starting from pos 0, so ``pos % L`` is then always a
+    multiple of C and the slice never wraps.
+    """
+    import jax
+
     L = ring.buf.shape[-1]
     C = x.shape[-1]
-    idx = jnp.mod(ring.pos + jnp.arange(C, dtype=jnp.int32), L)
-    buf = ring.buf.at[..., idx].set(x)
+    if L % C == 0:
+        start = (jnp.int32(0),) * (ring.buf.ndim - 1) + (jnp.mod(ring.pos, L),)
+        buf = jax.lax.dynamic_update_slice(
+            ring.buf, x.reshape(ring.buf.shape[:-1] + (C,)), start
+        )
+    else:
+        idx = jnp.mod(ring.pos + jnp.arange(C, dtype=jnp.int32), L)
+        buf = ring.buf.at[..., idx].set(x)
     return Ring(buf=buf, pos=ring.pos + C)
 
 
