@@ -129,6 +129,9 @@ def main():
     for eid, name in NAMES.items():
         if only is None or name in only:
             cands[name] = make_runner((eid,), n)
+    if only is None or "all9" in only:
+        # the full bus rack: every reorderable effect + the pinned limiter
+        cands["all9"] = make_runner(tuple(NAMES), n)
     if args.parts:
         cands["plate_kernel"] = make_plate_kernel_runner(n)
 
