@@ -133,7 +133,7 @@ def process_block(
         new_ovs, dc_x1, dc_y1, _ = pallas_fx.unpack_ovs4_dc(nst, state.ovs)
         return CompressorState(
             envelope=env_state,
-            gain=nst[:, pallas_fx._OUT_IDX["gain"]],
+            gain=nst[0:2, pallas_fx._OUT_IDX["gain"]],
             dc=DCBlockState(x1=dc_x1, y1=dc_y1),
             ovs=new_ovs,
             smooth=SmootherBank(

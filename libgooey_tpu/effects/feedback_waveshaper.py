@@ -169,7 +169,7 @@ def process_block(
             state.filter_state,
         )
         new_ovs2, dc_x1, dc_y1, _ = pallas_fx.unpack_ovs4_dc(nst, state.ovs)
-        filt_last = nst[:, pallas_fx._OUT_IDX["gain"]]
+        filt_last = nst[0:2, pallas_fx._OUT_IDX["gain"]]
         return FBShaperState(
             last_out=filt_last,
             filter_state=filt_last,

@@ -215,26 +215,53 @@ def _layout(blocks):
 
 _N1, _N2 = len(_C0_1), len(_C0_2)
 
+# Packed state is [4, K]: rows 0:2 hold polyphase chain 0 (both channels),
+# rows 2:4 chain 1 — the same stacked row order the pipeline computes in
+# (see _ovs4_pipeline), so every section state is ONE [4, 1] column slice
+# (Mosaic cannot concatenate two [2, 1] sublane slices in-kernel).
+# Per-channel scalars (x1/dc/gain/sm) live in rows 0:2 of their column.
+
 _IN_IDX, _K_IN = _layout(
-    [(f"u1c{c}_{f}", _N1) for c in range(2) for f in ("y", "x")]
-    + [(f"u2c{c}_{f}", _N2) for c in range(2) for f in ("ye", "xe", "xo")]
-    + [(f"d2c{c}_{f}", _N2) for c in range(2) for f in ("ye", "xe", "xo")]
-    + [("d2_x1", 1)]
-    + [(f"d1c{c}_{f}", _N1) for c in range(2) for f in ("y", "x")]
-    + [("d1_x1", 1), ("dc_x1", 1), ("dc_y1", 1)]
+    [("u1_y", _N1), ("u1_x", _N1)]
+    + [("u2_ye", _N2), ("u2_xe", _N2), ("u2_xo", _N2)]
+    + [("d2_ye", _N2), ("d2_xe", _N2), ("d2_xo", _N2)]
+    + [("d1_y", _N1), ("d1_x", _N1)]
+    + [("d2_x1", 1), ("d1_x1", 1), ("dc_x1", 1), ("dc_y1", 1)]
 )
 
 _OUT_IDX, _K_OUT = _layout(
-    [(f"u1c{c}_{f}", _N1) for c in range(2) for f in ("y", "x", "y2", "x2")]
-    + [(f"u2c{c}_{f}", _N2) for c in range(2) for f in ("yo", "xo", "ye", "xe")]
-    + [(f"d2c{c}_{f}", _N2) for c in range(2) for f in ("yo", "xo", "ye", "xe")]
-    + [("d2_x1", 1)]
-    + [(f"d1c{c}_{f}", _N1) for c in range(2) for f in ("y", "x", "y2", "x2")]
-    + [("d1_x1", 1), ("dc_x1", 1), ("dc_y1", 1), ("gain", 1), ("sm", 5)]
+    [("u1_y", _N1), ("u1_x", _N1), ("u1_y2", _N1), ("u1_x2", _N1)]
+    + [("u2_yo", _N2), ("u2_xo", _N2), ("u2_ye", _N2), ("u2_xe", _N2)]
+    + [("d2_yo", _N2), ("d2_xo", _N2), ("d2_ye", _N2), ("d2_xe", _N2)]
+    + [("d1_y", _N1), ("d1_x", _N1), ("d1_y2", _N1), ("d1_x2", _N1)]
+    + [("d2_x1", 1), ("d1_x1", 1), ("dc_x1", 1), ("dc_y1", 1),
+       ("gain", 1), ("sm", 5)]
 )
 # The OUT tail is a union across effects (saturation: sm[0:3]; compressor:
 # gain; waveshaper: neither) — columns an effect never writes are junk and
 # never read by its unpack.
+
+
+def _accessors(st_ref, nst_ref):
+    """Packed-state accessors: [4, 1] chain columns + duplicated scalars.
+
+    Scalar (per-channel) columns hold the same [2] value in rows 0:2 AND
+    2:4, so ``ld`` of a scalar key is directly usable as a [4, 1] fill for
+    stacked [4, C] arrays and ``lds`` (rows 0:2) feeds [2, C] math.
+    ``stvs`` maintains the duplication.
+    """
+    ld = lambda key, i=0: st_ref[:, _IN_IDX[key] + i:_IN_IDX[key] + i + 1]
+    lds = lambda key: st_ref[0:2, _IN_IDX[key]:_IN_IDX[key] + 1]
+
+    def stv(key, i, v):
+        nst_ref[:, _OUT_IDX[key] + i:_OUT_IDX[key] + i + 1] = v
+
+    def stvs(key, v, i=0):
+        c = _OUT_IDX[key] + i
+        nst_ref[0:2, c:c + 1] = v
+        nst_ref[2:4, c:c + 1] = v
+
+    return ld, lds, stv, stvs
 
 
 def _scan_const(b, a, y0):
@@ -243,25 +270,60 @@ def _scan_const(b, a, y0):
     One fused multiply-add per doubling step (the general form needs three);
     the y0 fix-up powers are built in-kernel from scalar constants
     (pallas_call rejects captured array constants).  b: [R, N]; y0: [R, 1].
+    ``a`` may be a scalar or an (a0, a1) pair (same sign) applied to row
+    groups 0:2 / 2:4 — per-group coefficients let independent polyphase
+    chains run stacked in one scan (see :func:`_ovs4_pipeline`).
     """
     N = b.shape[-1]
+    a0, a1 = (float(a[0]), float(a[1])) if isinstance(a, tuple) else (float(a),) * 2
+    paired = a0 != a1
+    if paired:  # in-kernel [R, 1] column (pallas rejects captured np arrays)
+        riot = jax.lax.broadcasted_iota(jnp.int32, (b.shape[0], 1), 0)
+        col = lambda v0, v1: jnp.where(riot < 2, np.float32(v0), np.float32(v1))
     step = 1
-    while step < N:
-        b = b + np.float32(a ** step) * _shift_right(b, step, 0.0)
+    while step < N:  # powers in f64, cast once (ULP parity with scalar form)
+        p = col(a0 ** step, a1 ** step) if paired else np.float32(a0 ** step)
+        b = b + p * _shift_right(b, step, 0.0)
         step *= 2
     iot = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
     n1 = iot.astype(jnp.float32) + 1.0
-    fix = jnp.exp(np.float32(np.log(abs(a))) * n1)
-    if a < 0:
+    la = (col(np.log(abs(a0)), np.log(abs(a1))) if paired
+          else np.float32(np.log(abs(a0))))
+    fix = jnp.exp(la * n1)
+    if a0 < 0 and a1 < 0:
         fix = fix * ((iot % 2).astype(jnp.float32) * 2.0 - 1.0)
+    else:
+        assert a0 >= 0 and a1 >= 0, "mixed-sign scan coefficients"
     return b + fix * y0
+
+
+def _pair(a):
+    """Normalize a scalar-or-pair coefficient to an (a0, a1) float tuple."""
+    return ((float(a[0]), float(a[1])) if isinstance(a, tuple)
+            else (float(a), float(a)))
+
+
+def _paircol(rows, v0, v1):
+    """Per-row-group constant: rows 0:2 get v0, rows 2:4 get v1.
+
+    Values are computed in python f64 and cast once; built in-kernel from
+    scalars with an iota select (pallas rejects captured np array
+    constants).  Collapses to a plain scalar when v0 == v1.
+    """
+    if float(v0) == float(v1):
+        return np.float32(v0)
+    riot = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    return jnp.where(riot < 2, np.float32(v0), np.float32(v1))
 
 
 def _ap_direct(sig, a, y0, x0):
     """First-order allpass ``y = a*x + x_prev - a*y_prev`` over independent
-    streams (no interleave coupling).  Returns (y, (y_last, x_last, y2, x2))."""
+    streams (no interleave coupling).  Returns (y, (y_last, x_last, y2, x2)).
+    ``a``: scalar, or an (a0, a1) pair for the stacked [4, C] form."""
+    a0, a1 = _pair(a)
+    ac = _paircol(sig.shape[0], a0, a1)
     x_prev = _shift_right(sig, 1, x0)
-    y = _scan_const(a * sig + x_prev, -a, y0)
+    y = _scan_const(ac * sig + x_prev, (-a0, -a1), y0)
     return y, (y[:, -1:], sig[:, -1:], y[:, -2:-1], sig[:, -2:-1])
 
 
@@ -270,13 +332,17 @@ def _ap_inter(xe, xo, a, ye0, xe0, xo0):
 
     Returns ``((ye, yo), (yo_last, xo_last, ye_last, xe_last))`` — the state
     tuple mirrors HalfbandState's (ap, apx, apy2, apx2) meaning for a section
-    that processes an interleaved stream.
+    that processes an interleaved stream.  ``a``: scalar or (a0, a1) pair.
     """
+    a0, a1 = _pair(a)
+    R = xe.shape[0]
+    ac = _paircol(R, a0, a1)
+    one_m_a2 = _paircol(R, 1.0 - a0 * a0, 1.0 - a1 * a1)
     xe_prev = _shift_right(xe, 1, xe0)
     xo_prev = _shift_right(xo, 1, xo0)
-    rhs = a * xe + (1.0 - a * a) * xo_prev - a * xe_prev
-    ye = _scan_const(rhs, a * a, ye0)
-    yo = a * xo + xe - a * ye
+    rhs = ac * xe + one_m_a2 * xo_prev - ac * xe_prev
+    ye = _scan_const(rhs, (a0 * a0, a1 * a1), ye0)
+    yo = ac * xo + xe - ac * ye
     return (ye, yo), (yo[:, -1:], xo[:, -1:], ye[:, -1:], xe[:, -1:])
 
 
@@ -306,76 +372,106 @@ def _traj(cur, tgt, coeff, shape):
     return tgt + jnp.where(jnp.abs(d) < 1e-4, 0.0, d)
 
 
-def _ovs4_pipeline(x, shape_fn, ld, stv):
+def _tile4(v):
+    """Tile a [2, ...] per-channel array to the [4, ...] stacked-phase rows."""
+    return jnp.concatenate([v, v], axis=0)
+
+
+def _swap_halves(v4):
+    """Swap row groups 0:2 and 2:4 of a [4, C] array (a sublane roll)."""
+    return pltpu.roll(v4, 2, 0)
+
+
+def _rowsel(lo4, hi4):
+    """[lo4[0:2]; hi4[2:4]] via a select — Mosaic cannot lower a
+    tpu.concatenate whose operands sit at different sublane offsets, so
+    stacked rows are combined with where(row < 2) instead."""
+    riot = jax.lax.broadcasted_iota(jnp.int32, lo4.shape, 0)
+    return jnp.where(riot < 2, lo4, hi4)
+
+
+def _ovs4_pipeline(x, shape_fn, ld, stv, lds, stvs):
     """up1 -> up2 -> shape -> down2 -> down1 through the packed state.
 
-    ``shape_fn(v)``: elementwise nonlinearity at the 4x rate.  ``ld(key,
-    i)``/``stv(key, i, v)``: packed-state column accessors.  Returns the
-    band-limited shaped signal at the engine rate.
+    ``shape_fn(v)``: elementwise nonlinearity at the 4x rate.  ``ld/stv``:
+    [4, 1] chain-column accessors; ``lds/stvs``: duplicated-scalar
+    accessors (see :func:`_accessors`).  Returns the band-limited shaped
+    signal at the engine rate.
+
+    The two polyphase chains of each stage are independent, so they run
+    STACKED as a [4, C] array (rows 0:2 = chain 0 both channels, rows 2:4
+    = chain 1) with per-row-group coefficient pairs: half the scan count
+    of the two-[2, C]-calls form, and the (8, 128) vector tiles that a
+    [2, C] op would leave three-quarters empty carry four rows instead.
+    Per-row op order is unchanged, so results are bit-exact vs the
+    unstacked form.  Half-stacks are combined with rolls/selects, never
+    sublane concatenation (Mosaic lowering restriction).  ``shape_fn``
+    receives [4, C]; per-channel captures must tile to 4 rows
+    (``_tile4``).
     """
-    def chain_direct(sig, coefs, pref):
-        for i, a in enumerate(coefs):
-            sig, (y_l, x_l, y2, x2) = _ap_direct(
-                sig, float(a), ld(f"{pref}_y", i), ld(f"{pref}_x", i))
+    def chain_direct2(sig4, coefs0, coefs1, pref):
+        for i, aa in enumerate(zip(coefs0, coefs1)):
+            sig4, (y_l, x_l, y2, x2) = _ap_direct(
+                sig4, aa, ld(f"{pref}_y", i), ld(f"{pref}_x", i))
             stv(f"{pref}_y", i, y_l)
             stv(f"{pref}_x", i, x_l)
             stv(f"{pref}_y2", i, y2)
             stv(f"{pref}_x2", i, x2)
-        return sig
+        return sig4
 
-    def chain_inter(xe, xo, coefs, pref):
-        for i, a in enumerate(coefs):
-            (xe, xo), (yo_l, xo_l, ye_l, xe_l) = _ap_inter(
-                xe, xo, float(a),
+    def chain_inter2(xe4, xo4, coefs0, coefs1, pref):
+        for i, aa in enumerate(zip(coefs0, coefs1)):
+            (xe4, xo4), (yo_l, xo_l, ye_l, xe_l) = _ap_inter(
+                xe4, xo4, aa,
                 ld(f"{pref}_ye", i), ld(f"{pref}_xe", i), ld(f"{pref}_xo", i))
             stv(f"{pref}_yo", i, yo_l)
             stv(f"{pref}_xo", i, xo_l)
             stv(f"{pref}_ye", i, ye_l)
             stv(f"{pref}_xe", i, xe_l)
-        return xe, xo
+        return xe4, xo4
 
     # up1: both phase chains filter the engine-rate input independently
-    e1 = chain_direct(x, _C0_1, "u1c0")
-    o1 = chain_direct(x, _C1_1, "u1c1")
-    # up2: chains process the interleaved 2x stream (e1, o1)
-    q0, q2 = chain_inter(e1, o1, _C0_2, "u2c0")
-    q1, q3 = chain_inter(e1, o1, _C1_2, "u2c1")
-    # nonlinearity at 4x — elementwise per phase
-    q0, q1, q2, q3 = (shape_fn(q) for q in (q0, q1, q2, q3))
+    s4 = chain_direct2(_tile4(x), _C0_1, _C1_1, "u1")
+    # up2: both chains process the same interleaved 2x stream (e1, o1);
+    # s4 rows = (e1, o1), swapped = (o1, e1)
+    s4_sw = _swap_halves(s4)
+    xe4, xo4 = chain_inter2(
+        _rowsel(s4, s4_sw), _rowsel(s4_sw, s4), _C0_2, _C1_2, "u2")
+    # nonlinearity at 4x — elementwise, all four phases in two stacked ops
+    xe4 = shape_fn(xe4)   # rows: (q0, q1)
+    xo4 = shape_fn(xo4)   # rows: (q2, q3)
     # down2: even 2x stream = (q0, q2); odd = (q1, q3) delayed one 4x step
-    q3d = _shift_right(q3, 1, ld("d2_x1", 0))
-    ye0, yo0 = chain_inter(q0, q2, _C0_2, "d2c0")
-    ye1, yo1 = chain_inter(q3d, q1, _C1_2, "d2c1")
-    stv("d2_x1", 0, q3[:, -1:])
-    d2e = 0.5 * (ye0 + ye1)
-    d2o = 0.5 * (yo0 + yo1)
+    # -> xe_in = (q0, q3d): q3 already sits in xo4's upper rows, so one
+    # stacked shift (lower rows discarded by the select) does it
+    xo4_shift = _shift_right(xo4, 1, ld("d2_x1"))
+    stvs("d2_x1", _swap_halves(xo4)[0:2, -1:])  # q3's last sample
+    ye4, yo4 = chain_inter2(
+        _rowsel(xe4, xo4_shift), _rowsel(xo4, xe4), _C0_2, _C1_2, "d2")
+    # 2x downsampled stream: both row groups hold the same (d2e, d2o)
+    d2e4 = 0.5 * (ye4 + _swap_halves(ye4))
+    d2o4 = 0.5 * (yo4 + _swap_halves(yo4))
+    stvs("d1_x1", d2o4[0:2, -1:])
     # down1: phases of the 2x stream run independent chains
-    d2od = _shift_right(d2o, 1, ld("d1_x1", 0))
-    ya = chain_direct(d2e, _C0_1, "d1c0")
-    yb = chain_direct(d2od, _C1_1, "d1c1")
-    stv("d1_x1", 0, d2o[:, -1:])
-    return 0.5 * (ya + yb)
+    d2o_shift = _shift_right(d2o4, 1, ld("d1_x1"))
+    y4 = chain_direct2(_rowsel(d2e4, d2o_shift), _C0_1, _C1_1, "d1")
+    return 0.5 * (y4 + _swap_halves(y4))[0:2]
 
 
-def _dc_block(sat, bypass, ld, stv):
+def _dc_block(sat, bypass, lds, stvs):
     """Bypass-gated DC blocker (per-sample poles -> general affine scans)."""
     A1 = jnp.where(bypass, 1.0, 0.0)
     A2 = jnp.where(bypass, 1.0, 0.995)
-    x1 = _affine_scan(A1, (1.0 - A1) * sat, ld("dc_x1", 0))
-    x1_prev = _shift_right(x1, 1, ld("dc_x1", 0))
-    y1 = _affine_scan(A2, (1.0 - A1) * (sat - x1_prev), ld("dc_y1", 0))
-    stv("dc_x1", 0, x1[:, -1:])
-    stv("dc_y1", 0, y1[:, -1:])
+    x1 = _affine_scan(A1, (1.0 - A1) * sat, lds("dc_x1"))
+    x1_prev = _shift_right(x1, 1, lds("dc_x1"))
+    y1 = _affine_scan(A2, (1.0 - A1) * (sat - x1_prev), lds("dc_y1"))
+    stvs("dc_x1", x1[:, -1:])
+    stvs("dc_y1", y1[:, -1:])
     return y1
 
 
 def _sat4_kernel(x_ref, cur_ref, tgt_ref, st_ref, out_ref, nst_ref, *, coeff):
     """Full TubeSaturation block (saturation.rs; effects/saturation.py)."""
-    ld = lambda key, i: st_ref[:, _IN_IDX[key] + i:_IN_IDX[key] + i + 1]
-
-    def stv(key, i, v):
-        nst_ref[:, _OUT_IDX[key] + i:_OUT_IDX[key] + i + 1] = v
-
+    ld, lds, stv, stvs = _accessors(st_ref, nst_ref)
     x = x_ref[...]
     shape = x.shape
     t_drive = _traj(cur_ref[:, 0:1], tgt_ref[:, 0:1], coeff, shape)
@@ -384,20 +480,22 @@ def _sat4_kernel(x_ref, cur_ref, tgt_ref, st_ref, out_ref, nst_ref, *, coeff):
     drive = 1.0 + t_drive * 7.0
     bias = t_warm * 0.4
     bypass = mix < 1e-4
+    drive4 = _tile4(drive)  # shape_fn sees the [4, C] stacked phases
+    bias4 = _tile4(bias)
 
     def shape_fn(v):
-        driven = v * drive
-        biased = driven + bias * jnp.abs(driven)
+        driven = v * drive4
+        biased = driven + bias4 * jnp.abs(driven)
         soft = _atan(biased) * _FRAC_2_PI
-        return soft + jnp.square(soft) * jnp.sign(soft) * 0.15 * bias
+        return soft + jnp.square(soft) * jnp.sign(soft) * 0.15 * bias4
 
-    sat = _ovs4_pipeline(x, shape_fn, ld, stv)
-    y1 = _dc_block(sat, bypass, ld, stv)
+    sat = _ovs4_pipeline(x, shape_fn, ld, stv, lds, stvs)
+    y1 = _dc_block(sat, bypass, lds, stvs)
     out = jnp.where(bypass, x, x * (1.0 - mix) + y1 * mix)
     out_ref[...] = jnp.where(jnp.isfinite(out), out, 0.0)
-    stv("sm", 0, t_drive[:, -1:])
-    stv("sm", 1, t_warm[:, -1:])
-    stv("sm", 2, mix[:, -1:])
+    stvs("sm", t_drive[:, -1:], 0)
+    stvs("sm", t_warm[:, -1:], 1)
+    stvs("sm", mix[:, -1:], 2)
 
 
 @functools.partial(jax.jit, static_argnames=("coeff", "interpret"))
@@ -405,8 +503,8 @@ def saturation_block(x, cur, tgt, packed, *, coeff, interpret=None):
     """One fused TubeSaturation block.
 
     x: [2, B] input; cur/tgt: [2, 3] normalized smoother state (drive,
-    warmth, mix); packed: [2, K_in] from :func:`pack_ovs4_dc`; coeff: the
-    30 ms smoothing coefficient.  Returns ``(out[2, B], nst[2, K_out])``
+    warmth, mix); packed: [4, K_in] from :func:`pack_ovs4_dc`; coeff: the
+    30 ms smoothing coefficient.  Returns ``(out[2, B], nst[4, K_out])``
     (new smoother currents ride in nst's trailing "sm" block).
     """
     if interpret is None:
@@ -416,7 +514,7 @@ def saturation_block(x, cur, tgt, packed, *, coeff, interpret=None):
         functools.partial(_sat4_kernel, coeff=float(coeff)),
         out_shape=(
             jax.ShapeDtypeStruct((2, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, _K_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((4, _K_OUT), jnp.float32),
         ),
         in_specs=[_vmem()] * 4,
         out_specs=(_vmem(), _vmem()),
@@ -426,45 +524,58 @@ def saturation_block(x, cur, tgt, packed, *, coeff, interpret=None):
     return out, nst
 
 
+def _scol(v):
+    """Per-channel scalar [2] -> duplicated [4, 1] column (see _accessors)."""
+    v2 = jnp.asarray(v, jnp.float32).reshape(2, 1)
+    return jnp.concatenate([v2, v2], axis=0)
+
+
 def pack_ovs4_dc(ovs, dc_x1, dc_y1):
-    """OversamplerState + DC state -> [2, K_in]: ONE concatenate."""
+    """OversamplerState + DC state -> [4, K_in] stacked-chain layout.
+
+    Rows 0:2 = polyphase chain 0 (both channels), rows 2:4 = chain 1;
+    scalar columns are duplicated across both halves.  Built XLA-side
+    (cheap, fusable concatenates) so the kernels never assemble sublane
+    stacks themselves.
+    """
+    s2 = lambda c0, c1: jnp.concatenate([c0, c1], axis=0)  # [2,N]+[2,N]
     parts = [
-        ovs.up1.ap0, ovs.up1.ap0x, ovs.up1.ap1, ovs.up1.ap1x,
-        ovs.up2.ap0y2, ovs.up2.ap0x2, ovs.up2.ap0x,
-        ovs.up2.ap1y2, ovs.up2.ap1x2, ovs.up2.ap1x,
-        ovs.down2.ap0y2, ovs.down2.ap0x2, ovs.down2.ap0x,
-        ovs.down2.ap1y2, ovs.down2.ap1x2, ovs.down2.ap1x,
-        ovs.down2.x1[:, None],
-        ovs.down1.ap0, ovs.down1.ap0x, ovs.down1.ap1, ovs.down1.ap1x,
-        ovs.down1.x1[:, None], dc_x1[:, None], dc_y1[:, None],
+        s2(ovs.up1.ap0, ovs.up1.ap1), s2(ovs.up1.ap0x, ovs.up1.ap1x),
+        s2(ovs.up2.ap0y2, ovs.up2.ap1y2), s2(ovs.up2.ap0x2, ovs.up2.ap1x2),
+        s2(ovs.up2.ap0x, ovs.up2.ap1x),
+        s2(ovs.down2.ap0y2, ovs.down2.ap1y2),
+        s2(ovs.down2.ap0x2, ovs.down2.ap1x2),
+        s2(ovs.down2.ap0x, ovs.down2.ap1x),
+        s2(ovs.down1.ap0, ovs.down1.ap1), s2(ovs.down1.ap0x, ovs.down1.ap1x),
+        _scol(ovs.down2.x1), _scol(ovs.down1.x1), _scol(dc_x1), _scol(dc_y1),
     ]
     return jnp.concatenate(parts, axis=-1)
 
 
 def unpack_ovs4_dc(nst, ovs):
-    """[2, K_out] -> (OversamplerState, dc_x1, dc_y1, smoother_current).
+    """[4, K_out] -> (OversamplerState, dc_x1, dc_y1, smoother_current).
 
     ``ovs`` supplies untouched fields (up1.x1, up2.x1 — unused by 4x flow).
     """
-    blk = lambda key, w: nst[:, _OUT_IDX[key]:_OUT_IDX[key] + w]
-    col = lambda key: nst[:, _OUT_IDX[key]]
+    blk2 = lambda key, w, c: nst[2 * c:2 * c + 2, _OUT_IDX[key]:_OUT_IDX[key] + w]
+    col = lambda key: nst[0:2, _OUT_IDX[key]]
 
     def stage1(pref, x1):
         return _ovs.HalfbandState(
-            ap0=blk(f"{pref}c0_y", _N1), ap0x=blk(f"{pref}c0_x", _N1),
-            ap1=blk(f"{pref}c1_y", _N1), ap1x=blk(f"{pref}c1_x", _N1),
+            ap0=blk2(f"{pref}_y", _N1, 0), ap0x=blk2(f"{pref}_x", _N1, 0),
+            ap1=blk2(f"{pref}_y", _N1, 1), ap1x=blk2(f"{pref}_x", _N1, 1),
             x1=x1,
-            ap0y2=blk(f"{pref}c0_y2", _N1), ap0x2=blk(f"{pref}c0_x2", _N1),
-            ap1y2=blk(f"{pref}c1_y2", _N1), ap1x2=blk(f"{pref}c1_x2", _N1),
+            ap0y2=blk2(f"{pref}_y2", _N1, 0), ap0x2=blk2(f"{pref}_x2", _N1, 0),
+            ap1y2=blk2(f"{pref}_y2", _N1, 1), ap1x2=blk2(f"{pref}_x2", _N1, 1),
         )
 
     def stage2(pref, x1):
         return _ovs.HalfbandState(
-            ap0=blk(f"{pref}c0_yo", _N2), ap0x=blk(f"{pref}c0_xo", _N2),
-            ap1=blk(f"{pref}c1_yo", _N2), ap1x=blk(f"{pref}c1_xo", _N2),
+            ap0=blk2(f"{pref}_yo", _N2, 0), ap0x=blk2(f"{pref}_xo", _N2, 0),
+            ap1=blk2(f"{pref}_yo", _N2, 1), ap1x=blk2(f"{pref}_xo", _N2, 1),
             x1=x1,
-            ap0y2=blk(f"{pref}c0_ye", _N2), ap0x2=blk(f"{pref}c0_xe", _N2),
-            ap1y2=blk(f"{pref}c1_ye", _N2), ap1x2=blk(f"{pref}c1_xe", _N2),
+            ap0y2=blk2(f"{pref}_ye", _N2, 0), ap0x2=blk2(f"{pref}_xe", _N2, 0),
+            ap1y2=blk2(f"{pref}_ye", _N2, 1), ap1x2=blk2(f"{pref}_xe", _N2, 1),
         )
 
     new_ovs = _ovs.OversamplerState(
@@ -473,7 +584,7 @@ def unpack_ovs4_dc(nst, ovs):
         down2=stage2("d2", col("d2_x1")),
         down1=stage1("d1", col("d1_x1")),
     )
-    return new_ovs, col("dc_x1"), col("dc_y1"), blk("sm", 3)
+    return new_ovs, col("dc_x1"), col("dc_y1"), nst[0:2, _OUT_IDX["sm"]:_OUT_IDX["sm"] + 3]
 
 
 def _ws4_kernel(x_ref, prm_ref, st_ref, out_ref, nst_ref):
@@ -482,17 +593,15 @@ def _ws4_kernel(x_ref, prm_ref, st_ref, out_ref, nst_ref):
     prm: [2, 2] per-channel (drive, mix) — chain targets are per-block
     scalars, not smoothed trajectories (mixer/chain.py process_entry).
     """
-    ld = lambda key, i: st_ref[:, _IN_IDX[key] + i:_IN_IDX[key] + i + 1]
-
-    def stv(key, i, v):
-        nst_ref[:, _OUT_IDX[key] + i:_OUT_IDX[key] + i + 1] = v
-
+    ld, lds, stv, stvs = _accessors(st_ref, nst_ref)
     x = x_ref[...]
     drive = jnp.maximum(prm_ref[:, 0:1], 1.0 + 1e-6)
     mix = prm_ref[:, 1:2]
     comp = np.float32(np.tanh(0.5)) / jnp.tanh(0.5 * drive)
 
-    shaped = _ovs4_pipeline(x, lambda v: jnp.tanh(v * drive) * comp, ld, stv)
+    drive4, comp4 = _tile4(drive), _tile4(comp)
+    shaped = _ovs4_pipeline(
+        x, lambda v: jnp.tanh(v * drive4) * comp4, ld, stv, lds, stvs)
     wet = x * (1.0 - mix) + shaped * mix
     bypass = (prm_ref[:, 1:2] <= 1e-4) | (prm_ref[:, 0:1] <= 1.0)
     out = jnp.where(bypass, x, wet)
@@ -503,8 +612,8 @@ def _ws4_kernel(x_ref, prm_ref, st_ref, out_ref, nst_ref):
 def waveshaper_block(x, drive, mix, packed, *, interpret=None):
     """One fused 4x waveshaper block.  drive/mix: scalars (or [2]).
 
-    packed: [2, K_in] from :func:`pack_ovs4_dc` (dc slots unused; pass
-    zeros).  Returns ``(out[2, B], nst[2, K_out])``.
+    packed: [4, K_in] from :func:`pack_ovs4_dc` (dc slots unused; pass
+    zeros).  Returns ``(out[2, B], nst[4, K_out])``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -517,7 +626,7 @@ def waveshaper_block(x, drive, mix, packed, *, interpret=None):
         _ws4_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((2, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, _K_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((4, _K_OUT), jnp.float32),
         ),
         in_specs=[_vmem()] * 3,
         out_specs=(_vmem(), _vmem()),
@@ -609,11 +718,7 @@ def _comp_kernel(x_ref, env_ref, thr_ref, ratio_ref, mix_ref, st_ref,
     """Compressor post-detector path: knee gain, gain smoothing, 4x tube
     coloring, DC block, mix (compressor.rs:101-223; effects/compressor.py).
     """
-    ld = lambda key, i: st_ref[:, _IN_IDX[key] + i:_IN_IDX[key] + i + 1]
-
-    def stv(key, i, v):
-        nst_ref[:, _OUT_IDX[key] + i:_OUT_IDX[key] + i + 1] = v
-
+    ld, lds, stv, stvs = _accessors(st_ref, nst_ref)
     x = x_ref[...]
     env = env_ref[...]
     thr = thr_ref[...]
@@ -633,15 +738,16 @@ def _comp_kernel(x_ref, env_ref, thr_ref, ratio_ref, mix_ref, st_ref,
 
     A = jnp.where(bypass, 1.0, 0.95)
     Bv = jnp.where(bypass, 0.0, 0.05 * gain_lin)
-    gain = _affine_scan(A, Bv, st_ref[:, _K_IN:_K_IN + 1])
-    stv("gain", 0, gain[:, -1:])
+    gain = _affine_scan(A, Bv, st_ref[0:2, _K_IN:_K_IN + 1])
+    stvs("gain", gain[:, -1:])
 
     compressed = x * gain
     colored_os = _ovs4_pipeline(
-        compressed, lambda v: _atan(v) * np.float32(_FRAC_2_PI * 1.1), ld, stv
+        compressed, lambda v: _atan(v) * np.float32(_FRAC_2_PI * 1.1),
+        ld, stv, lds, stvs
     )
     colored = jnp.where(gain < 0.99, colored_os, compressed)
-    y1 = _dc_block(colored, bypass, ld, stv)
+    y1 = _dc_block(colored, bypass, lds, stvs)
     out = jnp.where(bypass, x, x * (1.0 - mix) + y1 * mix)
     out_ref[...] = jnp.where(jnp.isfinite(out), out, 0.0)
 
@@ -650,22 +756,21 @@ def _comp_kernel(x_ref, env_ref, thr_ref, ratio_ref, mix_ref, st_ref,
 def compressor_block(x, env, thr, ratio, mix, packed, gain0, *, interpret=None):
     """Fused compressor post-detector block.
 
-    x/env/thr/ratio/mix: [2, B]; packed: [2, K_in] (pack_ovs4_dc with the
+    x/env/thr/ratio/mix: [2, B]; packed: [4, K_in] (pack_ovs4_dc with the
     compressor's DC state); gain0: [2] smoothed-gain carry.  Returns
-    ``(out[2, B], nst[2, K_out])`` — new gain in nst's "gain" column.
+    ``(out[2, B], nst[4, K_out])`` — new gain in nst's "gain" column.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = x.shape[-1]
     packed_g = jnp.concatenate(
-        [packed.astype(jnp.float32),
-         jnp.asarray(gain0, jnp.float32).reshape(2, 1)], axis=-1
+        [packed.astype(jnp.float32), _scol(gain0)], axis=-1
     )
     return pl.pallas_call(
         _comp_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((2, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, _K_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((4, _K_OUT), jnp.float32),
         ),
         in_specs=[_vmem()] * 6,
         out_specs=(_vmem(), _vmem()),
@@ -965,11 +1070,7 @@ def _fbws_kernel(x_ref, env_ref, prm_ref, st_ref, out_ref, nst_ref):
     mix) per-block scalars; env: [2, B] from env_follower_block; the
     carried filter state rides the packed "gain" column.
     """
-    ld = lambda key, i: st_ref[:, _IN_IDX[key] + i:_IN_IDX[key] + i + 1]
-
-    def stv(key, i, v):
-        nst_ref[:, _OUT_IDX[key] + i:_OUT_IDX[key] + i + 1] = v
-
+    ld, lds, stv, stvs = _accessors(st_ref, nst_ref)
     x = x_ref[...]
     env = env_ref[...]
     drive = prm_ref[:, 0:1]
@@ -978,7 +1079,7 @@ def _fbws_kernel(x_ref, env_ref, prm_ref, st_ref, out_ref, nst_ref):
     mix = prm_ref[:, 3:4]
     bypass = (mix <= 1e-4) | (drive <= 1.0)
 
-    shaped = _ovs4_pipeline(x * drive, jnp.tanh, ld, stv)
+    shaped = _ovs4_pipeline(x * drive, jnp.tanh, ld, stv, lds, stvs)
 
     # gain_compensation (feedback_waveshaper.rs:247-259)
     reference = jnp.maximum(env, _FBWS_ENV_FLOOR)
@@ -998,20 +1099,20 @@ def _fbws_kernel(x_ref, env_ref, prm_ref, st_ref, out_ref, nst_ref):
     # coefficient from accumulating across doubling steps)
     bc = lambda v: jnp.broadcast_to(v, x.shape)
     A1 = bc(jnp.where(bypass, 1.0, 0.0))
-    x1 = _affine_scan(A1, (1.0 - A1) * compensated, ld("dc_x1", 0))
-    x1_prev = _shift_right(x1, 1, ld("dc_x1", 0))
+    x1 = _affine_scan(A1, (1.0 - A1) * compensated, lds("dc_x1"))
+    x1_prev = _shift_right(x1, 1, lds("dc_x1"))
     A2 = bc(jnp.where(bypass, 1.0, np.float32(_FBWS_DC)))
-    y1 = _affine_scan(A2, (1.0 - A1) * (compensated - x1_prev), ld("dc_y1", 0))
+    y1 = _affine_scan(A2, (1.0 - A1) * (compensated - x1_prev), lds("dc_y1"))
     dc = jnp.where(bypass, 0.0, y1)
     Af = bc(jnp.where(bypass, 1.0, 1.0 - fbc))
-    filt = _affine_scan(Af, (1.0 - A1) * fbc * dc, st_ref[:, _K_IN:_K_IN + 1])
+    filt = _affine_scan(Af, (1.0 - A1) * fbc * dc, st_ref[0:2, _K_IN:_K_IN + 1])
     filt = jnp.where(jnp.abs(filt) < 1e-15, 0.0, filt)
 
     out = jnp.where(bypass, x, x * (1.0 - mix) + dc * mix)
     out_ref[...] = out
-    stv("dc_x1", 0, x1[:, -1:])
-    stv("dc_y1", 0, y1[:, -1:])
-    stv("gain", 0, filt[:, -1:])
+    stvs("dc_x1", x1[:, -1:])
+    stvs("dc_y1", y1[:, -1:])
+    stvs("gain", filt[:, -1:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1019,8 +1120,8 @@ def fbws_fast_block(x, env, drive, feedback, fbc, mix, packed, filt0, *,
                     interpret=None):
     """One fused zero-feedback-path feedback-waveshaper block.
 
-    packed: [2, K_in] via pack_ovs4_dc(ovs, dc_x1, dc_y1); filt0: [2]
-    carried feedback-filter state.  Returns ``(out[2, B], nst[2, K_out])``
+    packed: [4, K_in] via pack_ovs4_dc(ovs, dc_x1, dc_y1); filt0: [2]
+    carried feedback-filter state.  Returns ``(out[2, B], nst[4, K_out])``
     (new filter state in nst's "gain" column).
     """
     if interpret is None:
@@ -1031,8 +1132,7 @@ def fbws_fast_block(x, env, drive, feedback, fbc, mix, packed, filt0, *,
         for p in (drive, feedback, fbc, mix)
     ], axis=-1)
     packed_f = jnp.concatenate(
-        [packed.astype(jnp.float32),
-         jnp.asarray(filt0, jnp.float32).reshape(2, 1)], axis=-1
+        [packed.astype(jnp.float32), _scol(filt0)], axis=-1
     )
     # the filter seed rides one column past the base layout (same slot the
     # compressor uses for its gain carry)
@@ -1040,7 +1140,7 @@ def fbws_fast_block(x, env, drive, feedback, fbc, mix, packed, filt0, *,
         _fbws_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((2, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, _K_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((4, _K_OUT), jnp.float32),
         ),
         in_specs=[_vmem()] * 4,
         out_specs=(_vmem(), _vmem()),
