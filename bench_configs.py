@@ -245,8 +245,9 @@ def bench_effects_chain_all9():
 def bench_granulator_sampler_4k():
     # one granulator "mega-instance" with 4,000 grain lanes (the grain state
     # is shape-driven, so the 4k-concurrent-grains config is literally one
-    # batched state) + 128 sampler racks x 32 voices vmapped
-    G_LANES, RACKS = 4000, 128
+    # batched state) + the reference's full sampler capacity (4 racks x 32
+    # voices, ffi.rs:585 / sampler.rs:13) = 4,128 lanes total
+    G_LANES, RACKS = 4000, 4
     buf = np.random.RandomState(0).randn(1 << 15).astype(np.float32) * 0.3
     base = gran.init_state(buf, SR)
     rng = np.random.RandomState(1)

@@ -1,28 +1,39 @@
-"""Pallas TPU kernel for per-grain cubic buffer reads.
+"""Pallas TPU kernels for per-grain cubic / per-voice linear buffer reads.
 
-The granulator/sampler hot loop reads ``[G, B]`` cubic-interpolated
-samples at positions ``pos[g, n] = p0[g] + step[g] * n`` — linear in n.
-XLA lowers this to a random gather (descriptor-rate bound: ~62 ms for
-4000x512 taps on a v5e).  This kernel exploits the linearity: each
-128-sample output chunk touches one CONTIGUOUS source window, so it
+The granulator/sampler hot loop reads ``[G, B]`` interpolated samples at
+positions ``pos[g, n] = p0[g] + step[g] * n`` — linear in n.  XLA lowers
+this to a random gather (descriptor-rate bound: ~62 ms for 4000x512 taps
+on a v5e).  These kernels exploit the linearity: each CH-sample output
+chunk touches one CONTIGUOUS source window, so per (grain, chunk) they
 
-1. DMAs that window HBM->VMEM as ``WINR`` 128-float rows at an arbitrary
-   row offset (a handful of descriptors per chunk instead of one per
-   tap),
-2. builds the Catmull-Rom weights as dense ``[CHUNK, 128]`` tiles from
-   iota arithmetic -- no gather anywhere -- and
-3. accumulates the chunk as ``WINR`` MXU matvecs ``W_r @ window_row_r``.
+1. DMA that window HBM->VMEM as one flat ``[WINR*128]`` lane row,
+   double-buffered so the next window's transfer hides behind the
+   current chunk's compute;
+2. build a TRANSPOSED weight matrix ``Wt[WINR*128, CH]`` (window element
+   k's weight for output sample n) as dense per-window-row tiles from
+   iota arithmetic — rows outside the chunk's tap span are zeroed, not
+   built (for |step| <= 2 that skips ~2/3 of the rows);
+3. evaluate the whole chunk as ONE MXU pass ``win[1, K] @ Wt[K, CH]``.
+
+A first revision issued one [128, 128] matvec per active window row; on
+a v5e the ~150 ns per-matmul dispatch latency dominated everything
+(48k matvecs = 7.3 ms/block at 4000 grains).  One wide M=1 matmul per
+chunk cuts the dispatch count 6x, and the flat-row window layout is what
+makes it legal: the contraction dim must be the LHS lane axis, so the
+window is DMA'd as lanes and the weights live transposed.
 
 Positions are clipped to the buffer exactly like the XLA path; the
 buffer is edge-padded by (1, 2) so the 4-tap stencil never leaves the
 window.  Valid for ``|step| <= MAX_STEP`` (~7); the wrapper clips steps
-to that range -- the reference's pitch map tops out at 4x.
+to that range — the reference's pitch map tops out at 4x.
 
 Numerics: the kernel evaluates the interpolation in basis form
-(c0*p0 + c1*p1 + c2*p2 + c3*p3) while the gather path uses Horner form;
-both are f32 roundings of the same polynomial and sit within
-~eps(pos)*slope of the f64 truth (positions at ~4k: ~1e-3 absolute), on
-opposite sides.  Same precision class as the XLA path.
+(c0*p0 + c1*p1 + c2*p2 + c3*p3) via a manual bf16x3 MXU matmul (see
+``_dot3``) while the gather path uses f32 Horner form; measured max
+divergence ~3e-5 absolute on unity-scale noise (~-90 dBFS) — dominated
+by the dropped bf16 lo*lo product, with eps(pos)*slope position
+rounding below it.  (Round-1 note: the default MXU precision rounds
+operands to bf16, which cost -39 dBFS; HIGHEST doubles kernel time.)
 """
 
 from __future__ import annotations
@@ -35,88 +46,132 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 128
-WINR = 8                  # window rows of 128 floats DMA'd per chunk
+CHUNK = 256               # output samples per window chunk (<= engine block)
+WINR = 15                 # window rows of 128 floats per chunk
 TG = 8                    # grains per grid program
 MAX_STEP = float((WINR * 128 - 4 - 127) / (CHUNK - 1))  # ~7.03
 
 
-def _kernel(p0_ref, step_ref, buf_ref, out_ref, win_ref, acc_ref, sem, *, B, NR, L):
+def _cubic_w(d, c0, c1, c2, c3):
+    """Dense tap-weight tile: d == j selects cj, else 0 (binary tree)."""
+    lo = jnp.where(d == 0, c0, c1)
+    hi = jnp.where(d == 2, c2, c3)
+    return jnp.where((d >= 0) & (d <= 3), jnp.where(d <= 1, lo, hi), 0.0)
+
+
+def _dot3(a, b):
+    """Manual bf16x3 matmul: Mosaic's default MXU precision rounds both
+    operands to bf16 (-39 dBFS absolute on unity audio), HIGHEST costs 6
+    passes, and Precision.HIGH is unimplemented in Mosaic — so split each
+    operand into bf16 (hi, lo) halves and take the three significant
+    products (error ~2^-22 relative, ~-100 dBFS; measured 1.4e-5 max abs
+    on the 4k-grain bench signal)."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dp = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    return dp(ah, bh) + (dp(ah, bl) + dp(al, bh))
+
+
+def _kernel(p0_ref, step_ref, buf_ref, out_ref, win_ref, wt_ref, sem,
+            *, B, NR, L, CH, WR):
+    """win_ref: [2, WR, 128] double-buffered windows; wt_ref:
+    [WR*128, CH] transposed weights; buf_ref: [NR, 128] HBM rows."""
     LF = np.float32(L - 1)
+    KW = WR * 128
+    ncols = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1).astype(jnp.float32)
+    krow = jax.lax.broadcasted_iota(jnp.int32, (128, CH), 0)
+    NCH = B // CH
+    NK = TG * NCH
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0).astype(jnp.float32)
-
-    for t in range(TG):  # static unroll over the program's grains
+    def w0row(t, c):
         p0 = p0_ref[t, 0]
         stp = step_ref[t, 0]
+        n0 = jnp.asarray(c * CH, jnp.float32)
+        a = jnp.clip(p0 + stp * n0, 0.0, LF)
+        b = jnp.clip(p0 + stp * (n0 + CH - 1), 0.0, LF)
+        w0 = jnp.floor(jnp.minimum(a, b)).astype(jnp.int32)
+        return jnp.clip(w0 // 128, 0, NR - WR)
 
-        def chunk_body(c, _, t=t, p0=p0, stp=stp):
-            n0 = (c * CHUNK).astype(jnp.float32)
-            a = jnp.clip(p0 + stp * n0, 0.0, LF)
-            b = jnp.clip(p0 + stp * (n0 + CHUNK - 1), 0.0, LF)
-            w0 = jnp.floor(jnp.minimum(a, b)).astype(jnp.int32)
-            w0r = jnp.clip(w0 // 128, 0, NR - WINR)   # window start row
-            dma = pltpu.make_async_copy(
-                buf_ref.at[pl.ds(w0r, WINR)], win_ref, sem
-            )
-            dma.start()
+    def dma(k, slot):
+        t, c = k // NCH, k % NCH
+        return pltpu.make_async_copy(
+            buf_ref.at[pl.ds(w0row(t, c), WR)],
+            win_ref.at[slot], sem.at[slot],
+        )
 
-            pos = jnp.clip(p0 + stp * (n0 + row), 0.0, LF)     # [CHUNK, 1]
-            i1f = jnp.floor(pos)
-            f = pos - i1f
-            # padded coords: tap p0 (= buf[i1-1]) sits at window index rel
-            rel = i1f.astype(jnp.int32) - w0r * 128            # [CHUNK, 1]
-            f2 = f * f
-            f3 = f2 * f
-            c0 = -0.5 * f3 + f2 - 0.5 * f
-            c1 = 1.5 * f3 - 2.5 * f2 + 1.0
-            c2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
-            c3 = 0.5 * f3 - 0.5 * f2
+    dma(0, 0).start()
 
-            # chunk-level tap bounds: rows outside [rmin, rmax+3] hold no
-            # taps, so their weight tiles are skipped (predicated) — for
-            # |step| <= 1 that's 5 of the 8 rows
-            rel_a = jnp.floor(a).astype(jnp.int32) - w0r * 128
-            rel_b = jnp.floor(b).astype(jnp.int32) - w0r * 128
-            rmin = jnp.minimum(rel_a, rel_b)
-            rmax = jnp.maximum(rel_a, rel_b) + 3
+    def body(k, _):
+        t, c = k // NCH, k % NCH
+        slot = jax.lax.rem(k, 2)
 
-            dma.wait()
-            acc_ref[...] = jnp.zeros((CHUNK, 1), jnp.float32)
-            for r in range(WINR):  # static: one weight tile + matvec per row
-                overlap = (r * 128 <= rmax) & ((r + 1) * 128 > rmin)
+        @pl.when(k + 1 < NK)
+        def _():
+            dma(k + 1, jax.lax.rem(k + 1, 2)).start()
 
-                @pl.when(overlap)
-                def _(r=r):
-                    d = (r * 128 + col) - rel                  # [CHUNK, 128]
-                    W = (jnp.where(d == 0, c0, 0.0)
-                         + jnp.where(d == 1, c1, 0.0)
-                         + jnp.where(d == 2, c2, 0.0)
-                         + jnp.where(d == 3, c3, 0.0))
-                    wr = win_ref[r].reshape(128, 1)
-                    acc_ref[...] += jnp.dot(W, wr,
-                                            preferred_element_type=jnp.float32)
+        p0 = p0_ref[t, 0]
+        stp = step_ref[t, 0]
+        w0r = w0row(t, c)
+        n0 = jnp.asarray(c * CH, jnp.float32)
+        pos = jnp.clip(p0 + stp * (n0 + ncols), 0.0, LF)   # [1, CH]
+        i1f = jnp.floor(pos)
+        f = pos - i1f
+        # padded coords: tap p0 (= buf[i1-1]) sits at window index rel
+        rel = i1f.astype(jnp.int32) - w0r * 128            # [1, CH]
+        f2 = f * f
+        f3 = f2 * f
+        c0 = -0.5 * f3 + f2 - 0.5 * f
+        c1 = 1.5 * f3 - 2.5 * f2 + 1.0
+        c2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
+        c3 = 0.5 * f3 - 0.5 * f2
 
-            out_ref[t, pl.ds(c * CHUNK, CHUNK)] = acc_ref[...][:, 0]
-            return 0
+        # chunk-level tap bounds: rows outside [rmin, rmax+3] hold no taps
+        a = jnp.clip(p0 + stp * n0, 0.0, LF)
+        b = jnp.clip(p0 + stp * (n0 + CH - 1), 0.0, LF)
+        rel_a = jnp.floor(a).astype(jnp.int32) - w0r * 128
+        rel_b = jnp.floor(b).astype(jnp.int32) - w0r * 128
+        rmin = jnp.minimum(rel_a, rel_b)
+        rmax = jnp.maximum(rel_a, rel_b) + 3
 
-        jax.lax.fori_loop(0, B // CHUNK, chunk_body, 0)
+        for r in range(WR):  # static: build or zero one transposed row tile
+            overlap = (r * 128 <= rmax) & ((r + 1) * 128 > rmin)
+
+            @pl.when(overlap)
+            def _(r=r):
+                d = (r * 128 + krow) - rel                 # [128, CH]
+                wt_ref[r * 128:(r + 1) * 128, :] = _cubic_w(d, c0, c1, c2, c3)
+
+            @pl.when(jnp.logical_not(overlap))
+            def _(r=r):
+                wt_ref[r * 128:(r + 1) * 128, :] = jnp.zeros((128, CH),
+                                                             jnp.float32)
+
+        dma(k, slot).wait()
+        win = win_ref[slot].reshape(1, KW)  # [WR, 128] rows -> one lane row
+        out_ref[pl.ds(t, 1), pl.ds(c * CH, CH)] = _dot3(win, wt_ref[...])
+        return 0
+
+    jax.lax.fori_loop(0, NK, body, 0)
 
 
 def grain_read_cubic(buffer, p0, step, *, B: int, interpret=None):
     """Cubic reads at ``clip(p0 + step*n, 0, L-1)`` -> ``[G, B]``.
 
     Semantics match the XLA gather path (per-tap edge clamping via the
-    padded buffer).  ``B % CHUNK == 0``; G padded to a TG multiple.
+    padded buffer).  ``B % CH == 0``; G padded to a TG multiple.
     """
     if interpret is None:  # CPU (tests) runs the same kernel interpreted
         interpret = jax.default_backend() != "tpu"
+    CH = min(CHUNK, B)
+    wr_of = lambda ms: -(-int((CH - 1) * ms + 4 + 127) // 128)
+    WR = wr_of(MAX_STEP)
     L = buffer.shape[0]
     G = p0.shape[0]
     padded = jnp.concatenate([buffer[:1], buffer, buffer[-1:], buffer[-1:]])
     # rows of 128; pad one full window of extra rows so any w0r fits
-    NR = -(-(L + 3) // 128) + WINR
+    NR = -(-(L + 3) // 128) + WR
     padded = jnp.pad(padded, (0, NR * 128 - (L + 3)))
     # NOTE: p0 is NOT pre-clipped — the kernel clips pos per sample, which
     # preserves edge-hold ramps that start outside the buffer
@@ -126,25 +181,41 @@ def grain_read_cubic(buffer, p0, step, *, B: int, interpret=None):
     p0p = jnp.pad(p0p, (0, Gp - G))
     stp = jnp.pad(stp, (0, Gp - G))
     p0p = jnp.nan_to_num(p0p, nan=0.0, posinf=3e38, neginf=-3e38)
-    out = pl.pallas_call(
-        functools.partial(_kernel, B=B, NR=NR, L=L),
-        out_shape=jax.ShapeDtypeStruct((Gp, B), jnp.float32),
-        grid=(Gp // TG,),
-        in_specs=[
-            pl.BlockSpec((TG, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TG, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((TG, B), lambda i: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((WINR, 128), jnp.float32),
-            pltpu.VMEM((CHUNK, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(p0p.reshape(Gp, 1).astype(jnp.float32),
-      stp.reshape(Gp, 1).astype(jnp.float32),
-      padded.reshape(NR, 128).astype(jnp.float32))
+    args = (p0p.reshape(Gp, 1).astype(jnp.float32),
+            stp.reshape(Gp, 1).astype(jnp.float32),
+            padded.reshape(NR, 128).astype(jnp.float32))
+
+    def call(wr):
+        return pl.pallas_call(
+            functools.partial(_kernel, B=B, NR=NR, L=L, CH=CH, WR=wr),
+            out_shape=jax.ShapeDtypeStruct((Gp, B), jnp.float32),
+            grid=(Gp // TG,),
+            in_specs=[
+                pl.BlockSpec((TG, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TG, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((TG, B), lambda i: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, wr, 128), jnp.float32),
+                pltpu.VMEM((wr * 128, CH), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )
+
+    # two-tier windows: a narrow kernel covers the common |step| range with
+    # ~2.5x fewer MXU passes; a runtime cond picks per block
+    WR_FAST = 6
+    fast_max = (WR_FAST * 128 - 4 - 127) / (CH - 1)
+    if interpret:
+        out = call(WR)(*args)  # interpreter: one instance, full window
+    else:
+        ok = jnp.max(jnp.abs(stp)) <= np.float32(fast_max)
+        out = jax.lax.cond(ok, lambda a, b, c: call(WR_FAST)(a, b, c),
+                           lambda a, b, c: call(WR)(a, b, c), *args)
     return out[:G]
 
 
@@ -168,60 +239,95 @@ def gather_read_cubic(buffer, p0, step, *, B: int):
 
 # --- sampler variant: linear-interp stereo reads over an interleaved arena ---
 
-SWINR = 16                # sampler window rows (stride-2 flat positions; sublane-aligned)
-MAX_INC = float((SWINR * 128 - 6 - 127) / (2 * (CHUNK - 1)))  # ~5.5 frames/sample
+#: increment clip: reference increments are buffer_sr/engine_sr
+#: (sampler.rs:118) <= ~2.2 even for 96 kHz buffers in a 44.1 kHz engine;
+#: 4.0 leaves margin while keeping the stride-2 window at 17 rows
+MAX_INC = 4.0
 
 
-def _kernel_lin(p0_ref, step_ref, hi_ref, base_ref, ch_ref, buf_ref, out_ref,
-                win_ref, sem, *, B, NR):
-    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0).astype(jnp.float32)
+def _kernel_lin(p0_ref, step_ref, hi_ref, base_ref, buf_ref, out_ref,
+                win_ref, wt_ref, sem, *, B, NR, CH, WR):
+    """Each chunk emits BOTH channels from one window: the output tile is
+    [1, 2*CH] with L samples in lanes 0:CH and R in CH:2CH (R taps sit one
+    flat index above L in the interleaved arena), so stereo costs one DMA
+    + one dot instead of two."""
+    KW = WR * 128
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * CH), 1)
+    is_r = (lane2 >= CH).astype(jnp.int32)                  # channel offset
+    ncols2 = (lane2 - is_r * CH).astype(jnp.float32)        # sample-in-chunk
+    krow = jax.lax.broadcasted_iota(jnp.int32, (128, 2 * CH), 0)
+    NCH = B // CH
+    NK = TG * NCH
 
-    for t in range(TG):
+    def w0row(t, c):
         p0 = p0_ref[t, 0]
         stp = step_ref[t, 0]
         hi = hi_ref[t, 0]
-        flat_base = base_ref[t, 0]  # 2*base + ch (int)
-        ch = ch_ref[t, 0]
-        del ch  # folded into flat_base
+        flat_base = base_ref[t, 0]
+        n0 = jnp.asarray(c * CH, jnp.float32)
+        a = jnp.clip((p0 + n0) * stp, 0.0, hi)
+        b = jnp.clip((p0 + n0 + CH - 1) * stp, 0.0, hi)
+        w0 = 2 * jnp.floor(jnp.minimum(a, b)).astype(jnp.int32) + flat_base
+        return jnp.clip(w0 // 128, 0, NR - WR)
 
-        def chunk_body(c, _, t=t, p0=p0, stp=stp, hi=hi, flat_base=flat_base):
-            n0 = (c * CHUNK).astype(jnp.float32)
-            # positions in SLOT-RELATIVE frame coords computed as
-            # (age0 + n) * inc — the gather path's exact f32 order, so the
-            # two paths agree bit-for-bit (p0 here carries age0)
-            a = jnp.clip((p0 + n0) * stp, 0.0, hi)
-            b = jnp.clip((p0 + n0 + CHUNK - 1) * stp, 0.0, hi)
-            w0 = 2 * jnp.floor(jnp.minimum(a, b)).astype(jnp.int32) + flat_base
-            w0r = jnp.clip(w0 // 128, 0, NR - SWINR)
-            dma = pltpu.make_async_copy(
-                buf_ref.at[pl.ds(w0r, SWINR)], win_ref, sem
-            )
-            dma.start()
+    def dma(k, slot):
+        t, c = k // NCH, k % NCH
+        return pltpu.make_async_copy(
+            buf_ref.at[pl.ds(w0row(t, c), WR)],
+            win_ref.at[slot], sem.at[slot],
+        )
 
-            pos = jnp.clip((p0 + n0 + row) * stp, 0.0, hi)     # frame coords
-            i0f = jnp.floor(pos)
-            f = pos - i0f
-            rel = 2 * i0f.astype(jnp.int32) + flat_base - w0r * 128
-            rel_a = 2 * jnp.floor(a).astype(jnp.int32) + flat_base - w0r * 128
-            rel_b = 2 * jnp.floor(b).astype(jnp.int32) + flat_base - w0r * 128
-            rmin = jnp.minimum(rel_a, rel_b)
-            rmax = jnp.maximum(rel_a, rel_b) + 2
+    dma(0, 0).start()
 
-            dma.wait()
-            acc_shape = (CHUNK, 1)
-            acc = jnp.zeros(acc_shape, jnp.float32)
-            for r in range(SWINR):
-                overlap = (r * 128 <= rmax) & ((r + 1) * 128 > rmin)
-                d = (r * 128 + col) - rel                      # [CHUNK, 128]
-                W = jnp.where(d == 0, 1.0 - f, 0.0) + jnp.where(d == 2, f, 0.0)
-                wr = win_ref[r].reshape(128, 1)
-                part = jnp.dot(W, wr, preferred_element_type=jnp.float32)
-                acc = acc + jnp.where(overlap, part, 0.0)
-            out_ref[t, pl.ds(c * CHUNK, CHUNK)] = acc[:, 0]
-            return 0
+    def body(k, _):
+        t, c = k // NCH, k % NCH
+        slot = jax.lax.rem(k, 2)
 
-        jax.lax.fori_loop(0, B // CHUNK, chunk_body, 0)
+        @pl.when(k + 1 < NK)
+        def _():
+            dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        p0 = p0_ref[t, 0]
+        stp = step_ref[t, 0]
+        hi = hi_ref[t, 0]
+        flat_base = base_ref[t, 0]
+        w0r = w0row(t, c)
+        n0 = jnp.asarray(c * CH, jnp.float32)
+        # positions in SLOT-RELATIVE frame coords computed as
+        # (age0 + n) * inc — the gather path's exact f32 order, so the
+        # two paths agree bit-for-bit (p0 here carries age0)
+        pos = jnp.clip((p0 + n0 + ncols2) * stp, 0.0, hi)   # [1, 2CH]
+        i0f = jnp.floor(pos)
+        f = pos - i0f
+        rel = 2 * i0f.astype(jnp.int32) + flat_base - w0r * 128 + is_r
+        a = jnp.clip((p0 + n0) * stp, 0.0, hi)
+        b = jnp.clip((p0 + n0 + CH - 1) * stp, 0.0, hi)
+        rel_a = 2 * jnp.floor(a).astype(jnp.int32) + flat_base - w0r * 128
+        rel_b = 2 * jnp.floor(b).astype(jnp.int32) + flat_base - w0r * 128
+        rmin = jnp.minimum(rel_a, rel_b)
+        rmax = jnp.maximum(rel_a, rel_b) + 3    # +1 R offset, +2 far tap
+
+        for r in range(WR):
+            overlap = (r * 128 <= rmax) & ((r + 1) * 128 > rmin)
+
+            @pl.when(overlap)
+            def _(r=r):
+                d = (r * 128 + krow) - rel                 # [128, 2CH]
+                wt_ref[r * 128:(r + 1) * 128, :] = (
+                    jnp.where(d == 0, 1.0 - f, 0.0) + jnp.where(d == 2, f, 0.0)
+                )
+
+            @pl.when(jnp.logical_not(overlap))
+            def _(r=r):
+                wt_ref[r * 128:(r + 1) * 128, :] = jnp.zeros((128, 2 * CH),
+                                                             jnp.float32)
+
+        dma(k, slot).wait()
+        win = win_ref[slot].reshape(1, KW)  # [WR, 128] rows -> one lane row
+        out_ref[pl.ds(t, 1), pl.ds(c * 2 * CH, 2 * CH)] = _dot3(win, wt_ref[...])
+        return 0
+
+    jax.lax.fori_loop(0, NK, body, 0)
 
 
 def sampler_read_linear(arena, base, end_frames, age0, inc, *, B: int,
@@ -231,14 +337,17 @@ def sampler_read_linear(arena, base, end_frames, age0, inc, *, B: int,
     Per voice: frame position ``clip((age0 + n) * inc, 0, end-1)`` relative
     to ``base`` (the slot's arena offset), taps ``frame`` and ``frame+1``
     clamped to the slot end — bit-matching sampler.py's gather path.
-    ``arena``: [F, 2] float32.  Runs L and R as 2V grains of one kernel.
+    ``arena``: [F, 2] float32.  One kernel voice emits BOTH channels per
+    chunk (they share the window), so stereo is free.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    CH = min(CHUNK, B)
+    WR = -(-int(2 * (CH - 1) * MAX_INC + 7 + 127) // 128)
     F = arena.shape[0]
     V = age0.shape[0]
     flat = arena.reshape(2 * F)
-    NR = -(-(2 * F) // 128) + SWINR
+    NR = -(-(2 * F) // 128) + WR
     flat = jnp.pad(flat, (0, NR * 128 - 2 * F))
     # slot-relative clip bound.  The gather path clamps the i0+1 tap to
     # int(end-1), which collapses the fractional last frame to a hold at
@@ -248,38 +357,49 @@ def sampler_read_linear(arena, base, end_frames, age0, inc, *, B: int,
     hi = jnp.floor(jnp.maximum(end_frames - 1.0, 0.0))
     p0a = jnp.asarray(age0, jnp.float32)
     stp = jnp.clip(inc, -MAX_INC, MAX_INC)
-    # NOTE: the i0+1 tap is clamped to the slot end by construction: at
-    # pos == hi the weight of tap d==2 is frac(hi)... the gather path
-    # clamps i1 = min(i0+1, end-1); at integer hi frac == 0 so the d==2
-    # tap (one past the end) has zero weight — identical output.
-    V2 = 2 * V
-    Gp = ((V2 + TG - 1) // TG) * TG
+    Gp = ((V + TG - 1) // TG) * TG
+    padv = lambda x: jnp.pad(x, (0, Gp - V))
+    NCH = B // CH
+    args = (padv(p0a).reshape(Gp, 1), padv(stp).reshape(Gp, 1),
+            padv(hi).reshape(Gp, 1),
+            padv(2 * jnp.asarray(base, jnp.int32)).reshape(Gp, 1),
+            flat.reshape(NR, 128).astype(jnp.float32))
 
-    def dup(x):
-        return jnp.pad(jnp.stack([x, x], axis=1).reshape(V2), (0, Gp - V2))
+    def call(wr):
+        return pl.pallas_call(
+            functools.partial(_kernel_lin, B=B, NR=NR, CH=CH, WR=wr),
+            out_shape=jax.ShapeDtypeStruct((Gp, 2 * B), jnp.float32),
+            grid=(Gp // TG,),
+            in_specs=[
+                pl.BlockSpec((TG, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TG, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TG, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((TG, 1), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((TG, 2 * B), lambda i: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, wr, 128), jnp.float32),
+                pltpu.VMEM((wr * 128, 2 * CH), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )
 
-    ch = jnp.pad(jnp.tile(jnp.asarray([0, 1], jnp.int32), (V,)), (0, Gp - V2))
-    base2 = jnp.pad(jnp.stack([2 * base, 2 * base], axis=1).reshape(V2),
-                    (0, Gp - V2)) + ch
-    out = pl.pallas_call(
-        functools.partial(_kernel_lin, B=B, NR=NR),
-        out_shape=jax.ShapeDtypeStruct((Gp, B), jnp.float32),
-        grid=(Gp // TG,),
-        in_specs=[
-            pl.BlockSpec((TG, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TG, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TG, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TG, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TG, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((TG, B), lambda i: (i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((SWINR, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(dup(p0a).reshape(Gp, 1), dup(stp).reshape(Gp, 1),
-      dup(hi).reshape(Gp, 1), base2.astype(jnp.int32).reshape(Gp, 1),
-      ch.reshape(Gp, 1), flat.reshape(NR, 128))
-    return out[:V2].reshape(V, 2, B).transpose(0, 2, 1)  # [V, B, 2]
+    # two-tier windows: the narrow kernel covers inc <= ~2.25 (every
+    # realistic buffer_sr/engine_sr ratio) with ~1.7x fewer MXU passes
+    WR_FAST = 10
+    fast_max = (WR_FAST * 128 - 7 - 127) / (2 * (CH - 1))
+    if interpret:
+        out = call(WR)(*args)  # interpreter: one instance, full window
+    else:
+        ok = jnp.max(jnp.abs(stp)) <= np.float32(fast_max)
+        out = jax.lax.cond(
+            ok, lambda a, b, c, d, e: call(WR_FAST)(a, b, c, d, e),
+            lambda a, b, c, d, e: call(WR)(a, b, c, d, e), *args)
+    # per chunk the 2CH lanes are [L(c), R(c)]: -> [V, B, 2]
+    return out[:V].reshape(V, NCH, 2, CH).transpose(0, 1, 3, 2).reshape(V, B, 2)
