@@ -190,10 +190,9 @@ def bench_interactive_pipelined():
     }))
 
 
-def bench_effects_chain():
+def _chain_runner(effect_ids):
     chain = chain_mod.EffectChain(SR, 120.0)
-    for eid in (chain_mod.EFFECT_DELAY, chain_mod.EFFECT_REVERB,
-                chain_mod.EFFECT_SATURATION, chain_mod.EFFECT_TILT_FILTER):
+    for eid in effect_ids:
         chain.add(eid)
     x = jnp.asarray(
         np.random.RandomState(0).randn(N_BLOCKS, 2, B).astype(np.float32) * 0.3
@@ -211,35 +210,38 @@ def bench_effects_chain():
         return jax.lax.scan(step, states, x)
 
     states = tuple(chain.states)
-    wall = timed(lambda s: run(s, x), states)
-    report("fx_chain_delay_reverb_dist_tilt_4x", N_BLOCKS * B / SR, wall,
-           "stereo bus")
+    return lambda: run(states, x)
+
+
+def _bench_chain(name, effect_ids):
+    """Net of an empty-chain floor probe: the same 64-block dispatch with
+    zero effects measures pure dispatch/tunnel overhead (~25 ms RTT on a
+    remote chip), which a deployment's resident host process would not
+    pay; bench_fx.py uses the identical methodology."""
+    run = _chain_runner(effect_ids)
+    floor = _chain_runner(())
+    wall = timed(lambda: run())
+    wall_floor = timed(lambda: floor())
+    report(name, N_BLOCKS * B / SR, max(wall - wall_floor, 1e-9),
+           "stereo bus, net of empty-chain dispatch floor "
+           f"({wall_floor / N_BLOCKS * 1e6:.0f} us/block)")
+
+
+def bench_effects_chain():
+    _bench_chain(
+        "fx_chain_delay_reverb_dist_tilt_4x",
+        (chain_mod.EFFECT_DELAY, chain_mod.EFFECT_REVERB,
+         chain_mod.EFFECT_SATURATION, chain_mod.EFFECT_TILT_FILTER),
+    )
 
 
 def bench_effects_chain_all9():
     """All nine reorderable effects in series (the worst-case master bus)."""
-    chain = chain_mod.EffectChain(SR, 120.0)
-    for eid in range(chain_mod.REORDERABLE_EFFECT_COUNT):
-        chain.add(eid)
-    chain.add(chain_mod.EFFECT_PLATE_REVERB)
-    x = jnp.asarray(
-        np.random.RandomState(0).randn(N_BLOCKS, 2, B).astype(np.float32) * 0.3
+    _bench_chain(
+        "fx_chain_all9_4x",
+        tuple(range(chain_mod.REORDERABLE_EFFECT_COUNT))
+        + (chain_mod.EFFECT_PLATE_REVERB,),
     )
-    targets = tuple(chain.targets_list())
-    key = chain.static_key()
-
-    @jax.jit
-    def run(states, x):
-        def step(st, xb):
-            st2, y = chain_mod.process_chain(st, xb, targets, key,
-                                             sample_rate=SR)
-            return tuple(st2), y
-
-        return jax.lax.scan(step, states, x)
-
-    states = tuple(chain.states)
-    wall = timed(lambda s: run(s, x), states)
-    report("fx_chain_all9_4x", N_BLOCKS * B / SR, wall, "stereo bus")
 
 
 def bench_granulator_sampler_4k():
