@@ -1002,11 +1002,13 @@ def _lowpass_kernel(x_ref, g_ref, fb_ref, st0_ref, out_ref, stl_ref, *, B):
             s2 = s2 + gn * (s1 - s2)
             s1 = jnp.where(jnp.abs(s1) < 1e-15, 0.0, s1)
             s2 = jnp.where(jnp.abs(s2) < 1e-15, 0.0, s2)
-            out = jnp.tanh(s2)
-            ok = jnp.isfinite(out)
+            # the OUTPUT tanh runs vectorized in XLA after the kernel
+            # (lowpass_block); tanh maps +-inf to +-1, so the old
+            # isfinite(tanh(s2)) guard is exactly a NaN check on s2
+            ok = ~(s2 != s2)
             s1 = jnp.where(ok, s1, 0.0)
             s2 = jnp.where(ok, s2, 0.0)
-            out_ref[i] = jnp.where(ok, out, 0.0)
+            out_ref[i] = s2
             s[2 * ch], s[2 * ch + 1] = s1, s2
         return tuple(s)
 
@@ -1052,7 +1054,9 @@ def lowpass_block(x, g, fb, stages, *, interpret=None):
         interpret=interpret,
     )(flat(x), flat(g), flat(fb),
       jnp.asarray(stages, jnp.float32).reshape(4))
-    return out.reshape(2, B), stl.reshape(2, 2)
+    # output saturation vectorized here (fuses with the chain's next op);
+    # the kernel emits the raw stage-2 trajectory
+    return jnp.tanh(out.reshape(2, B)), stl.reshape(2, 2)
 
 
 _FBWS_DC = 0.995
