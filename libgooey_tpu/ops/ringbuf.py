@@ -55,7 +55,11 @@ def write_block(ring: Ring, x) -> Ring:
     else:
         idx = jnp.mod(ring.pos + jnp.arange(C, dtype=jnp.int32), L)
         buf = ring.buf.at[..., idx].set(x)
-    return Ring(buf=buf, pos=ring.pos + C)
+    # keep pos reduced mod L: a free-running int32 wraps after ~13.5 h at
+    # 44.1 kHz and L is rarely a power of two, so the wrap would misindex
+    # (and un-align the dynamic-update-slice fast path above).  Every
+    # consumer reduces mod L, so the reduction is free.
+    return Ring(buf=buf, pos=jnp.mod(ring.pos + C, L))
 
 
 def read_frac(ring: Ring, offsets, min_offset: float = 1.0):
