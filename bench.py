@@ -124,10 +124,19 @@ def main():
         family_static=(("kick", (("feedback_path", False), ("max_harmonics", 0))),),
     )
 
-    st = state
+    # MUST be jitted AND synced by a real download: on the tunneled axon
+    # backend, un-jitted top-level computations dispatch lazily and
+    # jax.block_until_ready returns without waiting for them — round 1's
+    # headline (42.1M RTF) was exactly that artifact.  A jitted call plus
+    # a small host read of the last block forces true completion.
+    run = jax.jit(lambda s: eng.render_many(s, events, **static))
+
+    def sync(out):
+        np.asarray(out[1][-1, :, -8:])  # ~RTT + 64 floats; depends on all blocks
+
     for _ in range(WARMUP):
-        st, out = eng.render_many(st, events, **static)
-    jax.block_until_ready(out)
+        out = run(state)
+    sync(out)
 
     # the TPU is reached through a shared tunnel with bursty multi-second
     # load swings (2x between windows); measure in several separated
@@ -137,10 +146,9 @@ def main():
     n_batches = 5
     for batch in range(n_batches):
         for _ in range(ITERS):
-            st = state
             t0 = time.perf_counter()
-            st, out = eng.render_many(st, events, **static)
-            jax.block_until_ready(out)
+            out = run(state)
+            sync(out)
             times.append(time.perf_counter() - t0)
         if batch < n_batches - 1:
             time.sleep(4.0)

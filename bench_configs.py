@@ -43,15 +43,25 @@ def _grain_read():
     return "pallas" if jax.default_backend() == "tpu" else "gather"
 
 
+def _sync(out):
+    """Force TRUE completion: on the tunneled axon backend un-jitted
+    top-level computations dispatch lazily and jax.block_until_ready can
+    return without waiting — a small host read of one output leaf is the
+    only reliable barrier (an executable's outputs are ready only when the
+    whole program finished)."""
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    np.asarray(leaf).ravel()[-1:]
+
+
 def timed(fn, *args, iters=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -86,7 +96,8 @@ def _render_many_rtf(voices, config, name, note):
                   smooth_coeff=COEFF, limiter_threshold=1.0,
                   family_static=(("kick", (("feedback_path", False),
                                            ("max_harmonics", 0))),))
-    wall = timed(lambda s: eng.render_many(s, events, **static), state)
+    run = jax.jit(lambda s: eng.render_many(s, events, **static))
+    wall = timed(run, state)
     report(name, voices * N_BLOCKS * B / SR, wall, note)
 
 
@@ -110,7 +121,8 @@ def bench_full_kit():
     static = dict(kinds=e.instrument_kinds(), sample_rate=SR, block_size=B,
                   smooth_coeff=e.smooth_coeff, limiter_threshold=1.0,
                   family_static=e._static_key())
-    wall = timed(lambda s: eng.render_many(s, stacked, **static), e._state)
+    run = jax.jit(lambda s: eng.render_many(s, stacked, **static))
+    wall = timed(run, e._state)
     report("full_drum_kit_mix", 4 * N_BLOCKS * B / SR, wall, "4 voices")
 
 
@@ -319,6 +331,48 @@ def bench_granulator_sampler_4k():
            f"{lanes} lanes")
 
 
+def bench_onchip_product_block():
+    """The realtime contract, net of the tunnel: one composed device step =
+    the full 64-voice kit banks (kick/snare/hihat2/tom2/bass, as
+    __graft_entry__.entry) feeding the full 10-effect bus chain, scanned
+    N_BLOCKS per dispatch so the per-block figure measures device compute
+    only.  engine_output.rs:293-311's contract is wall-time <= 11.61 ms
+    per 512-sample block; the tunnel's ~25 ms RTT (reported by the
+    interactive configs) is a bench-environment artifact a resident host
+    would not pay."""
+    import __graft_entry__ as ge
+
+    fn, (kstate, kevents) = ge.entry()
+    chain = chain_mod.EffectChain(SR, 120.0)
+    for eid in range(chain_mod.REORDERABLE_EFFECT_COUNT):
+        chain.add(eid)
+    chain.add(chain_mod.EFFECT_PLATE_REVERB)
+    targets = tuple(chain.targets_list())
+    key = chain.static_key()
+    kev = {k: jnp.asarray(v) for k, v in kevents.items()}
+
+    @jax.jit
+    def run(ks, cs):
+        def step(carry, i):
+            ks, cs = carry
+            ev = dict(kev, block_start=jnp.int32(i) * B)
+            ks2, out = fn(ks, ev)
+            cs2, y = chain_mod.process_chain(cs, out, targets, key,
+                                             sample_rate=SR)
+            return (ks2, tuple(cs2)), y[:, -1]
+
+        return jax.lax.scan(step, (ks, cs), jnp.arange(N_BLOCKS))
+
+    wall = timed(lambda a, b: run(a, b), kstate, tuple(chain.states))
+    us = wall / N_BLOCKS * 1e6
+    print(json.dumps({
+        "config": "onchip_product_block_64v_kit_plus_all10_bus",
+        "value": round(us, 1),
+        "unit": f"us/block device compute (budget 11610 us; "
+                f"{round(11610.0 / us, 1)}x headroom)",
+    }))
+
+
 def main():
     from bench import _discover_device
 
@@ -330,6 +384,7 @@ def main():
     bench_granulator_sampler_4k()
     bench_sequenced_submix()
     bench_interactive_pipelined()
+    bench_onchip_product_block()
 
 
 if __name__ == "__main__":
