@@ -19,9 +19,11 @@ rate.  State (one value per section per path) is threaded explicitly.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -118,6 +120,90 @@ class HalfbandState(NamedTuple):
         )
 
 
+#: Chunk length for the Toeplitz-matmul allpass path (one MXU tile).
+_NC = 128
+#: Minimum flattened batch (voice-lane) count at which the matmul path
+#: beats the associative scans.  Small batches (the stereo bus effects,
+#: few-voice tests) keep the scan path and its exact round-1 numerics.
+_MX_MIN_BATCH = 64
+
+
+@functools.lru_cache(maxsize=None)
+def _toeplitz_consts(pairs_key, nc):
+    """Per-section matmul constants for the constant-coefficient recurrence
+    ``y[n] = -a*y[n-1] + b[n]`` solved a chunk at a time:
+
+        y_chunk = b_chunk @ U_a  +  y_carry * p_a
+
+    with ``U_a[k, m] = (-a)^(m-k)`` (upper-triangular Toeplitz: row k
+    scatters input sample k into outputs m >= k), ``p_a[m] = (-a)^(m+1)``
+    (carry-in propagation) and ``r_a = (-a)^nc`` (chunk-to-chunk carry
+    decay).  Built in f64, returned f32: [n, 2, nc, nc], [n, 2, nc], [n, 2].
+    """
+    pairs = np.asarray(pairs_key, np.float64).reshape(-1, 2)
+    n = pairs.shape[0]
+    idx = np.arange(nc)
+    d = idx[None, :] - idx[:, None]  # output index minus input index
+    U = np.zeros((n, 2, nc, nc), np.float64)
+    p = np.zeros((n, 2, nc), np.float64)
+    r = np.zeros((n, 2), np.float64)
+    for i in range(n):
+        for ph in range(2):
+            pw = (-pairs[i, ph]) ** np.arange(nc + 1)  # int exponents
+            U[i, ph] = np.where(d >= 0, pw[np.clip(d, 0, nc)], 0.0)
+            p[i, ph] = pw[1:]
+            r[i, ph] = pw[nc]
+    return (U.astype(np.float32), p.astype(np.float32), r.astype(np.float32))
+
+
+def _allpass_chain_paired_mx(sig, coef_pairs, y0s, x0s):
+    """Toeplitz-matmul formulation of :func:`_allpass_chain_paired` for wide
+    voice banks.
+
+    Each section's coefficient is a *compile-time constant*, so the whole
+    first-order recurrence over a chunk of ``_NC`` samples is one matmul
+    against a precomputed triangular Toeplitz matrix — MXU work instead of
+    a log-depth associative scan whose passes round-trip [V, B] arrays
+    through HBM (the scans were ~2/3 of the 4,096-voice drum banks' block
+    cost).  Chunk carries propagate through a static Python loop over the
+    (few) chunks.  HIGHEST precision: TPU DEFAULT rounds f32 matmul
+    operands to bf16, ~-39 dBFS on unity audio — far off the -80 dBFS bar.
+    """
+    N = sig.shape[-1]
+    C = N // _NC
+    key = tuple(np.asarray(coef_pairs, np.float64).ravel().tolist())
+    U, p, r = _toeplitz_consts(key, _NC)
+    mid = (1,) * (sig.ndim - 2)  # broadcast shape over the voice axes
+    new_y, new_x, new_y2, new_x2 = [], [], [], []
+    for i in range(coef_pairs.shape[0]):
+        a = jnp.asarray(coef_pairs[i], jnp.float32).reshape((2,) + mid + (1,))
+        x_prev = jnp.concatenate([x0s[..., i : i + 1], sig[..., :-1]], axis=-1)
+        b = a * sig + x_prev
+        yloc = jnp.einsum(
+            "p...k,pkm->p...m",
+            b.reshape(sig.shape[:-1] + (C, _NC)),
+            jnp.asarray(U[i]),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # chunk-carry recurrence over the (static, small) chunk count
+        ri = jnp.asarray(r[i], jnp.float32).reshape((2,) + mid)
+        carry = y0s[..., i]
+        carries = []
+        for c in range(C):
+            carries.append(carry)
+            carry = yloc[..., c, -1] + ri * carry
+        carry_in = jnp.stack(carries, axis=-1)  # [2, ..., C]
+        pi = jnp.asarray(p[i]).reshape((2,) + mid + (1, _NC))
+        y = (yloc + carry_in[..., None] * pi).reshape(sig.shape)
+        new_x.append(sig[..., -1])
+        new_y.append(carry)  # == y[..., -1], exactly
+        new_x2.append(sig[..., -2])
+        new_y2.append(y[..., -2])
+        sig = y
+    return (sig, jnp.stack(new_y, axis=-1), jnp.stack(new_x, axis=-1),
+            jnp.stack(new_y2, axis=-1), jnp.stack(new_x2, axis=-1))
+
+
 def _allpass_chain_paired(sig, coef_pairs, y0s, x0s):
     """Run BOTH polyphase chains as one batched stack of first-order
     allpasses ``y = a*x + x_prev - a*y_prev``.
@@ -127,7 +213,16 @@ def _allpass_chain_paired(sig, coef_pairs, y0s, x0s):
     Both phases share section index i, so each section is a single
     double-width linrec1 scan instead of two — half the kernel launches
     of chaining the phases separately, with identical per-lane numerics.
+
+    Wide voice banks (>= ``_MX_MIN_BATCH`` flattened lanes, block a
+    multiple of ``_NC``) route to the MXU Toeplitz path instead.
     """
+    batch = 1
+    for dsz in sig.shape[1:-1]:
+        batch *= dsz
+    N = sig.shape[-1]
+    if batch >= _MX_MIN_BATCH and N % _NC == 0 and N >= 2:
+        return _allpass_chain_paired_mx(sig, coef_pairs, y0s, x0s)
     new_y, new_x, new_y2, new_x2 = [], [], [], []
     bshape = (2,) + (1,) * (sig.ndim - 1)
     for i in range(coef_pairs.shape[0]):

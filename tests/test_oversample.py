@@ -124,3 +124,34 @@ def test_4x_error_vs_16x_reference():
     err_base = np.linalg.norm(spec(run(1)) - s_ref)
     err_4x = np.linalg.norm(spec(run(4)) - s_ref)
     assert err_4x * 10.0 <= err_base, (err_4x, err_base)
+
+
+def test_bank_toeplitz_path_matches_scan_path():
+    """Wide voice banks route the allpass chains to the MXU Toeplitz-matmul
+    formulation (_allpass_chain_paired_mx); narrow batches keep the
+    associative scans.  Same math, different association — the two must
+    agree at float-noise level across state-threaded blocks."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(7)
+    V, B = ov._MX_MIN_BATCH + 32, 512
+    x = rs.randn(V, 2 * B).astype(np.float32) * 0.5
+    fn = lambda v: jnp.tanh(3.0 * v)
+
+    st = ov.OversamplerState.init((V,))
+    bank = []
+    for blk in range(2):
+        st, y = ov.process(st, fn, jnp.asarray(x[:, blk * B:(blk + 1) * B]), 4)
+        bank.append(np.asarray(y))
+    bank = np.concatenate(bank, axis=1)
+
+    narrow = np.empty_like(bank)
+    for i in range(0, V, 8):  # batch 8 stays under the gate
+        s = ov.OversamplerState.init((8,))
+        for blk in range(2):
+            s, y = ov.process(
+                s, fn, jnp.asarray(x[i:i + 8, blk * B:(blk + 1) * B]), 4)
+            narrow[i:i + 8, blk * B:(blk + 1) * B] = np.asarray(y)
+
+    err = np.max(np.abs(bank - narrow))
+    assert err < 1e-5, f"max path divergence {err}"
