@@ -120,6 +120,24 @@ def _env_follow_scan(env0, rect, att, rel, freeze):
     return gscan.nonlinear_scan(step, env0, (rect, freeze))
 
 
+def _env_follow(env0, rect, att, rel, freeze):
+    """Dispatch: wide voice banks use the Pallas [B, G, 128] kernel (the
+    512-step lax.scan was ~0.87 ms of the 4,096-voice kick block; the
+    kernel is bit-exact to the scan), everything else the sequential scan."""
+    import jax
+
+    use_kernel = (
+        (jax.default_backend() == "tpu" and IMPL != "xla") or IMPL == "pallas"
+    )
+    if rect.ndim == 2 and rect.shape[0] >= 128 and use_kernel:
+        from libgooey_tpu.ops import pallas_fx
+
+        env, env_last = pallas_fx.env_follow_bank(
+            rect, freeze, env0, att=float(att), rel=float(rel))
+        return env_last, env
+    return _env_follow_scan(env0, rect, att, rel, freeze)
+
+
 def process_block(
     state: FBShaperState,
     x,
@@ -193,7 +211,7 @@ def process_block(
     if not feedback_path:
         # --- zero-feedback fast path: feed-forward nonlinearity ------------
         new_ovs, shaped = ovs_mod.process(state.ovs, jnp.tanh, drive * x, os_mode)
-        env_state, env = _env_follow_scan(state.env, jnp.abs(x), att, rel, bypass)
+        env_state, env = _env_follow(state.env, jnp.abs(x), att, rel, bypass)
         comp = gain_compensation(env, drive, feedback)
         compensated = shaped * comp
         # DC blocker with per-sample freeze on bypass: bypassed samples

@@ -1331,3 +1331,94 @@ def plate_block(delayed_in, fb_a_t, fb_b_t, damping_t, d1a_read, d1b_read,
       jnp.asarray(wbase, jnp.int32))
     return (a1b1[0], a1b1[1], dadb[0], dadb[1], nin, nmod,
             seeds_out.reshape(4)[:3])
+
+
+# ---------------------------------------------------------------------------
+# Voice-bank envelope follower: the one genuinely nonlinear recurrence in the
+# drum voices' block (attack/release switching), over [V, B] banks
+# ---------------------------------------------------------------------------
+#
+# The XLA path runs it as a 512-step lax.scan of [V] vector ops — ~0.87 ms
+# of the 4,096-voice kick bank's block (tools/bench_kick_parts.py).  Here
+# the bank is laid out [B, G, 128] (voices on lanes and sublane groups), so
+# each sample step updates a full [G, 128] vreg slab with the env carried
+# in registers; the only dynamic indexing is the sample index on the
+# leading (sublane-major) axis, which Mosaic lowers natively (dynamic LANE
+# slices were the round-2 bank-kernel failure).
+
+#: sublane groups per grid step: [B, 8, 128] x f32 x 3 buffers ≈ 6 MB VMEM
+_ENV_BANK_GROUPS = 8
+
+
+def _env_bank_kernel(x_ref, frz_ref, env0_ref, out_ref, envl_ref,
+                     *, att, rel, B):
+    """att/rel-switching follower over a [B, G, 128] voice tile.
+
+    env += (1-c)(rect - env), c = att if rect > env else rel, denormal
+    flush at 1e-15, frozen (state held) where ``frz > 0.5`` — exactly
+    effects/feedback_waveshaper.py:_env_follow_scan.  att/rel are static
+    (they derive from the engine's static sample rate)."""
+    env = env0_ref[...]
+
+    def step(s, env):
+        r = x_ref[s]
+        frz = frz_ref[s]
+        c = jnp.where(r > env, att, rel)
+        new = env + (1.0 - c) * (r - env)
+        new = jnp.where(jnp.abs(new) < 1e-15, 0.0, new)
+        new = jnp.where(frz > 0.5, env, new)
+        out_ref[s] = new
+        return new
+
+    env = jax.lax.fori_loop(0, B, step, env, unroll=1)
+    envl_ref[...] = env
+
+
+@functools.partial(jax.jit, static_argnames=("att", "rel", "interpret"))
+def env_follow_bank(rect, freeze, env0, *, att, rel, interpret=None):
+    """Voice-bank attack/release envelope follower.
+
+    ``rect``: [V, B] rectified input; ``freeze``: [V, B] bool/f32 bypass
+    mask (state held, output still written); ``env0``: [V] carried state;
+    ``att``/``rel``: static scalar retention factors.  Returns
+    ``(env [V, B], env_last [V])``, matching the sequential scan path.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    V, B = rect.shape
+    lanes = 128 * _ENV_BANK_GROUPS
+    Vp = ((V + lanes - 1) // lanes) * lanes
+    G = Vp // 128
+
+    def tilt(a, fill):
+        a = jnp.asarray(a, jnp.float32)
+        if Vp != V:
+            a = jnp.concatenate(
+                [a, jnp.full((Vp - V, B), fill, jnp.float32)], axis=0)
+        return a.T.reshape(B, G, 128)
+
+    xT = tilt(rect, 0.0)
+    fT = tilt(jnp.asarray(freeze, jnp.float32), 1.0)  # pad lanes frozen
+    e0 = jnp.zeros((Vp,), jnp.float32).at[:V].set(env0).reshape(G, 128)
+
+    GT = _ENV_BANK_GROUPS
+    env, envl = pl.pallas_call(
+        functools.partial(_env_bank_kernel, att=att, rel=rel, B=B),
+        grid=(G // GT,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((G, 128), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((B, GT, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec((B, GT, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec((GT, 128), lambda i: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, GT, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec((GT, 128), lambda i: (i, 0)),
+        ),
+        interpret=interpret,
+    )(xT, fT, e0)
+    env_vb = env.reshape(B, Vp).T[:V]
+    return env_vb, envl.reshape(Vp)[:V]

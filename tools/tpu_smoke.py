@@ -80,6 +80,22 @@ def smoke_linrec1():
     _ok("linrec1_pallas", t0)
 
 
+def smoke_env_bank():
+    t0 = time.perf_counter()
+    from libgooey_tpu.ops import pallas_fx
+
+    V = 1024 + 128  # exercises lane padding
+    rs = np.random.RandomState(2)
+    rect = jnp.asarray(np.abs(rs.randn(V, B)).astype(np.float32))
+    frz = jnp.asarray((rs.rand(V, B) < 0.1).astype(np.float32))
+    env0 = jnp.zeros((V,), jnp.float32)
+    env, envl = jax.block_until_ready(
+        pallas_fx.env_follow_bank(rect, frz, env0, att=0.97, rel=0.999)
+    )
+    assert np.isfinite(np.asarray(env)).all()
+    _ok("env_follow_bank", t0)
+
+
 def smoke_grain_read():
     t0 = time.perf_counter()
     from libgooey_tpu.ops import pallas_grain
@@ -136,6 +152,7 @@ def main():
     print(f"# backend: {jax.default_backend()}  device: "
           f"{jax.devices()[0].device_kind}", file=sys.stderr)
     smoke_linrec1()
+    smoke_env_bank()
     smoke_grain_read()
     smoke_bus_chain()
     smoke_entry()
