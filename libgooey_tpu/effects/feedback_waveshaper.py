@@ -210,6 +210,35 @@ def process_block(
 
     if not feedback_path:
         # --- zero-feedback fast path: feed-forward nonlinearity ------------
+        if (os_mode == 4 and x.ndim == 2 and x.shape[0] >= 128
+                and x.shape[-1] >= 2 and use_fast_kernel):
+            # fused voice-bank kernel: the whole 4x-oversampled chain plus
+            # the gated DC blocker / feedback filter run sample-sequential
+            # in vregs (ops/pallas_fx.fbws_bank) — the XLA formulation's
+            # [V, 4B] intermediates and log-depth scans cost ~1.9 ms of
+            # the 4,096-voice kick block.  env + the transcendental
+            # makeup-gain curve stay vectorized out here.
+            from libgooey_tpu.ops import pallas_fx
+
+            env_state, env = _env_follow(state.env, jnp.abs(x), att, rel, bypass)
+            comp = gain_compensation(env, drive, feedback)
+            comp_signed = jnp.where(bypass, -1.0, comp)
+            dc, nst = pallas_fx.fbws_bank(
+                drive * x, comp_signed, pallas_fx.pack_fbws_bank(state))
+            new_ovs, dc_x1, dc_y1 = pallas_fx.unpack_fbws_bank(nst, state)
+            # feedback-filter state: pure bookkeeping on this path (the
+            # loop gain is 0) — one scan outside keeps the kernel inside
+            # the VMEM budget
+            filt = gscan.linrec1(
+                jnp.where(bypass, 1.0, 1.0 - fbc),
+                jnp.where(bypass, 0.0, fbc * dc), state.filter_state)
+            filt = jnp.where(jnp.abs(filt) < 1e-15, 0.0, filt)
+            new_state = FBShaperState(
+                last_out=filt[..., -1], filter_state=filt[..., -1],
+                dc_x1=dc_x1, dc_y1=dc_y1, env=env_state, ovs=new_ovs)
+            out = jnp.where(bypass, x, x * (1.0 - mix) + dc * mix)
+            return new_state, out
+
         new_ovs, shaped = ovs_mod.process(state.ovs, jnp.tanh, drive * x, os_mode)
         env_state, env = _env_follow(state.env, jnp.abs(x), att, rel, bypass)
         comp = gain_compensation(env, drive, feedback)

@@ -28,6 +28,19 @@ from libgooey_tpu.ops import scan as gscan
 
 PI = float(np.pi)
 
+#: "auto" -> voice-bank Pallas kernel for wide [V, B] TPT SVF banks on TPU;
+#: "xla" forces the associative-scan path; "pallas" forces the kernel (tests).
+IMPL = "auto"
+
+
+def _use_bank_kernel(x) -> bool:
+    import jax
+
+    if IMPL == "pallas":
+        return True
+    return (IMPL == "auto" and jax.default_backend() == "tpu"
+            and x.ndim == 2 and x.shape[0] >= 128)
+
 
 def _shift1(x, x0):
     """Delay by one along the trailing axis with carried first value."""
@@ -74,6 +87,16 @@ def svf_tpt_block(state: SVFState, x, g, h, reset=None):
     ``reset`` zeroes the incoming state at masked samples (trigger resets).
     """
     g, h, x = jnp.broadcast_arrays(g, h, x)
+    if _use_bank_kernel(x):
+        # sample-sequential [B, G, 128] voice-bank kernel: the associative
+        # scan's 6 coefficient arrays cost ~9 log-depth HBM round trips
+        # (~0.66 ms of the 4,096-voice kick block); the kernel carries the
+        # integrators in vregs and matches the reference's per-sample order
+        from libgooey_tpu.ops import pallas_fx
+
+        v1, v2, ic1l, ic2l = pallas_fx.svf_bank(
+            x, g, h, reset, state.ic1, state.ic2)
+        return SVFState(ic1=ic1l, ic2=ic2l), v1, v2
     hg = h * g
     a11 = 2.0 * h - 1.0
     a12 = -2.0 * hg

@@ -1350,6 +1350,22 @@ def plate_block(delayed_in, fb_a_t, fb_b_t, damping_t, d1a_read, d1b_read,
 _ENV_BANK_GROUPS = 8
 
 
+def _bank_pad(V, groups_per_step):
+    """Padded voice count / group count for a [B, G, 128] bank layout."""
+    lanes = 128 * groups_per_step
+    Vp = ((V + lanes - 1) // lanes) * lanes
+    return Vp, Vp // 128
+
+
+def _bank_tilt(a, fill, V, Vp, B):
+    """[V, B] → [B, G, 128] with lane padding (voices on lanes+sublanes)."""
+    a = jnp.asarray(a, jnp.float32)
+    if Vp != V:
+        a = jnp.concatenate(
+            [a, jnp.full((Vp - V, B), fill, jnp.float32)], axis=0)
+    return a.T.reshape(B, Vp // 128, 128)
+
+
 def _env_bank_kernel(x_ref, frz_ref, env0_ref, out_ref, envl_ref,
                      *, att, rel, B):
     """att/rel-switching follower over a [B, G, 128] voice tile.
@@ -1386,19 +1402,10 @@ def env_follow_bank(rect, freeze, env0, *, att, rel, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     V, B = rect.shape
-    lanes = 128 * _ENV_BANK_GROUPS
-    Vp = ((V + lanes - 1) // lanes) * lanes
-    G = Vp // 128
+    Vp, G = _bank_pad(V, _ENV_BANK_GROUPS)
 
-    def tilt(a, fill):
-        a = jnp.asarray(a, jnp.float32)
-        if Vp != V:
-            a = jnp.concatenate(
-                [a, jnp.full((Vp - V, B), fill, jnp.float32)], axis=0)
-        return a.T.reshape(B, G, 128)
-
-    xT = tilt(rect, 0.0)
-    fT = tilt(jnp.asarray(freeze, jnp.float32), 1.0)  # pad lanes frozen
+    xT = _bank_tilt(rect, 0.0, V, Vp, B)
+    fT = _bank_tilt(freeze, 1.0, V, Vp, B)  # pad lanes frozen
     e0 = jnp.zeros((Vp,), jnp.float32).at[:V].set(env0).reshape(G, 128)
 
     GT = _ENV_BANK_GROUPS
@@ -1422,3 +1429,371 @@ def env_follow_bank(rect, freeze, env0, *, att, rel, interpret=None):
     )(xT, fT, e0)
     env_vb = env.reshape(B, Vp).T[:V]
     return env_vb, envl.reshape(Vp)[:V]
+
+
+# ---------------------------------------------------------------------------
+# Voice-bank TPT SVF: the per-voice resonant low-pass / TPT filter recurrence
+# over [V, B] banks (resonant_lowpass.rs:48-61, state_variable_tpt.rs:42-68)
+# ---------------------------------------------------------------------------
+#
+# The XLA path solves the 2-state recurrence with a log-depth associative
+# scan (ops/scan.py linrec2) whose 6 coefficient arrays round-trip [V, B]
+# through HBM ~9 times — ~0.66 ms of the 4,096-voice kick block.  Here the
+# recurrence runs sample-sequential over [B, G, 128] voice slabs with the
+# integrator state carried in vregs, like env_follow_bank.  Per-sample op
+# order matches svf_tpt_block exactly (it IS the reference's order), so the
+# kernel agrees with the per-sample oracle to f32 rounding.
+
+#: sublane groups per grid step (Mosaic requires sublane blocks divisible
+#: by 8) and samples per grid chunk: Pallas double-buffers every block, so
+#: full-block [512, 8, 128] buffers x 5 overflow the ~16 MB VMEM budget —
+#: the sample axis is chunked and the integrator state carried in a VMEM
+#: scratch across the (sequentially iterated) chunk grid dimension.
+_SVF_BANK_GROUPS = 8
+_SVF_BANK_CHUNK = 128
+
+
+def _svf_bank_kernel(x_ref, g_ref, hs_ref, ic0_ref, v1_ref, v2_ref, icl_ref,
+                     carry_ref, *, BC):
+    """TPT SVF over a [BC, GT, 128] voice tile (one sample chunk).
+
+    ``hs`` carries h with the reset mask folded into its sign (h > 0
+    always): negative h => zero the incoming integrator state at that
+    sample (trigger reset, filters.py svf_tpt_block reset semantics).
+    Grid is (voice groups, sample chunks) with chunks innermost; the
+    integrators persist across chunks in ``carry_ref``.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        carry_ref[...] = ic0_ref[...]
+
+    ic = carry_ref[...]
+
+    def step(s, carry):
+        ic1, ic2 = carry
+        x = x_ref[s]
+        g = g_ref[s]
+        hs = hs_ref[s]
+        h = jnp.abs(hs)
+        rst = hs < 0.0
+        ic1 = jnp.where(rst, 0.0, ic1)
+        ic2 = jnp.where(rst, 0.0, ic2)
+        v1 = (g * (x - ic2) + ic1) * h
+        v2 = ic2 + g * v1
+        v1_ref[s] = v1
+        v2_ref[s] = v2
+        return 2.0 * v1 - ic1, 2.0 * v2 - ic2
+
+    ic1, ic2 = jax.lax.fori_loop(0, BC, step, (ic[0], ic[1]), unroll=1)
+    out = jnp.stack([ic1, ic2], axis=0)
+    carry_ref[...] = out
+    icl_ref[...] = out  # every chunk; the (sequential) last write wins
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def svf_bank(x, g, h, reset, ic1, ic2, *, interpret=None):
+    """Voice-bank TPT SVF block.
+
+    ``x``/``g``/``h``: [V, B] input and per-sample coefficients (from
+    filters.svf_coeffs); ``reset``: [V, B] bool/f32 trigger-reset mask or
+    None; ``ic1``/``ic2``: [V] carried integrator state.  Returns
+    ``(v1 [V, B], v2 [V, B], ic1' [V], ic2' [V])`` — the pre-update
+    band/low taps and the carried state, matching filters.svf_tpt_block.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    V, B = x.shape
+    Vp, G = _bank_pad(V, _SVF_BANK_GROUPS)
+    BC = _SVF_BANK_CHUNK if B % _SVF_BANK_CHUNK == 0 else B
+
+    h = jnp.broadcast_to(jnp.asarray(h, jnp.float32), (V, B))
+    if reset is not None:
+        h = jnp.where(jnp.asarray(reset, jnp.bool_), -h, h)
+    xT = _bank_tilt(x, 0.0, V, Vp, B)
+    gT = _bank_tilt(jnp.broadcast_to(jnp.asarray(g, jnp.float32), (V, B)),
+                    0.0, V, Vp, B)
+    hT = _bank_tilt(h, 0.0, V, Vp, B)
+    ic0 = jnp.zeros((2, Vp), jnp.float32)
+    ic0 = ic0.at[0, :V].set(ic1).at[1, :V].set(ic2).reshape(2, G, 128)
+
+    GT = _SVF_BANK_GROUPS
+    big = pl.BlockSpec((BC, GT, 128), lambda i, j: (j, i, 0))
+    small = pl.BlockSpec((2, GT, 128), lambda i, j: (0, i, 0))
+    v1, v2, icl = pl.pallas_call(
+        functools.partial(_svf_bank_kernel, BC=BC),
+        grid=(G // GT, B // BC),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((2, G, 128), jnp.float32),
+        ),
+        in_specs=[big, big, big, small],
+        out_specs=(big, big, small),
+        scratch_shapes=[pltpu.VMEM((2, GT, 128), jnp.float32)],
+        interpret=interpret,
+    )(xT, gT, hT, ic0)
+    flat = lambda v: v.reshape(B, Vp).T[:V]
+    icl = icl.reshape(2, Vp)
+    return flat(v1), flat(v2), icl[0, :V], icl[1, :V]
+
+
+# ---------------------------------------------------------------------------
+# Voice-bank fused feedback-waveshaper fast path: the ENTIRE zero-feedback
+# chain — 4x polyphase oversampling, tanh, envelope-referenced makeup gain,
+# bypass-gated DC blocker and feedback filter — as one sample-sequential
+# kernel over [B, G, 128] voice slabs (feedback_waveshaper.rs:118-170,
+# utils/oversampler.rs; effects/feedback_waveshaper.py fast path)
+# ---------------------------------------------------------------------------
+#
+# The XLA fast path costs ~1.9 ms of the 4,096-voice kick block: the 4x
+# half-band chains run as Toeplitz MXU matmuls whose [V, 4B] intermediates
+# round-trip HBM, plus three more log-depth scans for the DC blocker and
+# feedback filter.  Here every 2x/4x intermediate lives in vregs: per base
+# sample the kernel runs all 32 first-order allpass sections, 4 tanh
+# evaluations, the gain multiply, and the three gated recurrences on a
+# [GT, 128] voice slab.  Division of labor: the envelope follower
+# (env_follow_bank) and the transcendental makeup-gain curve run OUTSIDE
+# (vectorized XLA), entering as a per-sample `comp` trajectory with the
+# bypass mask folded into its sign (comp > 0 always on the real path).
+
+#: sublane groups per grid step (Mosaic requires sublane blocks divisible
+#: by 8): 4 x [B, 8, 128] f32 buffers = 8 MB VMEM
+_FBWS_BANK_GROUPS = 8
+
+#: (name, plane-count) rows of the packed [S, V] state, kernel I/O order.
+#: u/d = up/down, 1/2 = half-band stage, y/x = section output/input
+#: memories, trailing 0/1 = polyphase branch; *x1d = the down-samplers'
+#: odd-phase input delay; dc/ft = DC blocker + feedback-filter state.
+_FBWS_CORE_LAYOUT = (
+    ("u1y0", 4), ("u1x0", 4), ("u1y1", 4), ("u1x1", 4),
+    ("u2y0", 2), ("u2x0", 2), ("u2y1", 2), ("u2x1", 2),
+    ("d2y0", 2), ("d2x0", 2), ("d2y1", 2), ("d2x1", 2), ("d2x1d", 1),
+    ("d1y0", 4), ("d1x0", 4), ("d1y1", 4), ("d1x1", 4), ("d1x1d", 1),
+    ("dcx", 1), ("dcy", 1),
+)
+#: second-to-last section outputs/inputs (HalfbandState.*y2/*x2), captured
+#: for state parity with the scan path; appended to the OUTPUT state only.
+_FBWS_Y2_LAYOUT = (
+    ("u1y2_0", 4), ("u1x2_0", 4), ("u1y2_1", 4), ("u1x2_1", 4),
+    ("u2y2_0", 2), ("u2x2_0", 2), ("u2y2_1", 2), ("u2x2_1", 2),
+    ("d2y2_0", 2), ("d2x2_0", 2), ("d2y2_1", 2), ("d2x2_1", 2),
+    ("d1y2_0", 4), ("d1x2_0", 4), ("d1y2_1", 4), ("d1x2_1", 4),
+)
+
+
+def _fbws_layout_index(layout):
+    idx, k = {}, 0
+    for name, n in layout:
+        idx[name] = (k, n)
+        k += n
+    return idx, k
+
+
+_FBWS_IN_IDX, _FBWS_S_IN = _fbws_layout_index(_FBWS_CORE_LAYOUT)
+_FBWS_OUT_IDX, _FBWS_S_OUT = _fbws_layout_index(
+    _FBWS_CORE_LAYOUT + _FBWS_Y2_LAYOUT)
+
+
+def _fbws_stage_coefs():
+    """Static python-float half-band coefficients, phase-split."""
+    from libgooey_tpu.ops import oversample as ovs
+
+    c1_0, c1_1 = ovs._split([float(c) for c in ovs.STAGE1])
+    c2_0, c2_1 = ovs._split([float(c) for c in ovs.STAGE2])
+    return tuple(c1_0), tuple(c1_1), tuple(c2_0), tuple(c2_1)
+
+
+def _ap_chain_seq(u, ys, xs, coefs):
+    """One sample through a chain of first-order allpasses.
+
+    ``y = a*(x - y1) + x1`` per section (utils/oversampler.rs; hiir
+    form).  Returns (output, new ys, new xs)."""
+    ys, xs = list(ys), list(xs)
+    for j, a in enumerate(coefs):
+        y = a * (u - ys[j]) + xs[j]
+        xs[j] = u
+        ys[j] = y
+        u = y
+    return u, tuple(ys), tuple(xs)
+
+
+def _fbws_bank_kernel(u_ref, cs_ref, st_ref, dc_ref, nst_ref, *, B):
+    """Fused zero-feedback feedback-waveshaper over a [B, GT, 128] tile.
+
+    ``u``: drive*x; ``cs``: makeup-gain trajectory with the bypass mask
+    folded into its sign (cs < 0 => bypass: DC state frozen, dc output
+    forced 0 — the caller blends ``out = bypass ? x : x*(1-mix) +
+    dc*mix`` outside).  The feedback-filter recurrence (pure carried
+    state on this path — feedback is 0) runs OUTSIDE as a linrec1 over
+    the dc output; its trajectory buffer would tip the kernel past the
+    ~16 MB VMEM budget (Pallas double-buffers every block).
+    """
+    C1_0, C1_1, C2_0, C2_1 = _fbws_stage_coefs()
+
+    def ld(name):
+        k, n = _FBWS_IN_IDX[name]
+        if n == 1:
+            return st_ref[k]
+        return tuple(st_ref[k + j] for j in range(n))
+
+    c0 = {name: ld(name) for name, _ in _FBWS_CORE_LAYOUT}
+
+    def phase_a(c, u):
+        """Stage-1 update + first 2x subsample through stage 2."""
+        c = dict(c)
+        e1, c["u1y0"], c["u1x0"] = _ap_chain_seq(u, c["u1y0"], c["u1x0"], C1_0)
+        o1, c["u1y1"], c["u1x1"] = _ap_chain_seq(u, c["u1y1"], c["u1x1"], C1_1)
+        s0, c["u2y0"], c["u2x0"] = _ap_chain_seq(e1, c["u2y0"], c["u2x0"], C2_0)
+        s1, c["u2y1"], c["u2x1"] = _ap_chain_seq(e1, c["u2y1"], c["u2x1"], C2_1)
+        t0 = jnp.tanh(s0)
+        t1 = jnp.tanh(s1)
+        a0, c["d2y0"], c["d2x0"] = _ap_chain_seq(t0, c["d2y0"], c["d2x0"], C2_0)
+        a1, c["d2y1"], c["d2x1"] = _ap_chain_seq(
+            c["d2x1d"], c["d2y1"], c["d2x1"], C2_1)
+        d0 = 0.5 * (a0 + a1)
+        c["d2x1d"] = t1
+        return c, o1, d0
+
+    def phase_b(c, o1, d0, cs):
+        """Second 2x subsample, stage-1 downsample, gated DC/filter."""
+        c = dict(c)
+        s2, c["u2y0"], c["u2x0"] = _ap_chain_seq(o1, c["u2y0"], c["u2x0"], C2_0)
+        s3, c["u2y1"], c["u2x1"] = _ap_chain_seq(o1, c["u2y1"], c["u2x1"], C2_1)
+        t2 = jnp.tanh(s2)
+        t3 = jnp.tanh(s3)
+        b0, c["d2y0"], c["d2x0"] = _ap_chain_seq(t2, c["d2y0"], c["d2x0"], C2_0)
+        b1, c["d2y1"], c["d2x1"] = _ap_chain_seq(
+            c["d2x1d"], c["d2y1"], c["d2x1"], C2_1)
+        d1 = 0.5 * (b0 + b1)
+        c["d2x1d"] = t3
+        e0, c["d1y0"], c["d1x0"] = _ap_chain_seq(d0, c["d1y0"], c["d1x0"], C1_0)
+        e1, c["d1y1"], c["d1x1"] = _ap_chain_seq(
+            c["d1x1d"], c["d1y1"], c["d1x1"], C1_1)
+        y = 0.5 * (e0 + e1)
+        c["d1x1d"] = d1
+
+        byp = cs < 0.0
+        compensated = y * jnp.maximum(cs, 0.0)
+        x1_prev = c["dcx"]
+        c["dcx"] = jnp.where(byp, x1_prev, compensated)
+        y1_new = np.float32(_FBWS_DC) * c["dcy"] + (compensated - x1_prev)
+        c["dcy"] = jnp.where(byp, c["dcy"], y1_new)
+        dc = jnp.where(byp, 0.0, c["dcy"])
+        return c, dc
+
+    def body(s, c):
+        c, o1, d0 = phase_a(c, u_ref[s])
+        c, dc = phase_b(c, o1, d0, cs_ref[s])
+        dc_ref[s] = dc
+        return c
+
+    c = jax.lax.fori_loop(0, B - 1, body, c0, unroll=1)
+
+    # final step with second-to-last captures: stage-1 memories hold the
+    # step-(B-2) section IO now; stage-2 memories hold per-phase index
+    # 2B-2 after the first subsample of this step (scan path's [..., -2])
+    caps = {}
+    for st_name, y2_name in (("u1y0", "u1y2_0"), ("u1x0", "u1x2_0"),
+                             ("u1y1", "u1y2_1"), ("u1x1", "u1x2_1"),
+                             ("d1y0", "d1y2_0"), ("d1x0", "d1x2_0"),
+                             ("d1y1", "d1y2_1"), ("d1x1", "d1x2_1")):
+        caps[y2_name] = c[st_name]
+    c, o1, d0 = phase_a(c, u_ref[B - 1])
+    for st_name, y2_name in (("u2y0", "u2y2_0"), ("u2x0", "u2x2_0"),
+                             ("u2y1", "u2y2_1"), ("u2x1", "u2x2_1"),
+                             ("d2y0", "d2y2_0"), ("d2x0", "d2x2_0"),
+                             ("d2y1", "d2y2_1"), ("d2x1", "d2x2_1")):
+        caps[y2_name] = c[st_name]
+    c, dc = phase_b(c, o1, d0, cs_ref[B - 1])
+    dc_ref[B - 1] = dc
+
+    out_vals = dict(c)
+    out_vals.update(caps)
+    for name, _ in _FBWS_CORE_LAYOUT + _FBWS_Y2_LAYOUT:
+        k, n = _FBWS_OUT_IDX[name]
+        v = out_vals[name]
+        if n == 1:
+            nst_ref[k] = v
+        else:
+            for j in range(n):
+                nst_ref[k + j] = v[j]
+
+
+def pack_fbws_bank(state):
+    """FBShaperState (voice-bank, [V]-shaped slices) -> packed [S_in, V]."""
+    o = state.ovs
+    rows = []
+    for hb in (o.up1, o.up2):
+        rows += [hb.ap0.T, hb.ap0x.T, hb.ap1.T, hb.ap1x.T]
+    for hb in (o.down2, o.down1):
+        rows += [hb.ap0.T, hb.ap0x.T, hb.ap1.T, hb.ap1x.T, hb.x1[None]]
+    rows += [state.dc_x1[None], state.dc_y1[None]]
+    return jnp.concatenate(rows, axis=0)
+
+
+def unpack_fbws_bank(nst, state):
+    """Packed [S_out, V] -> ``(new OversamplerState, dc_x1, dc_y1)``.
+
+    ``state`` provides the template (up-sampler x1 fields are untouched
+    by the chain, exactly as in oversample.upsample2).  The feedback
+    filter state is computed by the caller from the dc output."""
+    from libgooey_tpu.ops.oversample import HalfbandState
+
+    def g(name):
+        k, n = _FBWS_OUT_IDX[name]
+        return nst[k] if n == 1 else nst[k:k + n].T
+
+    def hb(tag, x1, old):
+        return HalfbandState(
+            ap0=g(f"{tag}y0"), ap0x=g(f"{tag}x0"),
+            ap1=g(f"{tag}y1"), ap1x=g(f"{tag}x1"), x1=x1,
+            ap0y2=g(f"{tag}y2_0"), ap0x2=g(f"{tag}x2_0"),
+            ap1y2=g(f"{tag}y2_1"), ap1x2=g(f"{tag}x2_1"))
+
+    o = state.ovs
+    ovs_new = type(o)(
+        up1=hb("u1", o.up1.x1, o.up1),
+        up2=hb("u2", o.up2.x1, o.up2),
+        down2=hb("d2", g("d2x1d"), o.down2),
+        down1=hb("d1", g("d1x1d"), o.down1),
+    )
+    return ovs_new, g("dcx"), g("dcy")
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fbws_bank(u, comp_signed, packed, *, interpret=None):
+    """Fused voice-bank feedback-waveshaper fast path.
+
+    ``u``: [V, B] pre-driven input (drive*x); ``comp_signed``: [V, B]
+    makeup gain with bypass as sign (< 0 => bypassed sample);
+    ``packed``: [S_in, V] from :func:`pack_fbws_bank`.  Returns
+    ``(dc [V, B], new_packed [S_out, V])`` for :func:`unpack_fbws_bank`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    V, B = u.shape
+    Vp, G = _bank_pad(V, _FBWS_BANK_GROUPS)
+
+    uT = _bank_tilt(u, 0.0, V, Vp, B)
+    cT = _bank_tilt(comp_signed, -1.0, V, Vp, B)  # pad lanes bypassed
+    sp = jnp.pad(jnp.asarray(packed, jnp.float32),
+                 ((0, 0), (0, Vp - V))).reshape(_FBWS_S_IN, G, 128)
+
+    GT = _FBWS_BANK_GROUPS
+    big = pl.BlockSpec((B, GT, 128), lambda i: (0, i, 0))
+    dc, nst = pl.pallas_call(
+        functools.partial(_fbws_bank_kernel, B=B),
+        grid=(G // GT,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((_FBWS_S_OUT, G, 128), jnp.float32),
+        ),
+        in_specs=[big, big,
+                  pl.BlockSpec((_FBWS_S_IN, GT, 128), lambda i: (0, i, 0))],
+        out_specs=(big,
+                   pl.BlockSpec((_FBWS_S_OUT, GT, 128), lambda i: (0, i, 0))),
+        interpret=interpret,
+    )(uT, cT, sp)
+    return dc.reshape(B, Vp).T[:V], nst.reshape(_FBWS_S_OUT, Vp)[:, :V]

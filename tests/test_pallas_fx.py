@@ -275,3 +275,114 @@ def test_plate_fused_kernel_full_range_size_jump():
     got = _run_mod(reverb_plate, seq[0], x, seq, "pallas")
     err = np.max(np.abs(got - want))
     assert err < 1e-5, err   # measured 3e-8
+
+
+def test_env_follow_bank_matches_scan():
+    """Voice-bank envelope-follower kernel vs the sequential lax.scan,
+    including lane padding and mid-block freezes (bit-exact: identical
+    per-sample op order)."""
+    import jax.numpy as jnp
+
+    from libgooey_tpu.effects import feedback_waveshaper as fw
+    from libgooey_tpu.ops import pallas_fx
+
+    rs = np.random.RandomState(11)
+    V = 3 * 128 + 17  # exercises lane padding
+    rect = jnp.asarray(np.abs(rs.randn(V, B)).astype(np.float32))
+    frz = jnp.asarray((rs.rand(V, B) < 0.1).astype(np.float32))
+    env0 = jnp.asarray(np.abs(rs.randn(V)).astype(np.float32))
+    att, rel = fw.env_coeffs(SR)
+
+    env_k, envl_k = pallas_fx.env_follow_bank(
+        rect, frz, env0, att=att, rel=rel, interpret=True)
+    envl_s, env_s = fw._env_follow_scan(env0, rect, att, rel, frz)
+    np.testing.assert_array_equal(np.asarray(env_k), np.asarray(env_s))
+    np.testing.assert_array_equal(np.asarray(envl_k), np.asarray(envl_s))
+
+
+def test_svf_bank_matches_per_sample_oracle():
+    """Voice-bank TPT SVF kernel: bit-exact vs a per-sample numpy oracle
+    (the kernel replicates the reference's op order,
+    resonant_lowpass.rs:48-61), and within reassociation noise of the
+    linrec2 scan path."""
+    import jax.numpy as jnp
+
+    from libgooey_tpu.ops import filters, pallas_fx
+
+    rs = np.random.RandomState(12)
+    V = 2 * 128 + 40
+    x = jnp.asarray(rs.randn(V, B).astype(np.float32))
+    cut = jnp.asarray((200 + 8000 * rs.rand(V, B)).astype(np.float32))
+    g, h = filters.svf_coeffs(cut, 0.9, SR)
+    reset = jnp.asarray(rs.rand(V, B) < 0.01)
+    ic0 = jnp.asarray(rs.randn(V).astype(np.float32) * 0.1)
+
+    v1k, v2k, ic1k, ic2k = pallas_fx.svf_bank(
+        x, g, h, reset, ic0, ic0, interpret=True)
+
+    xn, gn, hn, rn = map(np.asarray, (x, g, h, reset))
+    ic1 = np.asarray(ic0).copy()
+    ic2 = np.asarray(ic0).copy()
+    v2o = np.zeros((V, B), np.float32)
+    for n in range(B):
+        ic1 = np.where(rn[:, n], 0.0, ic1).astype(np.float32)
+        ic2 = np.where(rn[:, n], 0.0, ic2).astype(np.float32)
+        v1 = ((gn[:, n] * (xn[:, n] - ic2) + ic1) * hn[:, n]).astype(np.float32)
+        v2 = (ic2 + gn[:, n] * v1).astype(np.float32)
+        v2o[:, n] = v2
+        ic1 = (2 * v1 - ic1).astype(np.float32)
+        ic2 = (2 * v2 - ic2).astype(np.float32)
+    # XLA contracts mul+add chains into FMAs; numpy rounds each op — 1 ulp
+    np.testing.assert_allclose(np.asarray(v2k), v2o, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ic1k), ic1, atol=1e-6)
+
+    st = filters.SVFState(ic1=ic0, ic2=ic0)
+    st2, v1s, v2s = filters.svf_tpt_block(st, x, g, h, reset=reset)
+    np.testing.assert_allclose(np.asarray(v2k), np.asarray(v2s), atol=2e-5)
+
+
+def test_fbws_bank_matches_scan_path():
+    """Fused voice-bank feedback-waveshaper kernel vs the XLA scan fast
+    path: multi-block state threading, per-sample drive/fbc trajectories
+    crossing the bypass threshold.  Checks the output and EVERY carried
+    state field (including the second-to-last y2/x2 captures)."""
+    import jax.numpy as jnp
+
+    from libgooey_tpu.effects import feedback_waveshaper as fw
+
+    rs = np.random.RandomState(5)
+    V, Bs = 130, 128  # small B: interpret mode runs the loop per step
+
+    xs = [rs.randn(V, Bs).astype(np.float32) * 0.5 for _ in range(2)]
+    ds = [(0.5 + 3.0 * rs.rand(V, Bs)).astype(np.float32) for _ in range(2)]
+    fs = [(0.1 + 0.5 * rs.rand(V, Bs)).astype(np.float32) for _ in range(2)]
+
+    def run(impl):
+        fw.IMPL = impl
+        try:
+            st = fw.FBShaperState.init((V,))
+            outs = []
+            for x, d, f in zip(xs, ds, fs):
+                st, y = fw.process_block(
+                    st, jnp.asarray(x), jnp.asarray(d),
+                    jnp.zeros((V, Bs), jnp.float32), jnp.asarray(f),
+                    jnp.float32(1.0), SR, feedback_path=False, os_mode=4)
+                outs.append(np.asarray(y))
+        finally:
+            fw.IMPL = "auto"
+        return st, np.concatenate(outs, -1)
+
+    st_x, out_x = run("xla")
+    st_p, out_p = run("pallas")
+    np.testing.assert_allclose(out_p, out_x, atol=1e-5)
+    for name in ("last_out", "filter_state", "dc_x1", "dc_y1", "env"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_p, name)), np.asarray(getattr(st_x, name)),
+            atol=1e-5, err_msg=name)
+    for hb in ("up1", "up2", "down2", "down1"):
+        for f in ("ap0", "ap0x", "ap1", "ap1x", "x1",
+                  "ap0y2", "ap0x2", "ap1y2", "ap1x2"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(getattr(st_p.ovs, hb), f)),
+                np.asarray(getattr(getattr(st_x.ovs, hb), f)),
+                atol=1e-5, err_msg=f"{hb}.{f}")

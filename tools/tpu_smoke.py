@@ -96,6 +96,40 @@ def smoke_env_bank():
     _ok("env_follow_bank", t0)
 
 
+def smoke_svf_bank():
+    t0 = time.perf_counter()
+    from libgooey_tpu.ops import pallas_fx
+
+    V = 1024 + 128
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(V, B).astype(np.float32))
+    g = jnp.asarray((0.01 + 0.5 * rs.rand(V, B)).astype(np.float32))
+    h = jnp.asarray((0.3 + 0.5 * rs.rand(V, B)).astype(np.float32))
+    reset = jnp.asarray(rs.rand(V, B) < 0.01)
+    ic = jnp.zeros((V,), jnp.float32)
+    v1, v2, ic1, ic2 = jax.block_until_ready(
+        pallas_fx.svf_bank(x, g, h, reset, ic, ic)
+    )
+    assert np.isfinite(np.asarray(v2)).all()
+    _ok("svf_bank", t0)
+
+
+def smoke_fbws_bank():
+    t0 = time.perf_counter()
+    from libgooey_tpu.effects import feedback_waveshaper as fw
+    from libgooey_tpu.ops import pallas_fx
+
+    V = 1024 + 128
+    rs = np.random.RandomState(4)
+    u = jnp.asarray(rs.randn(V, B).astype(np.float32))
+    cs = jnp.asarray((0.5 + rs.rand(V, B)).astype(np.float32))
+    packed = pallas_fx.pack_fbws_bank(fw.FBShaperState.init((V,)))
+    dc, nst = jax.block_until_ready(pallas_fx.fbws_bank(u, cs, packed))
+    assert np.isfinite(np.asarray(dc)).all()
+    assert np.isfinite(np.asarray(nst)).all()
+    _ok("fbws_bank", t0)
+
+
 def smoke_grain_read():
     t0 = time.perf_counter()
     from libgooey_tpu.ops import pallas_grain
@@ -153,6 +187,8 @@ def main():
           f"{jax.devices()[0].device_kind}", file=sys.stderr)
     smoke_linrec1()
     smoke_env_bank()
+    smoke_svf_bank()
+    smoke_fbws_bank()
     smoke_grain_read()
     smoke_bus_chain()
     smoke_entry()
