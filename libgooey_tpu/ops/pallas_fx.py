@@ -1797,3 +1797,86 @@ def fbws_bank(u, comp_signed, packed, *, interpret=None):
         interpret=interpret,
     )(uT, cT, sp)
     return dc.reshape(B, Vp).T[:V], nst.reshape(_FBWS_S_OUT, Vp)[:, :V]
+
+
+# ---------------------------------------------------------------------------
+# Voice-bank Kellet pink-noise filter (gen/pink_noise.rs:26-66): three
+# parallel one-poles + direct term over [V, B] banks
+# ---------------------------------------------------------------------------
+
+def _pink_bank_kernel(w_ref, rst_ref, st0_ref, out_ref, stl_ref, carry_ref,
+                      *, poles, gains, direct, outg, BC):
+    """Three one-pole recurrences + weighted sum over a [BC, GT, 128] tile.
+
+    ``y_i = rst ? g_i*w : p_i*y_i + g_i*w`` (trigger resets zero the
+    incoming state, ops/noise.py pink_block); output ``(y0+y1+y2 +
+    direct*w) * outg``.  Grid (voice groups, sample chunks); state
+    persists across chunks in ``carry_ref``.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        carry_ref[...] = st0_ref[...]
+
+    st = carry_ref[...]
+
+    def step(s, carry):
+        y0, y1, y2 = carry
+        w = w_ref[s]
+        rst = rst_ref[s] > 0.5
+        y0 = jnp.where(rst, 0.0, poles[0] * y0) + gains[0] * w
+        y1 = jnp.where(rst, 0.0, poles[1] * y1) + gains[1] * w
+        y2 = jnp.where(rst, 0.0, poles[2] * y2) + gains[2] * w
+        out_ref[s] = (y0 + y1 + y2 + direct * w) * outg
+        return y0, y1, y2
+
+    y0, y1, y2 = jax.lax.fori_loop(
+        0, BC, step, (st[0], st[1], st[2]), unroll=1)
+    out = jnp.stack([y0, y1, y2], axis=0)
+    carry_ref[...] = out
+    stl_ref[...] = out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "poles", "gains", "direct", "outg", "interpret"))
+def pink_bank(w, reset, fstate, *, poles, gains, direct, outg,
+              interpret=None):
+    """Voice-bank pink-noise filter block.
+
+    ``w``: [V, B] white input; ``reset``: [V, B] bool/f32 trigger mask or
+    None; ``fstate``: [V, 3] carried one-pole states; ``poles``/``gains``:
+    static 3-tuples (sample-rate-adjusted, ops/noise.py coefficients).
+    Returns ``(pink [V, B], fstate' [V, 3])``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    V, B = w.shape
+    Vp, G = _bank_pad(V, _SVF_BANK_GROUPS)
+    BC = _SVF_BANK_CHUNK if B % _SVF_BANK_CHUNK == 0 else B
+
+    wT = _bank_tilt(w, 0.0, V, Vp, B)
+    if reset is None:
+        reset = jnp.zeros((V, B), jnp.float32)
+    rT = _bank_tilt(jnp.asarray(reset, jnp.float32), 0.0, V, Vp, B)
+    st0 = jnp.zeros((3, Vp), jnp.float32).at[:, :V].set(fstate.T)
+    st0 = st0.reshape(3, G, 128)
+
+    GT = _SVF_BANK_GROUPS
+    big = pl.BlockSpec((BC, GT, 128), lambda i, j: (j, i, 0))
+    small = pl.BlockSpec((3, GT, 128), lambda i, j: (0, i, 0))
+    pink, stl = pl.pallas_call(
+        functools.partial(
+            _pink_bank_kernel, poles=poles, gains=gains,
+            direct=direct, outg=outg, BC=BC),
+        grid=(G // GT, B // BC),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, G, 128), jnp.float32),
+        ),
+        in_specs=[big, big, small],
+        out_specs=(big, small),
+        scratch_shapes=[pltpu.VMEM((3, GT, 128), jnp.float32)],
+        interpret=interpret,
+    )(wT, rT, st0)
+    return pink.reshape(B, Vp).T[:V], stl.reshape(3, Vp)[:, :V].T

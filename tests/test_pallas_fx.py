@@ -386,3 +386,38 @@ def test_fbws_bank_matches_scan_path():
                 np.asarray(getattr(getattr(st_p.ovs, hb), f)),
                 np.asarray(getattr(getattr(st_x.ovs, hb), f)),
                 atol=1e-5, err_msg=f"{hb}.{f}")
+
+
+def test_pink_bank_matches_scan():
+    """Voice-bank pink-noise kernel vs the linrec1 scan path, with
+    mid-block trigger resets and carried state across blocks."""
+    import jax.numpy as jnp
+
+    from libgooey_tpu.ops import filters, noise
+
+    rs = np.random.RandomState(21)
+    V = 128 + 9
+    counters = jnp.asarray(
+        np.cumsum(rs.randint(1, 3, (V, 2 * B)), axis=-1).astype(np.int32))
+    reset = jnp.asarray(rs.rand(V, 2 * B) < 0.004)
+
+    def run(impl):
+        filters.IMPL = impl
+        try:
+            st = noise.PinkState.init((V,))
+            outs = []
+            for i in range(2):
+                sl = slice(i * B, (i + 1) * B)
+                st, y = noise.pink_block(
+                    st, counters[:, sl], SR, reset=reset[:, sl])
+                outs.append(np.asarray(y))
+        finally:
+            filters.IMPL = "auto"
+        return st, np.concatenate(outs, -1)
+
+    st_x, out_x = run("xla")
+    st_p, out_p = run("pallas")
+    np.testing.assert_allclose(out_p, out_x, atol=1e-6)
+    # fstate is pre-output-gain (~9x the output scale): scale the bound
+    np.testing.assert_allclose(np.asarray(st_p.fstate),
+                               np.asarray(st_x.fstate), atol=1e-5)

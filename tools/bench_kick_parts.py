@@ -28,8 +28,10 @@ from libgooey_tpu.effects import feedback_waveshaper as fbws
 from libgooey_tpu.engine import engine as eng
 from libgooey_tpu.instruments import kick as kick_mod
 from libgooey_tpu.ops import noise as noise_mod
+from libgooey_tpu.ops import osc as osc_mod
 from libgooey_tpu.ops import oversample as ovs_mod
 from libgooey_tpu.ops import filters as filt_mod
+from libgooey_tpu.core import rng as rng_mod
 
 
 def main():
@@ -88,6 +90,10 @@ def main():
         rlp=filt_mod.resonant_lowpass_block,
         amp=kick_mod.amplitude,
         fbws_block=fbws.process_block,
+        white=rng_mod.white,
+        white_idx=rng_mod.white_from_sample_index,
+        sine=osc_mod.sine,
+        rhp=filt_mod.resonant_highpass_block,
     )
 
     def no_ovs(state, fn, x, mode=4):
@@ -110,6 +116,16 @@ def main():
                 feedback_path=True, os_mode=4):
         return state, x
 
+    def no_white(counter, seed=0):
+        return jnp.ones(jnp.shape(counter), jnp.float32)
+
+    def no_sine(sample_index, freq, sample_rate):
+        return jnp.ones(jnp.broadcast_shapes(
+            jnp.shape(sample_index), jnp.shape(freq)), jnp.float32)
+
+    def no_rhp(state, x, cutoff, res, sr, reset=None):
+        return state, x
+
     variants = [
         ("full", {}),
         ("-oversampler", {"ovs": no_ovs}),
@@ -118,6 +134,9 @@ def main():
         ("-pink_noise", {"pink": no_pink}),
         ("-resonant_lp", {"rlp": no_rlp}),
         ("-adsr_pow", {"amp": no_amp}),
+        ("-white_hash", {"white": no_white, "white_idx": no_white}),
+        ("-sine_osc", {"sine": no_sine}),
+        ("-click_hp", {"rhp": no_rhp}),
     ]
 
     results = {}
@@ -128,6 +147,10 @@ def main():
         noise_mod.pink_block = mods.get("pink", real["pink"])
         filt_mod.resonant_lowpass_block = mods.get("rlp", real["rlp"])
         kick_mod.amplitude = mods.get("amp", real["amp"])
+        rng_mod.white = mods.get("white", real["white"])
+        rng_mod.white_from_sample_index = mods.get("white_idx", real["white_idx"])
+        osc_mod.sine = mods.get("sine", real["sine"])
+        filt_mod.resonant_highpass_block = mods.get("rhp", real["rhp"])
         # kick imports these at module load by name in some cases — it uses
         # module-level lookups for fbws.process_block / filters.* / noise.*,
         # but `amplitude` is imported into kick's namespace:

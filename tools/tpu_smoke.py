@@ -130,6 +130,22 @@ def smoke_fbws_bank():
     _ok("fbws_bank", t0)
 
 
+def smoke_pink_bank():
+    t0 = time.perf_counter()
+    from libgooey_tpu.ops import pallas_fx
+
+    V = 1024 + 128
+    rs = np.random.RandomState(6)
+    w = jnp.asarray(rs.randn(V, B).astype(np.float32))
+    rst = jnp.asarray((rs.rand(V, B) < 0.01).astype(np.float32))
+    fstate = jnp.zeros((V, 3), jnp.float32)
+    pink, stl = jax.block_until_ready(pallas_fx.pink_bank(
+        w, rst, fstate, poles=(0.99765, 0.963, 0.57),
+        gains=(0.099, 0.2965, 1.0527), direct=0.1848, outg=0.11))
+    assert np.isfinite(np.asarray(pink)).all()
+    _ok("pink_bank", t0)
+
+
 def smoke_grain_read():
     t0 = time.perf_counter()
     from libgooey_tpu.ops import pallas_grain
@@ -189,6 +205,7 @@ def main():
     smoke_env_bank()
     smoke_svf_bank()
     smoke_fbws_bank()
+    smoke_pink_bank()
     smoke_grain_read()
     smoke_bus_chain()
     smoke_entry()
