@@ -77,6 +77,18 @@ def smooth_block(bank: SmootherBank, coeff, block: int):
     return SmootherBank(current=new_cur, target=tgt), traj
 
 
+def smooth_advance(bank: SmootherBank, coeff, block: int) -> SmootherBank:
+    """Advance a smoother bank by ``block`` samples WITHOUT materializing the
+    trajectory (for fused kernels that compute it internally).  Bit-identical
+    to ``smooth_block(...)[0]``: the closed form at k = block-1 with the same
+    settle snap."""
+    cur, tgt = bank.current, bank.target
+    q = 1.0 - jnp.asarray(coeff, jnp.float32)
+    decayed = (cur - tgt) * jnp.power(q, jnp.float32(block))
+    new_cur = tgt + jnp.where(jnp.abs(decayed) < SMOOTHER_SETTLE_EPS, 0.0, decayed)
+    return SmootherBank(current=new_cur, target=tgt)
+
+
 def smooth_block_traj(current, targets, coeff, axis: int = -1):
     """Smooth toward a per-sample target trajectory (LFO-modulated params).
 

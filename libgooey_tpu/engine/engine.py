@@ -28,7 +28,12 @@ import numpy as np
 
 from libgooey_tpu.core import dsp
 from libgooey_tpu.core.constants import DEFAULT_BLOCK_SIZE, DEFAULT_SAMPLE_RATE
-from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff, smooth_block
+from libgooey_tpu.core.smoother import (
+    SmootherBank,
+    smoothing_coeff,
+    smooth_advance,
+    smooth_block,
+)
 from libgooey_tpu.effects import (
     compressor as fx_compressor,
     delay as fx_delay,
@@ -128,6 +133,12 @@ FAMILY_STATIC = {
 }
 
 
+#: Mix-stage implementation: "xla" (default — fuses into the voice epilogue
+#: and is the GSPMD/multichip psum seam) or "pallas" (opt-in fused kernel,
+#: measured at parity; see the comment at the use site).
+MIX_IMPL = "xla"
+
+
 def _render_all(
     state: dict,
     events: dict,
@@ -217,15 +228,11 @@ def _render_all(
         (0, block_size), jnp.float32
     )
 
-    pan_bank, pan_traj = smooth_block(state["pan"], smooth_coeff, block_size)
-    gain_bank, gain_traj = smooth_block(state["gain"], smooth_coeff, block_size)
-    gl, gr = dsp.pan_gains(pan_traj)
-    shaped = all_voices * gain_traj
-    mix = jnp.stack(
-        [jnp.sum(shaped * gl, axis=0), jnp.sum(shaped * gr, axis=0)], axis=0
-    )
-
     if collect_sources:
+        pan_bank, pan_traj = smooth_block(state["pan"], smooth_coeff, block_size)
+        gain_bank, gain_traj = smooth_block(state["gain"], smooth_coeff, block_size)
+        gl, gr = dsp.pan_gains(pan_traj)
+        shaped = all_voices * gain_traj
         # panned per-voice stereo frames routed through a [S, V] matrix into
         # mixer-graph source buses (the FFI pipeline's scatter, ffi.rs:1301)
         panned = jnp.stack([shaped * gl, shaped * gr], axis=1)       # [V,2,B]
@@ -235,9 +242,38 @@ def _render_all(
         new_state["gain"] = gain_bank
         return new_state, sources, all_voices, voice_peaks
 
+    if MIX_IMPL == "pallas" and all_voices.ndim == 2 and all_voices.shape[0] >= 8:
+        # Opt-in fused mix kernel (ops/pallas_fx.py mix_bank).  Measured AT
+        # PARITY with the XLA path on the 4,096-voice block (1.395 vs
+        # 1.380 ms/block): XLA already fuses the mix into the voice banks'
+        # elementwise epilogue, so there is no HBM round-trip to save.  The
+        # XLA path stays the default because its jnp.sum over the voice
+        # axis is what GSPMD turns into the multi-chip psum (SURVEY §2.10);
+        # a pallas_call does not auto-partition over a sharded mesh.
+        from libgooey_tpu.ops import pallas_fx
+
+        suml, sumr, mono_sum = pallas_fx.mix_bank(
+            all_voices,
+            state["pan"].current, state["pan"].target,
+            state["gain"].current, state["gain"].target,
+            coeff=smooth_coeff,
+        )
+        pan_bank = smooth_advance(state["pan"], smooth_coeff, block_size)
+        gain_bank = smooth_advance(state["gain"], smooth_coeff, block_size)
+        mix = jnp.stack([suml, sumr], axis=0)
+    else:
+        pan_bank, pan_traj = smooth_block(state["pan"], smooth_coeff, block_size)
+        gain_bank, gain_traj = smooth_block(state["gain"], smooth_coeff, block_size)
+        gl, gr = dsp.pan_gains(pan_traj)
+        shaped = all_voices * gain_traj
+        mix = jnp.stack(
+            [jnp.sum(shaped * gl, axis=0), jnp.sum(shaped * gr, axis=0)], axis=0
+        )
+        mono_sum = jnp.sum(shaped, axis=0)
+
     master_bank, master_traj = smooth_block(state["master"], smooth_coeff, block_size)
     bus = mix * master_traj[None, :]
-    mono = jnp.sum(shaped, axis=0) * master_traj
+    mono = mono_sum * master_traj
 
     # --- global FX chain (user-ordered; limiter pinned last) -------------------
     for fx_name in fx_order:

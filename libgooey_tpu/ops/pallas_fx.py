@@ -1880,3 +1880,119 @@ def pink_bank(w, reset, fstate, *, poles, gains, direct, outg,
         interpret=interpret,
     )(wT, rT, st0)
     return pink.reshape(B, Vp).T[:V], stl.reshape(3, Vp)[:, :V].T
+
+
+# ---------------------------------------------------------------------------
+# Voice-bank mix stage: pan/gain smoothing + equal-power pan + the three
+# voice-axis reductions (L / R / mono) in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# The engine's mix stage (engine/engine.py: smooth_block x2, pan_gains,
+# shaped = voices * gain, three sums over V) is pure elementwise math plus
+# reductions — no recurrence.  NOTE (measured): XLA already fuses the whole
+# stage into the voice banks' elementwise epilogue, so this kernel is AT
+# PARITY with the XLA path (1.395 vs 1.380 ms on the 4,096-voice block),
+# not faster — it is kept as an OPT-IN (engine.MIX_IMPL = "pallas") and as
+# the worked example of the bank-kernel layout rule below.  A stub-
+# differential profile attributed ~0.47 ms to this stage; that was a
+# fusion artifact of the stubbing itself (see verify skill, perf rules).
+#
+# Layout is TRANSPOSED [B, V] (voices on lanes, like _bank_tilt): the
+# smoothing closed form y[k] = tgt + (cur - tgt) * q^(k+1) broadcasts a
+# [1, VC] per-voice row against a [B, 1] power column, and the reductions
+# collapse the lane axis.  Grid steps walk voice tiles; the [B, 1]
+# outputs accumulate in VMEM across steps (constant out index map).
+# Semantics mirror core/smoother.py:smooth_block (settle snap at 1e-4,
+# smoother.rs:120-137) and core/dsp.py:pan_gains (frame.rs:31-37).
+
+_MIX_BANK_VC = 256  # voice rows per grid step ([VC, B] f32 tile = 512 KB)
+
+
+def _mix_bank_kernel(x_ref, pc_ref, pt_ref, gc_ref, gt_ref, pw_ref,
+                     outl_ref, outr_ref, outm_ref, *, eps):
+    i = pl.program_id(0)
+    x = x_ref[...]                                   # [B, VC] (voices on lanes)
+    pw = pw_ref[...]                                 # [B, 1] = q^(k+1)
+    pt = pt_ref[...]                                 # [1, VC]
+    pdec = (pc_ref[...] - pt) * pw                   # [B, VC]
+    pan = pt + jnp.where(jnp.abs(pdec) < eps, 0.0, pdec)
+    gt = gt_ref[...]
+    gdec = (gc_ref[...] - gt) * pw
+    gain = gt + jnp.where(jnp.abs(gdec) < eps, 0.0, gdec)
+    ang = jnp.clip(pan, 0.0, 1.0) * np.float32(np.pi / 2.0)
+    shaped = x * gain
+    suml = jnp.sum(shaped * jnp.cos(ang), axis=1, keepdims=True)
+    sumr = jnp.sum(shaped * jnp.sin(ang), axis=1, keepdims=True)
+    summ = jnp.sum(shaped, axis=1, keepdims=True)
+
+    @pl.when(i == 0)
+    def _init():
+        outl_ref[...] = suml
+        outr_ref[...] = sumr
+        outm_ref[...] = summ
+
+    @pl.when(i > 0)
+    def _acc():
+        outl_ref[...] += suml
+        outr_ref[...] += sumr
+        outm_ref[...] += summ
+
+
+@functools.partial(jax.jit, static_argnames=("coeff", "interpret"))
+def mix_bank(voices, pan_cur, pan_tgt, gain_cur, gain_tgt, *, coeff,
+             interpret=None):
+    """Fused engine mix stage over a [V, B] voice bank.
+
+    ``voices``: [V, B] per-voice mono; ``pan_*``/``gain_*``: [V] smoother
+    current/target.  ``coeff``: static smoothing coefficient.  Returns
+    ``(sum_l [B], sum_r [B], sum_mono [B])`` — the equal-power-panned L/R
+    mixes and the unpanned mono mix, each summed over voices, identical
+    (up to tile-order f32 reassociation) to the XLA mix stage in
+    engine/engine.py.
+
+    Layout note (hard-won): the kernel consumes ``voices.T`` ([B, V],
+    voices on LANES) like every other bank kernel's ``_bank_tilt``.  The
+    engine's logical [V, B] intermediates are physically B-major (layout
+    propagates from the bank kernels), so the transpose is free — whereas
+    a V-major [V, B] input block forces XLA to physically relayout the
+    whole producing epilogue before the custom call (~9 ms/block at
+    V=4096, a 7x engine regression, vs ~30 us for this formulation).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from libgooey_tpu.core.constants import SMOOTHER_SETTLE_EPS
+
+    V, B = voices.shape
+    xT = voices.T                                    # [B, V] — layout no-op
+    VC = min(_MIX_BANK_VC, max(128, V))
+    Vp = ((V + VC - 1) // VC) * VC
+    if Vp != V:
+        pad = Vp - V
+        xT = jnp.concatenate([xT, jnp.zeros((B, pad), jnp.float32)], axis=1)
+        zpad = jnp.zeros((pad,), jnp.float32)
+        pan_cur = jnp.concatenate([pan_cur, zpad])
+        pan_tgt = jnp.concatenate([pan_tgt, zpad])
+        gain_cur = jnp.concatenate([gain_cur, zpad])
+        gain_tgt = jnp.concatenate([gain_tgt, zpad])
+    q = np.float32(1.0 - coeff)
+    powers = jnp.power(q, jnp.arange(1, B + 1, dtype=jnp.float32))[:, None]
+
+    lane = pl.BlockSpec((1, VC), lambda i: (0, i))
+    col = pl.BlockSpec((B, 1), lambda i: (0, 0))
+    outl, outr, outm = pl.pallas_call(
+        functools.partial(_mix_bank_kernel, eps=SMOOTHER_SETTLE_EPS),
+        grid=(Vp // VC,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((B, VC), lambda i: (0, i)),
+            lane, lane, lane, lane, col,
+        ],
+        out_specs=(col, col, col),
+        interpret=interpret,
+    )(xT, pan_cur[None, :], pan_tgt[None, :],
+      gain_cur[None, :], gain_tgt[None, :], powers)
+    return outl[:, 0], outr[:, 0], outm[:, 0]

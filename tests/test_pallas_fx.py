@@ -421,3 +421,101 @@ def test_pink_bank_matches_scan():
     # fstate is pre-output-gain (~9x the output scale): scale the bound
     np.testing.assert_allclose(np.asarray(st_p.fstate),
                                np.asarray(st_x.fstate), atol=1e-5)
+
+
+def test_mix_bank_matches_xla_mix_stage():
+    """Fused mix-stage kernel vs the engine's XLA mix stage: smoothing
+    settle-snap, equal-power pan, and the three voice reductions, with
+    mid-smoothing pan/gain moves and a padded (non-multiple-of-VC) V."""
+    import jax.numpy as jnp
+
+    from libgooey_tpu.core.smoother import SmootherBank, smooth_block
+    from libgooey_tpu.core import dsp
+    from libgooey_tpu.ops import pallas_fx
+
+    rs = np.random.RandomState(33)
+    V = 300  # forces lane padding (VC=256)
+    coeff = 0.0015059
+    x = jnp.asarray(rs.randn(V, B).astype(np.float32) * 0.3)
+    pan_cur = jnp.asarray(rs.rand(V).astype(np.float32))
+    pan_tgt = jnp.asarray(rs.rand(V).astype(np.float32))
+    # include some already-settled lanes (snap path) and big moves
+    pan_tgt = pan_tgt.at[:40].set(pan_cur[:40] + 5e-5)
+    gain_cur = jnp.asarray(rs.rand(V).astype(np.float32))
+    gain_tgt = jnp.asarray(rs.rand(V).astype(np.float32))
+    gain_tgt = gain_tgt.at[100:140].set(gain_cur[100:140])
+
+    suml, sumr, summ = pallas_fx.mix_bank(
+        x, pan_cur, pan_tgt, gain_cur, gain_tgt, coeff=coeff, interpret=True)
+
+    _, pan_traj = smooth_block(SmootherBank(pan_cur, pan_tgt), coeff, B)
+    _, gain_traj = smooth_block(SmootherBank(gain_cur, gain_tgt), coeff, B)
+    gl, gr = dsp.pan_gains(pan_traj)
+    shaped = np.asarray(x) * np.asarray(gain_traj)
+    ref_l = np.sum(shaped * np.asarray(gl), axis=0)
+    ref_r = np.sum(shaped * np.asarray(gr), axis=0)
+    ref_m = np.sum(shaped, axis=0)
+
+    scale = np.abs(shaped).sum(axis=0).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(suml), ref_l, atol=2e-6 * scale)
+    np.testing.assert_allclose(np.asarray(sumr), ref_r, atol=2e-6 * scale)
+    np.testing.assert_allclose(np.asarray(summ), ref_m, atol=2e-6 * scale)
+
+
+def test_smooth_advance_matches_smooth_block():
+    from libgooey_tpu.core.smoother import (
+        SmootherBank, smooth_advance, smooth_block)
+
+    rs = np.random.RandomState(7)
+    cur = rs.randn(64).astype(np.float32)
+    tgt = rs.randn(64).astype(np.float32)
+    tgt[:8] = cur[:8] + 4e-5  # settle-snap lanes
+    bank = SmootherBank(np.asarray(cur), np.asarray(tgt))
+    coeff = 0.0015059
+    ref, _ = smooth_block(bank, coeff, B)
+    got = smooth_advance(bank, coeff, B)
+    np.testing.assert_array_equal(np.asarray(got.current), np.asarray(ref.current))
+    np.testing.assert_array_equal(np.asarray(got.target), np.asarray(ref.target))
+
+
+def test_engine_mix_impl_pallas_matches_xla():
+    """The opt-in fused mix stage produces the same engine output as the
+    default XLA mix (both on the CPU/interpret reference path)."""
+    import jax.numpy as jnp
+
+    from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff
+    from libgooey_tpu.engine import engine as eng
+    from libgooey_tpu.instruments import kick as kick_mod
+
+    V = 12
+    state = {
+        "kick": kick_mod.init_state(V, kick_mod.KickConfig.tight()),
+        "pan": SmootherBank.init(np.linspace(0.1, 0.9, V).astype(np.float32)),
+        "gain": SmootherBank.init(np.full(V, 1.0 / V, np.float32)),
+        "master": SmootherBank.init(np.float32(0.25)),
+    }
+    events = {
+        "kick_off": jnp.asarray(np.zeros(V, np.int32)),
+        "kick_vel": jnp.asarray(np.linspace(0.4, 1.0, V).astype(np.float32)),
+        "block_start": jnp.asarray(np.int32(0)),
+    }
+    static = dict(kinds=("kick",), sample_rate=SR, block_size=B,
+                  smooth_coeff=smoothing_coeff(SR), limiter_threshold=1.0,
+                  family_static=(("kick", (("feedback_path", False),
+                                           ("max_harmonics", 16))),))
+
+    def run():
+        st, out, mono = eng._render_all(state, events, **static)
+        return np.asarray(out), np.asarray(mono), st
+
+    out_x, mono_x, st_x = run()
+    eng.MIX_IMPL = "pallas"
+    try:
+        out_p, mono_p, st_p = run()
+    finally:
+        eng.MIX_IMPL = "xla"
+
+    np.testing.assert_allclose(out_p, out_x, atol=2e-6)
+    np.testing.assert_allclose(mono_p, mono_x, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st_p["pan"].current),
+                               np.asarray(st_x["pan"].current), atol=1e-7)

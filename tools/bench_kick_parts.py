@@ -24,8 +24,10 @@ import numpy as np
 
 import bench
 from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff
+from libgooey_tpu.core import dsp as dsp_mod
 from libgooey_tpu.effects import feedback_waveshaper as fbws
 from libgooey_tpu.engine import engine as eng
+from libgooey_tpu.instruments import common as common_mod
 from libgooey_tpu.instruments import kick as kick_mod
 from libgooey_tpu.ops import noise as noise_mod
 from libgooey_tpu.ops import osc as osc_mod
@@ -94,6 +96,9 @@ def main():
         white_idx=rng_mod.white_from_sample_index,
         sine=osc_mod.sine,
         rhp=filt_mod.resonant_highpass_block,
+        kick_render=kick_mod.render_block,
+        ptraj=common_mod.VoiceBlock.ptraj,
+        pan_gains=dsp_mod.pan_gains,
     )
 
     def no_ovs(state, fn, x, mode=4):
@@ -126,6 +131,21 @@ def main():
     def no_rhp(state, x, cutoff, res, sr, reset=None):
         return state, x
 
+    def no_kick(state, trig_offset, trig_velocity, block_start, **kw):
+        V = state.trig_sample.shape[0]
+        return state, jnp.zeros((V, B), jnp.float32)
+
+    def no_ptraj(self, name):
+        if name in self.overrides:
+            return self.overrides[name]
+        idx = self.param_index[name]
+        return jnp.broadcast_to(self.bank.target[:, idx, None],
+                                (self.bank.target.shape[0], self.B))
+
+    def no_pan(pan):
+        one = jnp.full(jnp.shape(pan), 0.70710678, jnp.float32)
+        return one, one
+
     variants = [
         ("full", {}),
         ("-oversampler", {"ovs": no_ovs}),
@@ -137,6 +157,9 @@ def main():
         ("-white_hash", {"white": no_white, "white_idx": no_white}),
         ("-sine_osc", {"sine": no_sine}),
         ("-click_hp", {"rhp": no_rhp}),
+        ("-kick_entirely", {"kick_render": no_kick}),
+        ("-ptraj_decay", {"ptraj": no_ptraj}),
+        ("-pan_gains", {"pan_gains": no_pan}),
     ]
 
     results = {}
@@ -151,6 +174,19 @@ def main():
         rng_mod.white_from_sample_index = mods.get("white_idx", real["white_idx"])
         osc_mod.sine = mods.get("sine", real["sine"])
         filt_mod.resonant_highpass_block = mods.get("rhp", real["rhp"])
+        eng.FAMILIES["kick"] = kick_mod
+        if "kick_render" in mods:
+            import types
+
+            stub_mod = types.SimpleNamespace(
+                render_block=mods["kick_render"],
+                init_state=kick_mod.init_state,
+                PARAM_INDEX=kick_mod.PARAM_INDEX,
+            )
+            eng.FAMILIES["kick"] = stub_mod
+        common_mod.VoiceBlock.ptraj = mods.get("ptraj", real["ptraj"])
+        dsp_mod.pan_gains = mods.get("pan_gains", real["pan_gains"])
+        eng.dsp.pan_gains = mods.get("pan_gains", real["pan_gains"])
         # kick imports these at module load by name in some cases — it uses
         # module-level lookups for fbws.process_block / filters.* / noise.*,
         # but `amplitude` is imported into kick's namespace:

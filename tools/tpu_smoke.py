@@ -146,6 +146,25 @@ def smoke_pink_bank():
     _ok("pink_bank", t0)
 
 
+def smoke_mix_bank():
+    t0 = time.perf_counter()
+    from libgooey_tpu.ops import pallas_fx
+
+    V = 1024 + 60  # exercises voice-tile padding
+    rs = np.random.RandomState(8)
+    x = jnp.asarray(rs.randn(V, B).astype(np.float32) * 0.2)
+    pc = jnp.asarray(rs.rand(V).astype(np.float32))
+    pt = jnp.asarray(rs.rand(V).astype(np.float32))
+    gc = jnp.asarray(rs.rand(V).astype(np.float32))
+    gt = jnp.asarray(rs.rand(V).astype(np.float32))
+    suml, sumr, summ = jax.block_until_ready(
+        pallas_fx.mix_bank(x, pc, pt, gc, gt, coeff=0.0015059)
+    )
+    assert np.isfinite(np.asarray(suml)).all()
+    assert np.isfinite(np.asarray(summ)).all()
+    _ok("mix_bank", t0)
+
+
 def smoke_grain_read():
     t0 = time.perf_counter()
     from libgooey_tpu.ops import pallas_grain
@@ -206,6 +225,7 @@ def main():
     smoke_svf_bank()
     smoke_fbws_bank()
     smoke_pink_bank()
+    smoke_mix_bank()
     smoke_grain_read()
     smoke_bus_chain()
     smoke_entry()
