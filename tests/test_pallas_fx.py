@@ -519,3 +519,37 @@ def test_engine_mix_impl_pallas_matches_xla():
     np.testing.assert_allclose(mono_p, mono_x, atol=2e-6)
     np.testing.assert_allclose(np.asarray(st_p["pan"].current),
                                np.asarray(st_x["pan"].current), atol=1e-7)
+
+
+def test_svf_and_pink_bank_tiny_v():
+    """The bank kernels pad tiny banks (V=3) to one 128-lane slab and still
+    match the scan path — the auto gate now engages them at any 2-D V."""
+    import jax.numpy as jnp
+
+    from libgooey_tpu.ops import filters, noise, pallas_fx
+
+    rs = np.random.RandomState(5)
+    V = 3
+    x = jnp.asarray(rs.randn(V, B).astype(np.float32))
+    cut = jnp.asarray((200 + 4000 * rs.rand(V, B)).astype(np.float32))
+    g, h = filters.svf_coeffs(cut, 0.8, SR)
+    reset = jnp.asarray(rs.rand(V, B) < 0.01)
+    ic = jnp.asarray(rs.randn(V).astype(np.float32) * 0.1)
+
+    v1k, v2k, ic1k, ic2k = pallas_fx.svf_bank(x, g, h, reset, ic, ic,
+                                              interpret=True)
+    st, v1x, v2x = filters.svf_tpt_block(
+        filters.SVFState(ic, ic), x, g, h, reset=reset)
+    np.testing.assert_allclose(np.asarray(v2k), np.asarray(v2x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ic2k), np.asarray(st.ic2), atol=2e-5)
+
+    counters = jnp.asarray(
+        np.cumsum(rs.randint(1, 3, (V, B)), axis=-1).astype(np.int32))
+    st0 = noise.PinkState.init((V,))
+    filters.IMPL = "pallas"
+    try:
+        stp, yp = noise.pink_block(st0, counters, SR)
+    finally:
+        filters.IMPL = "auto"
+    stx, yx = noise.pink_block(st0, counters, SR)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yx), atol=1e-6)
