@@ -1996,3 +1996,82 @@ def mix_bank(voices, pan_cur, pan_tgt, gain_cur, gain_tgt, *, coeff,
     )(xT, pan_cur[None, :], pan_tgt[None, :],
       gain_cur[None, :], gain_tgt[None, :], powers)
     return outl[:, 0], outr[:, 0], outm[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Generic voice-bank 2-state linear recurrence: s[n] = A[n] s[n-1] + b[n]
+# ---------------------------------------------------------------------------
+#
+# The sample-sequential twin of ops/scan.py linrec2 (associative scan).
+# Biquads (RBJ DF-I), the Chamberlin SVF and the membrane resonator bands
+# all reduce to this recurrence; on TPU the associative scan lowers to
+# O(log B) full passes over SIX coefficient arrays (~10 kernels per
+# recurrence), which dominates the small-V product/kit configs' graph
+# floor (snare/hihat2/tom2 run several biquads each).  This kernel runs
+# the recurrence in one pass over [B, G, 128] voice slabs with the state
+# in vregs, like svf_bank.  Returns POST-update state trajectories,
+# matching linrec2 exactly (same per-sample op order as the reference's
+# sample loop, so it also agrees with the per-sample oracles).
+
+def _linrec2_bank_kernel(a11_ref, a12_ref, a21_ref, a22_ref, b1_ref, b2_ref,
+                         s0_ref, s1_ref, s2_ref, sl_ref, carry_ref, *, BC):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        carry_ref[...] = s0_ref[...]
+
+    s = carry_ref[...]
+
+    def step(n, carry):
+        s1, s2 = carry
+        n1 = a11_ref[n] * s1 + a12_ref[n] * s2 + b1_ref[n]
+        n2 = a21_ref[n] * s1 + a22_ref[n] * s2 + b2_ref[n]
+        s1_ref[n] = n1
+        s2_ref[n] = n2
+        return n1, n2
+
+    s1, s2 = jax.lax.fori_loop(0, BC, step, (s[0], s[1]), unroll=1)
+    out = jnp.stack([s1, s2], axis=0)
+    carry_ref[...] = out
+    sl_ref[...] = out  # sequential chunk grid: the last write wins
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def linrec2_bank(a11, a12, a21, a22, b1, b2, s1_0, s2_0, *, interpret=None):
+    """Voice-bank 2-state recurrence over [V, B] blocks.
+
+    Coefficients are [V, B] (already broadcast); ``s1_0``/``s2_0`` are [V]
+    carried state.  Returns ``(s1 [V, B], s2 [V, B], s1' [V], s2' [V])``
+    with s1/s2 the post-update state trajectories (ops/scan.py linrec2
+    semantics).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    V, B = a11.shape
+    Vp, G = _bank_pad(V, _SVF_BANK_GROUPS)
+    BC = _SVF_BANK_CHUNK if B % _SVF_BANK_CHUNK == 0 else B
+
+    tilt = lambda a: _bank_tilt(a, 0.0, V, Vp, B)
+    s0 = jnp.zeros((2, Vp), jnp.float32)
+    s0 = s0.at[0, :V].set(s1_0).at[1, :V].set(s2_0).reshape(2, G, 128)
+
+    GT = _SVF_BANK_GROUPS
+    big = pl.BlockSpec((BC, GT, 128), lambda i, j: (j, i, 0))
+    small = pl.BlockSpec((2, GT, 128), lambda i, j: (0, i, 0))
+    s1, s2, sl = pl.pallas_call(
+        functools.partial(_linrec2_bank_kernel, BC=BC),
+        grid=(G // GT, B // BC),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((2, G, 128), jnp.float32),
+        ),
+        in_specs=[big] * 6 + [small],
+        out_specs=(big, big, small),
+        scratch_shapes=[pltpu.VMEM((2, GT, 128), jnp.float32)],
+        interpret=interpret,
+    )(tilt(a11), tilt(a12), tilt(a21), tilt(a22), tilt(b1), tilt(b2), s0)
+    flat = lambda v: v.reshape(B, Vp).T[:V]
+    sl = sl.reshape(2, Vp)
+    return flat(s1), flat(s2), sl[0, :V], sl[1, :V]

@@ -39,6 +39,24 @@ def _pallas_enabled() -> bool:
     return USE_PALLAS
 
 
+#: linrec2 -> voice-bank kernel routing (pallas_fx.linrec2_bank).  Unlike
+#: linrec1 (see USE_PALLAS above), this is ON by default for 2-D [V, B]
+#: banks on TPU: every linrec2 caller on the TPU path is an instrument-bank
+#: recurrence (biquads, Chamberlin, membrane bands) whose cost is the
+#: O(log B) multi-kernel scan, not operand fusion — the 4,096-voice kick's
+#: hot recurrences were already diverted to dedicated kernels upstream.
+#: "xla" forces the associative scan (CPU reference semantics everywhere).
+LINREC2_IMPL = "auto"
+
+
+def _bank2_enabled(a, axis) -> bool:
+    if LINREC2_IMPL != "auto":
+        return False
+    if axis not in (-1, a.ndim - 1) or a.ndim != 2 or a.shape[-1] < 8:
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def linrec1(a, b, y0, axis: int = -1):
     """Solve ``y[n] = a[n] * y[n-1] + b[n]`` along ``axis`` with ``y[-1]=y0``.
 
@@ -116,6 +134,20 @@ def linrec2(a11, a12, a21, a22, b1, b2, s0, axis: int = -1):
         *(jnp.asarray(v) for v in (a11, a12, a21, a22, b1, b2))
     )
     a11, a12, a21, a22, b1, b2 = arrs
+
+    if _bank2_enabled(a11, axis):
+        # sample-sequential voice-bank kernel: one pass over the six
+        # coefficient arrays instead of O(log B) scan passes (~10 kernels)
+        # — the graph-floor fix for the biquad/Chamberlin-heavy families
+        # (snare, hihat2, tom2, membrane) at product voice counts
+        from libgooey_tpu.ops import pallas_fx
+
+        s1, s2, _, _ = pallas_fx.linrec2_bank(
+            a11, a12, a21, a22, b1, b2,
+            jnp.broadcast_to(jnp.asarray(s0[0], jnp.float32), a11.shape[:1]),
+            jnp.broadcast_to(jnp.asarray(s0[1], jnp.float32), a11.shape[:1]),
+        )
+        return s1, s2
 
     def combine(l, r):
         la11, la12, la21, la22, lb1, lb2 = l

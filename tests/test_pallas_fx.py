@@ -553,3 +553,43 @@ def test_svf_and_pink_bank_tiny_v():
         filters.IMPL = "auto"
     stx, yx = noise.pink_block(st0, counters, SR)
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yx), atol=1e-6)
+
+
+def test_linrec2_bank_matches_scan_and_oracle():
+    """Generic 2-state bank kernel vs ops.scan.linrec2 and a per-sample
+    numpy oracle (biquad-shaped coefficients, V=5 padding path)."""
+    import jax.numpy as jnp
+
+    from libgooey_tpu.ops import pallas_fx
+    from libgooey_tpu.ops import scan as gscan
+
+    rs = np.random.RandomState(11)
+    V = 5
+    # stable biquad-ish A matrices: [[-a1, -a2], [1, 0]] with |poles| < 1
+    a1 = jnp.asarray((-1.2 + 0.1 * rs.rand(V, B)).astype(np.float32))
+    a2 = jnp.asarray((0.5 + 0.1 * rs.rand(V, B)).astype(np.float32))
+    w = jnp.asarray(rs.randn(V, B).astype(np.float32))
+    ones = jnp.ones((V, B), jnp.float32)
+    zeros = jnp.zeros((V, B), jnp.float32)
+    s10 = jnp.asarray(rs.randn(V).astype(np.float32) * 0.1)
+    s20 = jnp.asarray(rs.randn(V).astype(np.float32) * 0.1)
+
+    s1k, s2k, s1l, s2l = pallas_fx.linrec2_bank(
+        -a1, -a2, ones, zeros, w, zeros, s10, s20, interpret=True)
+    s1x, s2x = gscan.linrec2(-a1, -a2, ones, zeros, w, zeros, (s10, s20))
+    np.testing.assert_allclose(np.asarray(s1k), np.asarray(s1x),
+                               rtol=2e-4, atol=2e-4)
+
+    # per-sample oracle (f32 op order identical to the kernel)
+    s1o = np.asarray(s10).copy()
+    s2o = np.asarray(s20).copy()
+    a1n, a2n, wn = map(np.asarray, (a1, a2, w))
+    ref = np.zeros((V, B), np.float32)
+    for n in range(B):
+        n1 = (-a1n[:, n] * s1o + -a2n[:, n] * s2o + wn[:, n]).astype(np.float32)
+        n2 = s1o
+        ref[:, n] = n1
+        s1o, s2o = n1, n2
+    # same per-sample op order; XLA may contract to FMA -> ulp-level noise
+    np.testing.assert_allclose(np.asarray(s1k), ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1l), ref[:, -1], rtol=1e-5, atol=1e-5)

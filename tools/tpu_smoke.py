@@ -146,6 +146,25 @@ def smoke_pink_bank():
     _ok("pink_bank", t0)
 
 
+def smoke_linrec2_bank():
+    t0 = time.perf_counter()
+    from libgooey_tpu.ops import pallas_fx
+
+    V = 128 + 5
+    rs = np.random.RandomState(9)
+    a1 = jnp.asarray((-1.2 + 0.1 * rs.rand(V, B)).astype(np.float32))
+    a2 = jnp.asarray((0.5 + 0.1 * rs.rand(V, B)).astype(np.float32))
+    w = jnp.asarray(rs.randn(V, B).astype(np.float32))
+    ones = jnp.ones((V, B), jnp.float32)
+    zeros = jnp.zeros((V, B), jnp.float32)
+    z = jnp.zeros((V,), jnp.float32)
+    s1, s2, s1l, s2l = jax.block_until_ready(
+        pallas_fx.linrec2_bank(-a1, -a2, ones, zeros, w, zeros, z, z)
+    )
+    assert np.isfinite(np.asarray(s1)).all()
+    _ok("linrec2_bank", t0)
+
+
 def smoke_mix_bank():
     t0 = time.perf_counter()
     from libgooey_tpu.ops import pallas_fx
@@ -225,6 +244,7 @@ def main():
     smoke_svf_bank()
     smoke_fbws_bank()
     smoke_pink_bank()
+    smoke_linrec2_bank()
     smoke_mix_bank()
     smoke_grain_read()
     smoke_bus_chain()
