@@ -2075,3 +2075,73 @@ def linrec2_bank(a11, a12, a21, a22, b1, b2, s1_0, s2_0, *, interpret=None):
     flat = lambda v: v.reshape(B, Vp).T[:V]
     sl = sl.reshape(2, Vp)
     return flat(s1), flat(s2), sl[0, :V], sl[1, :V]
+
+
+# ---------------------------------------------------------------------------
+# Generic voice-bank first-order max-affine recurrence:
+#     y[n] = max(a[n], b[n] * y[n-1] + c[n])
+# ---------------------------------------------------------------------------
+#
+# With a = -inf this is the plain first-order recurrence under every
+# one-pole LP, DC blocker and ring follower (ops/scan.py linrec1); with a
+# live it is the "instant up, smoothed down" tracker (ops/scan.py maxlin,
+# hihat2.rs:290-320).  Routed for SMALL banks only (V <= 512): there the
+# associative scan's ~6 log-depth kernels dominate the graph floor, while
+# at headline V the scan's operand fusion wins (the earlier chunked
+# linrec1 kernel measured a ~2x headline regression — ops/scan.py
+# USE_PALLAS note).
+
+def _affine1_bank_kernel(a_ref, b_ref, c_ref, y0_ref, y_ref, yl_ref,
+                         carry_ref, *, BC):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        carry_ref[...] = y0_ref[...]
+
+    y = carry_ref[...]
+
+    def step(n, y):
+        yn = jnp.maximum(a_ref[n], b_ref[n] * y[0] + c_ref[n])
+        y_ref[n] = yn
+        return (yn,)
+
+    (y,) = jax.lax.fori_loop(0, BC, step, (y[0],), unroll=1)
+    carry_ref[...] = y[None]
+    yl_ref[...] = y[None]  # sequential chunk grid: the last write wins
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def affine1_bank(a, b, c, y0, *, interpret=None):
+    """Voice-bank ``y[n] = max(a[n], b[n]*y[n-1] + c[n])`` over [V, B].
+
+    Returns ``(y [V, B], y_last [V])``.  Pass ``a = -inf`` (or any value
+    always below the affine branch) for a plain first-order recurrence.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    V, B = b.shape
+    Vp, G = _bank_pad(V, _SVF_BANK_GROUPS)
+    BC = _SVF_BANK_CHUNK if B % _SVF_BANK_CHUNK == 0 else B
+
+    aT = _bank_tilt(a, -3.0e38, V, Vp, B)
+    bT = _bank_tilt(b, 0.0, V, Vp, B)
+    cT = _bank_tilt(c, 0.0, V, Vp, B)
+    y0p = jnp.zeros((1, Vp), jnp.float32).at[0, :V].set(y0).reshape(1, G, 128)
+
+    GT = _SVF_BANK_GROUPS
+    big = pl.BlockSpec((BC, GT, 128), lambda i, j: (j, i, 0))
+    small = pl.BlockSpec((1, GT, 128), lambda i, j: (0, i, 0))
+    y, yl = pl.pallas_call(
+        functools.partial(_affine1_bank_kernel, BC=BC),
+        grid=(G // GT, B // BC),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((1, G, 128), jnp.float32),
+        ),
+        in_specs=[big, big, big, small],
+        out_specs=(big, small),
+        scratch_shapes=[pltpu.VMEM((1, GT, 128), jnp.float32)],
+        interpret=interpret,
+    )(aT, bT, cT, y0p)
+    return y.reshape(B, Vp).T[:V], yl.reshape(Vp)[:V]

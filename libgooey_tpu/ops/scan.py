@@ -57,6 +57,25 @@ def _bank2_enabled(a, axis) -> bool:
     return jax.default_backend() == "tpu"
 
 
+#: First-order recurrences route to the bank kernel only for SMALL banks:
+#: at headline V the associative scan's operand fusion wins (the chunked
+#: linrec1 kernel above measured a ~2x headline regression), while at
+#: product voice counts the scan's ~6 log-depth kernels dominate the
+#: graph floor.  "xla" disables the kernel entirely.
+LINREC1_BANK_IMPL = "auto"
+_BANK1_MAX_V = 512
+
+
+def _bank1_enabled(a, axis) -> bool:
+    if LINREC1_BANK_IMPL != "auto":
+        return False
+    if axis not in (-1, a.ndim - 1) or a.ndim != 2 or a.shape[-1] < 8:
+        return False
+    if a.shape[0] > _BANK1_MAX_V:
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def linrec1(a, b, y0, axis: int = -1):
     """Solve ``y[n] = a[n] * y[n-1] + b[n]`` along ``axis`` with ``y[-1]=y0``.
 
@@ -78,6 +97,15 @@ def linrec1(a, b, y0, axis: int = -1):
         if pallas_scan.supported(a2, y2):
             b2 = b.reshape(rows, b.shape[-1]) if b.ndim != 2 else b
             return pallas_scan.linrec1_pallas(a2, b2, y2).reshape(a.shape)
+
+    if _bank1_enabled(a, axis):
+        from libgooey_tpu.ops import pallas_fx
+
+        y, _ = pallas_fx.affine1_bank(
+            jnp.full_like(a, -3.0e38), a, b,
+            jnp.broadcast_to(jnp.asarray(y0, jnp.float32), a.shape[:1]),
+        )
+        return y
 
     def combine(left, right):
         a_l, b_l = left
@@ -240,6 +268,15 @@ def maxlin(a, b, c, y0, axis: int = -1):
     run in O(log B) like any linear recurrence.
     """
     a, b, c = jnp.broadcast_arrays(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c))
+
+    if _bank1_enabled(a, axis):
+        from libgooey_tpu.ops import pallas_fx
+
+        y, _ = pallas_fx.affine1_bank(
+            a, b, c,
+            jnp.broadcast_to(jnp.asarray(y0, jnp.float32), a.shape[:1]),
+        )
+        return y
 
     def combine(l, r):
         a_l, b_l, c_l = l

@@ -593,3 +593,38 @@ def test_linrec2_bank_matches_scan_and_oracle():
     # same per-sample op order; XLA may contract to FMA -> ulp-level noise
     np.testing.assert_allclose(np.asarray(s1k), ref, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s1l), ref[:, -1], rtol=1e-5, atol=1e-5)
+
+
+def test_affine1_bank_matches_linrec1_and_maxlin():
+    """First-order bank kernel vs the associative-scan paths: plain
+    recurrence (a = -inf) and the hihat2-style max-affine tracker."""
+    import jax.numpy as jnp
+
+    from libgooey_tpu.ops import pallas_fx
+    from libgooey_tpu.ops import scan as gscan
+
+    rs = np.random.RandomState(17)
+    V = 6
+    a = jnp.asarray((0.90 + 0.09 * rs.rand(V, B)).astype(np.float32))
+    b = jnp.asarray((0.02 * rs.randn(V, B)).astype(np.float32))
+    y0 = jnp.asarray(rs.randn(V).astype(np.float32) * 0.1)
+
+    yk, ylk = pallas_fx.affine1_bank(
+        jnp.full((V, B), -3.0e38, jnp.float32), a, b, y0, interpret=True)
+    yx = gscan.linrec1(a, b, y0)
+    np.testing.assert_allclose(np.asarray(yk), np.asarray(yx),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ylk), np.asarray(yx)[:, -1],
+                               rtol=1e-5, atol=1e-6)
+
+    # max-affine: instant up / smoothed down tracker
+    tgt = jnp.asarray(np.abs(rs.randn(V, B)).astype(np.float32))
+    k = np.float32(0.04)
+    ya = tgt
+    yb = jnp.full((V, B), 1.0 - k, jnp.float32)
+    yc = k * tgt
+    ymk, _ = pallas_fx.affine1_bank(ya, yb, yc, jnp.zeros(V, jnp.float32),
+                                    interpret=True)
+    ymx = gscan.maxlin(ya, yb, yc, jnp.zeros(V, jnp.float32))
+    np.testing.assert_allclose(np.asarray(ymk), np.asarray(ymx),
+                               rtol=1e-5, atol=1e-6)

@@ -165,6 +165,22 @@ def smoke_linrec2_bank():
     _ok("linrec2_bank", t0)
 
 
+def smoke_affine1_bank():
+    t0 = time.perf_counter()
+    from libgooey_tpu.ops import pallas_fx
+
+    V = 128 + 3
+    rs = np.random.RandomState(10)
+    a = jnp.full((V, B), -3.0e38, jnp.float32)
+    bcoef = jnp.asarray((0.9 + 0.09 * rs.rand(V, B)).astype(np.float32))
+    c = jnp.asarray(rs.randn(V, B).astype(np.float32) * 0.05)
+    y, yl = jax.block_until_ready(
+        pallas_fx.affine1_bank(a, bcoef, c, jnp.zeros(V, jnp.float32))
+    )
+    assert np.isfinite(np.asarray(y)).all()
+    _ok("affine1_bank", t0)
+
+
 def smoke_mix_bank():
     t0 = time.perf_counter()
     from libgooey_tpu.ops import pallas_fx
@@ -245,6 +261,7 @@ def main():
     smoke_fbws_bank()
     smoke_pink_bank()
     smoke_linrec2_bank()
+    smoke_affine1_bank()
     smoke_mix_bank()
     smoke_grain_read()
     smoke_bus_chain()
