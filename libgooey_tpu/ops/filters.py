@@ -332,37 +332,32 @@ def membrane_block(state: MembraneState, x, q_scale, gain_scale, sample_rate,
 
     Returns ``(new_state, out, ring_level_traj)``.
     """
-    outs = []
-    new_bq = []
-    for i in range(5):
-        gain, freq, q = MEMBRANE_PARAMS[i]
-        scaled_q = jnp.clip(q * q_scale, 0.1, 100.0)
-        scaled_gain = gain * gain_scale
-        coeffs = rbj_bandpass_coeffs(
-            jnp.asarray(freq), scaled_q[..., None], scaled_gain[..., None], sample_rate
+    # all 5 bands as one batched biquad: the band axis folds into the batch
+    # dims, so the recurrence is ONE linrec2/bank-kernel call instead of a
+    # Python loop of five (a 5x graph-floor cut on the tom2 path)
+    gains = jnp.asarray(MEMBRANE_PARAMS[:, 0])          # [5]
+    freqs = jnp.asarray(MEMBRANE_PARAMS[:, 1])
+    qs = jnp.asarray(MEMBRANE_PARAMS[:, 2])
+    scaled_q = jnp.clip(qs * q_scale[..., None], 0.1, 100.0)       # [..., 5]
+    scaled_gain = gains * gain_scale[..., None]                    # [..., 5]
+    coeffs = rbj_bandpass_coeffs(
+        freqs[:, None], scaled_q[..., None], scaled_gain[..., None], sample_rate
+    )                                                              # [..., 5, 1]
+    x5 = jnp.expand_dims(x, -2)                                    # [..., 1, B]
+    reset5 = None
+    if reset is not None:
+        reset5 = jnp.broadcast_to(
+            jnp.expand_dims(jnp.asarray(reset), -2),
+            jnp.broadcast_shapes(x5.shape, coeffs[0].shape)
         )
-        st_i = BiquadState(
-            x1=state.biquads.x1[..., i], x2=state.biquads.x2[..., i],
-            y1=state.biquads.y1[..., i], y2=state.biquads.y2[..., i],
-        )
-        st_i, y = biquad_df1_block(st_i, x, coeffs, reset=reset)
-        outs.append(y)
-        new_bq.append(st_i)
-    total = outs[0] + outs[1] + outs[2] + outs[3] + outs[4]
+    new_bq, y = biquad_df1_block(state.biquads, x5, coeffs, reset=reset5)
+    total = jnp.sum(y, axis=-2)
     clipped = jnp.tanh(total)
     a = jnp.full_like(clipped, 0.999)
     if reset is not None:
         a = jnp.where(reset, 0.0, a)
     ring = gscan.linrec1(a, 0.001 * jnp.abs(clipped), state.ring_level)
-    new_state = MembraneState(
-        biquads=BiquadState(
-            x1=jnp.stack([s.x1 for s in new_bq], axis=-1),
-            x2=jnp.stack([s.x2 for s in new_bq], axis=-1),
-            y1=jnp.stack([s.y1 for s in new_bq], axis=-1),
-            y2=jnp.stack([s.y2 for s in new_bq], axis=-1),
-        ),
-        ring_level=ring[..., -1],
-    )
+    new_state = MembraneState(biquads=new_bq, ring_level=ring[..., -1])
     return new_state, clipped, ring
 
 

@@ -52,9 +52,16 @@ LINREC2_IMPL = "auto"
 def _bank2_enabled(a, axis) -> bool:
     if LINREC2_IMPL != "auto":
         return False
-    if axis not in (-1, a.ndim - 1) or a.ndim != 2 or a.shape[-1] < 8:
+    if axis not in (-1, a.ndim - 1) or a.ndim < 2 or a.shape[-1] < 8:
         return False
     return jax.default_backend() == "tpu"
+
+
+def _rows(shape) -> int:
+    n = 1
+    for d in shape[:-1]:
+        n *= d
+    return n
 
 
 #: First-order recurrences route to the bank kernel only for SMALL banks:
@@ -69,9 +76,9 @@ _BANK1_MAX_V = 512
 def _bank1_enabled(a, axis) -> bool:
     if LINREC1_BANK_IMPL != "auto":
         return False
-    if axis not in (-1, a.ndim - 1) or a.ndim != 2 or a.shape[-1] < 8:
+    if axis not in (-1, a.ndim - 1) or a.ndim < 2 or a.shape[-1] < 8:
         return False
-    if a.shape[0] > _BANK1_MAX_V:
+    if _rows(a.shape) > _BANK1_MAX_V:
         return False
     return jax.default_backend() == "tpu"
 
@@ -101,11 +108,14 @@ def linrec1(a, b, y0, axis: int = -1):
     if _bank1_enabled(a, axis):
         from libgooey_tpu.ops import pallas_fx
 
+        lead, B = a.shape[:-1], a.shape[-1]
+        R = _rows(a.shape)
+        y0f = jnp.broadcast_to(jnp.asarray(y0, jnp.float32), lead).reshape(R)
         y, _ = pallas_fx.affine1_bank(
-            jnp.full_like(a, -3.0e38), a, b,
-            jnp.broadcast_to(jnp.asarray(y0, jnp.float32), a.shape[:1]),
+            jnp.full((R, B), -3.0e38, jnp.float32),
+            a.reshape(R, B), b.reshape(R, B), y0f,
         )
-        return y
+        return y.reshape(a.shape)
 
     def combine(left, right):
         a_l, b_l = left
@@ -167,15 +177,20 @@ def linrec2(a11, a12, a21, a22, b1, b2, s0, axis: int = -1):
         # sample-sequential voice-bank kernel: one pass over the six
         # coefficient arrays instead of O(log B) scan passes (~10 kernels)
         # — the graph-floor fix for the biquad/Chamberlin-heavy families
-        # (snare, hihat2, tom2, membrane) at product voice counts
+        # (snare, hihat2, tom2, membrane) at product voice counts.
+        # Leading dims (e.g. membrane's [V, 5] bands) flatten into rows.
         from libgooey_tpu.ops import pallas_fx
 
+        lead, B = a11.shape[:-1], a11.shape[-1]
+        R = _rows(a11.shape)
+        flat = lambda v: v.reshape(R, B)
+        s10 = jnp.broadcast_to(jnp.asarray(s0[0], jnp.float32), lead).reshape(R)
+        s20 = jnp.broadcast_to(jnp.asarray(s0[1], jnp.float32), lead).reshape(R)
         s1, s2, _, _ = pallas_fx.linrec2_bank(
-            a11, a12, a21, a22, b1, b2,
-            jnp.broadcast_to(jnp.asarray(s0[0], jnp.float32), a11.shape[:1]),
-            jnp.broadcast_to(jnp.asarray(s0[1], jnp.float32), a11.shape[:1]),
+            flat(a11), flat(a12), flat(a21), flat(a22), flat(b1), flat(b2),
+            s10, s20,
         )
-        return s1, s2
+        return s1.reshape(a11.shape), s2.reshape(a11.shape)
 
     def combine(l, r):
         la11, la12, la21, la22, lb1, lb2 = l
@@ -272,11 +287,12 @@ def maxlin(a, b, c, y0, axis: int = -1):
     if _bank1_enabled(a, axis):
         from libgooey_tpu.ops import pallas_fx
 
+        lead, B = a.shape[:-1], a.shape[-1]
+        R = _rows(a.shape)
+        y0f = jnp.broadcast_to(jnp.asarray(y0, jnp.float32), lead).reshape(R)
         y, _ = pallas_fx.affine1_bank(
-            a, b, c,
-            jnp.broadcast_to(jnp.asarray(y0, jnp.float32), a.shape[:1]),
-        )
-        return y
+            a.reshape(R, B), b.reshape(R, B), c.reshape(R, B), y0f)
+        return y.reshape(a.shape)
 
     def combine(l, r):
         a_l, b_l, c_l = l
