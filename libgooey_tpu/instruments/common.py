@@ -201,7 +201,9 @@ def fm_snap_block(phase0, elapsed, sample_rate, *, attack=0.001, decay=0.008,
     env = jnp.where(active, env, 0.0)
     mod = jnp.sin(2.0 * jnp.pi * modulator_freq * t)
     f_inst = carrier_freq + modulation_index * mod * env
+    from libgooey_tpu.ops import scan as gscan
+
     dphi = jnp.where(active, 2.0 * jnp.pi * f_inst / sample_rate, 0.0)
-    phase = jnp.asarray(phase0, jnp.float32)[..., None] + jnp.cumsum(dphi, axis=-1)
+    phase = jnp.asarray(phase0, jnp.float32)[..., None] + gscan.cumsum_bank(dphi)
     y = jnp.sin(phase) * env
     return jnp.mod(phase[..., -1], 2.0 * jnp.pi), y

@@ -215,6 +215,28 @@ def linrec2(a11, a12, a21, a22, b1, b2, s0, axis: int = -1):
     return s1, s2
 
 
+def cumsum_bank(x, axis: int = -1):
+    """``jnp.cumsum`` that routes small banks through the sequential bank
+    kernel on TPU (cumsum is ``linrec1`` with a = 1; XLA's tree cumsum is
+    another ~log B kernels of graph floor).  Sequential summation rounds
+    no worse than the tree; the CPU path stays ``jnp.cumsum`` bit-exactly.
+    """
+    x = jnp.asarray(x)
+    if _bank1_enabled(x, axis):
+        from libgooey_tpu.ops import pallas_fx
+
+        lead, B = x.shape[:-1], x.shape[-1]
+        R = _rows(x.shape)
+        y, _ = pallas_fx.affine1_bank(
+            jnp.full((R, B), -3.0e38, jnp.float32),
+            jnp.ones((R, B), jnp.float32),
+            x.reshape(R, B).astype(jnp.float32),
+            jnp.zeros((R,), jnp.float32),
+        )
+        return y.reshape(x.shape)
+    return jnp.cumsum(x, axis=axis)
+
+
 def cumsum_reset(x, reset, reset_base, y0, axis: int = -1):
     """Cumulative sum along ``axis`` that restarts at reset points.
 
@@ -259,7 +281,7 @@ def phase_cumsum_reset(inc, reset, carry, axis: int = -1):
     ramp_hi = hi * n1                     # exact: <= 2^24 grid steps
     ramp_hi = ramp_hi - jnp.floor(ramp_hi)  # exact mod-1 (2^-11 grid)
     ramp = ramp_hi + lo * n1
-    resid = jnp.cumsum(inc - inc0, axis=-1)
+    resid = cumsum_bank(inc - inc0, axis=-1)
     p = jnp.mod(ramp + resid, 1.0)        # mod-1 prefix sums, P~[n]
     # base latch: the mod-1 prefix just BEFORE the governing reset
     # (base[n] = reset[n] ? P~[n-1] : base[n-1]; init -carry so the no-reset
