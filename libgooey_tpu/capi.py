@@ -862,15 +862,25 @@ def engine_granulator_active_grain_count(handle):
 
 
 def engine_granulator_buffer_len(handle):
-    return int(np.asarray(_e(handle).gran_state.buffer).shape[-1])
+    # 1 == "no host buffer loaded yet" (tests/ffi_granulator.rs:26-37); the
+    # device-side placeholder table is an implementation detail.
+    return int(_e(handle).gran_buffer_len)
 
 
 def engine_granulator_buffer_sample_rate(handle):
-    return float(np.asarray(_e(handle).gran_state.buffer_sr))
+    return float(_e(handle).gran_buffer_sr)
 
 
 def engine_granulator_set_buffer(handle, samples, sample_rate):
-    engine_granulator_load(handle, samples, sample_rate)
+    """Returns 1 on success, 0 on rejected input — a null/empty buffer or a
+    non-positive sample rate leaves the placeholder untouched
+    (tests/ffi_granulator.rs:60-88)."""
+    if samples is None or float(sample_rate) <= 0.0:
+        return 0
+    buf = np.asarray(samples, np.float32)
+    if buf.size == 0:
+        return 0
+    engine_granulator_load(handle, buf, sample_rate)
     return 1
 
 

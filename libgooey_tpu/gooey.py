@@ -154,6 +154,13 @@ class GooeyEngine:
         gr_buf = np.zeros(1024, np.float32)
         self.gran_host = gran_mod.GranulatorHost(self.sr, gr_buf, self.sr)
         self.gran_state = gran_mod.init_state(gr_buf, self.sr)
+        # FFI buffer contract (tests/ffi_granulator.rs:26-37): reported length
+        # is 1 — "no host buffer loaded yet" — until set_buffer succeeds; the
+        # 1024-zero device placeholder is an internal detail (it keeps the
+        # grain-read kernels' window math away from degenerate 1-sample
+        # tables while rendering silence either way).
+        self.gran_buffer_len = 1
+        self.gran_buffer_sr = float(self.sr)
         self.mixer = Mixer(self.sr, self.bpm, self.block)
         self.graph = graph_mod.MixerGraph.with_default_layout(self.sr, self.bpm)
         self.racks: List[Optional[samp_mod.SamplerRackHost]] = [None] * SAMPLER_RACK_MAX
@@ -287,6 +294,8 @@ class GooeyEngine:
 
     def granulator_load(self, samples: np.ndarray, sample_rate: float):
         buf = np.asarray(samples, np.float32)
+        self.gran_buffer_len = int(buf.shape[-1])
+        self.gran_buffer_sr = float(sample_rate)
         old_cfg = self.gran_host.cfg
         self.gran_host = gran_mod.GranulatorHost(
             self.sr, buf, sample_rate, seed=self.gran_host.rng.state
