@@ -9,6 +9,7 @@ interpreter; everything here must stay exception-safe per the C contract
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -872,13 +873,17 @@ def engine_granulator_buffer_sample_rate(handle):
 
 
 def engine_granulator_set_buffer(handle, samples, sample_rate):
-    """Returns 1 on success, 0 on rejected input — a null/empty buffer or a
-    non-positive sample rate leaves the placeholder untouched
-    (tests/ffi_granulator.rs:60-88)."""
-    if samples is None or float(sample_rate) <= 0.0:
+    """Returns 1 on success, 0 on rejected input — a null/empty buffer, a
+    non-positive/non-finite sample rate, or non-finite sample values leave
+    the placeholder untouched (tests/ffi_granulator.rs:60-88;
+    SampleBuffer::from_mono validation)."""
+    if samples is None:
+        return 0
+    sr = float(sample_rate)
+    if not math.isfinite(sr) or sr <= 0.0:
         return 0
     buf = np.asarray(samples, np.float32)
-    if buf.size == 0:
+    if buf.size == 0 or not np.all(np.isfinite(buf)):
         return 0
     engine_granulator_load(handle, buf, sample_rate)
     return 1

@@ -53,7 +53,13 @@ def test_volume_zero_silences(channel):
         assert np.max(np.abs(buf)) > 1e-3, "audible at default volume"
 
         setter(h, channel, params.index("volume"), 0.0)
-        for _ in range(4):  # 15 ms smoothing settles in ~662 samples + snap
+        # The reference settles 10x1024 = 10240 samples before asserting
+        # (volume_zero_mute.rs:28-31): 15 ms is the smoother's *time
+        # constant*; crossing the 1e-4 snap threshold from default volume
+        # takes ~6k samples. Match it with 20x512. (Channel 3/tom2 would
+        # pass immediately: the reference applies Tom2 params unsmoothed,
+        # ffi.rs:129 "Tom2 uses plain f32, already immediate".)
+        for _ in range(20):
             _render(h)
 
         capi.engine_trigger_instrument(h, channel)
@@ -73,7 +79,9 @@ def test_volume_zero_silences_mid_playback():
         buf = _render(h)
         assert np.max(np.abs(buf)) > 1e-3
         capi.engine_set_kick_param(h, 0, capi.KICK_PARAMS.index("volume"), 0.0)
-        for _ in range(6):
+        # 20x512 = 10240 samples, matching the reference's 10x1024 settle
+        # (volume_zero_mute.rs) — see note in test_volume_zero_silences.
+        for _ in range(20):
             buf = _render(h)
         assert np.max(np.abs(buf)) < 1e-6
     finally:
@@ -213,6 +221,11 @@ def test_granulator_set_buffer_rejects_invalid():
         assert capi.engine_granulator_set_buffer(h, None, SR) == 0
         assert capi.engine_granulator_set_buffer(h, t[:0], SR) == 0
         assert capi.engine_granulator_set_buffer(h, t, 0.0) == 0
+        # SampleBuffer::from_mono also rejects non-finite rates and samples
+        assert capi.engine_granulator_set_buffer(h, t, float("nan")) == 0
+        bad = t.copy()
+        bad[7] = np.inf
+        assert capi.engine_granulator_set_buffer(h, bad, SR) == 0
         # still the 1-sample placeholder
         assert capi.engine_granulator_buffer_len(h) == 1
     finally:
