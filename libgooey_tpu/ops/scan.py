@@ -45,7 +45,17 @@ def _pallas_enabled() -> bool:
 #: recurrence (biquads, Chamberlin, membrane bands) whose cost is the
 #: O(log B) multi-kernel scan, not operand fusion — the 4,096-voice kick's
 #: hot recurrences were already diverted to dedicated kernels upstream.
-#: "xla" forces the associative scan (CPU reference semantics everywhere).
+#:
+#: On CPU (the hermetic test backend) "auto" runs a sample-sequential
+#: ``lax.scan`` instead of the associative scan: the tree scan REASSOCIATES
+#: the 2x2 matrix products, and for high-Q resonators (membrane bands,
+#: pitch-tracking bandpasses, Chamberlin at low damping) that reassociation
+#: noise is amplified by the resonant ring-up — measured 2.6e-4..2.7e-3 vs
+#: the per-sample oracles on tom2's ring/void/brush presets, vs <3e-5
+#: sequential.  Sequential also matches the op order of the TPU bank kernel
+#: (one sample at a time), so CPU tests pin the same numerics class the
+#: device runs.  "xla" forces the associative scan everywhere (scan-math
+#: unit tests); "seq" forces the sequential path everywhere.
 LINREC2_IMPL = "auto"
 
 
@@ -55,6 +65,20 @@ def _bank2_enabled(a, axis) -> bool:
     if axis not in (-1, a.ndim - 1) or a.ndim < 2 or a.shape[-1] < 8:
         return False
     return jax.default_backend() == "tpu"
+
+
+def _seq2_enabled(a, axis) -> bool:
+    if LINREC2_IMPL == "seq":
+        return True
+    if LINREC2_IMPL != "auto":
+        return False
+    if axis not in (-1, a.ndim - 1):
+        return False
+    # TPU fallback shapes (1-D, B<8) keep the associative scan: a 512-step
+    # serialized loop on device would stall the pipeline for shapes the
+    # bank kernel rejects; on CPU sequential is both closer to the oracles
+    # and (for the small voice counts tests use) no slower.
+    return jax.default_backend() != "tpu"
 
 
 def _rows(shape) -> int:
@@ -191,6 +215,22 @@ def linrec2(a11, a12, a21, a22, b1, b2, s0, axis: int = -1):
             s10, s20,
         )
         return s1.reshape(a11.shape), s2.reshape(a11.shape)
+
+    if _seq2_enabled(a11, axis):
+        lead = a11.shape[:-1]
+        s10 = jnp.broadcast_to(jnp.asarray(s0[0], a11.dtype), lead)
+        s20 = jnp.broadcast_to(jnp.asarray(s0[1], a11.dtype), lead)
+        xs = tuple(jnp.moveaxis(v, -1, 0) for v in arrs)
+
+        def step(carry, x):
+            s1p, s2p = carry
+            c11, c12, c21, c22, d1, d2 = x
+            s1 = (c11 * s1p + c12 * s2p) + d1
+            s2 = (c21 * s1p + c22 * s2p) + d2
+            return (s1, s2), (s1, s2)
+
+        _, (s1, s2) = jax.lax.scan(step, (s10, s20), xs)
+        return jnp.moveaxis(s1, 0, -1), jnp.moveaxis(s2, 0, -1)
 
     def combine(l, r):
         la11, la12, la21, la22, lb1, lb2 = l

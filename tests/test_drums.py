@@ -311,17 +311,15 @@ def test_tom2_matches_oracle():
             out.append(np.asarray(y[0]))
         return np.concatenate(out)[:n_samples]
 
-    # tolerance tiers: derp is rand~-quiet and low-Q → strict −80 dBFS.
-    # ring/void drive the high-Q membrane resonators and brush runs the
-    # Max patch's double-mtof rand~ at ~15 kHz — both amplify f32
-    # associative-scan reassociation (resonant ring-up; sample-hold
-    # segment-boundary flips), so those get an RMS bound plus a looser
-    # max (same artifact class as the bass blep windows).
+    # all presets hold the −80 dBFS bar: linrec2 runs sample-sequential on
+    # CPU (scan.py LINREC2_IMPL), so the high-Q membrane/bandpass ring-up no
+    # longer amplifies tree-scan reassociation (was 2.6e-4..2.7e-3; now
+    # <3e-5 measured, asserted at 1e-4 with margin for platform math).
     cases = (
-        (t2.Tom2Config.derp(), 2e-4, None),
-        (t2.Tom2Config.ring(), 1.5e-3, 1.5e-4),
-        (t2.Tom2Config.void_preset(), 1.5e-3, 3e-4),
-        (t2.Tom2Config.brush(), 5e-3, 1.5e-3),
+        (t2.Tom2Config.derp(), 1e-4, 3e-5),
+        (t2.Tom2Config.ring(), 1e-4, 3e-5),
+        (t2.Tom2Config.void_preset(), 1e-4, 3e-5),
+        (t2.Tom2Config.brush(), 1e-4, 3e-5),
     )
     for cfg, max_tol, rms_tol in cases:
         got = render_bank(cfg, 3072, 64)

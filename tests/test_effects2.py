@@ -60,7 +60,7 @@ def test_compressor_oracle():
         dcx, dcy = colored, y
         out[i] = y  # mix = 1
     err = np.max(np.abs(got - out))
-    assert err < 5e-4, err
+    assert err < 2e-5, err  # measured 5.8e-7; well under the -80 dBFS bar
 
 
 def test_compressor_reduces_dynamics():
@@ -115,7 +115,7 @@ def test_saturation_oracle_and_harmonics():
         y = sat - dcx + 0.995 * dcy
         dcx, dcy = sat, y
         want[i] = y
-    assert np.max(np.abs(got - want)) < 5e-4
+    assert np.max(np.abs(got - want)) < 2e-5  # measured 1.3e-6
     # asymmetric bias generates even harmonics
     sp = np.abs(np.fft.rfft(got[2048:6144] * np.hanning(4096)))
     f = np.fft.rfftfreq(4096, 1 / SR)

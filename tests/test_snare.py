@@ -56,9 +56,11 @@ def test_chamberlin_matches_reference_loop():
             low = low + f * band
             high = xn - low - q * band
             band = f * high + band
-        assert abs(lo[n] - low) < 2e-4, n
-        assert abs(bp[n] - band) < 2e-4, n
-        assert abs(hp[n] - high) < 4e-4, n
+        # sequential linrec2 on CPU (scan.py LINREC2_IMPL) holds ~4e-7 here;
+        # asserted at 1e-5 with margin for platform math
+        assert abs(lo[n] - low) < 1e-5, n
+        assert abs(bp[n] - band) < 1e-5, n
+        assert abs(hp[n] - high) < 1e-5, n
 
 
 def test_chamberlin_bandpass_selectivity():
