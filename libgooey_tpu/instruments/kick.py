@@ -249,6 +249,29 @@ def render_block(
     """
     B = block_size
     sr = sample_rate
+    # Fused two-kernel bank path (ops/pallas_voice.py): same math, ~20x
+    # fewer kernel launches.  Eligibility mirrors the kernel's scope; the
+    # XLA graph below remains the behavioral twin (and the CPU/test path).
+    import jax as _jax
+
+    from libgooey_tpu.ops import pallas_voice as _pv
+
+    trig_arr = jnp.asarray(trig_offset)
+    if (
+        _pv.IMPL != "xla"
+        and (_jax.default_backend() == "tpu" or _pv.IMPL == "pallas")
+        and trig_arr.ndim == 1
+        and overrides is None
+        and not feedback_path
+        and os_mode == 4
+        and trig_arr.shape[0] <= _pv.MAX_FUSED_VOICES
+    ):
+        return _pv.kick_render_fused(
+            state, trig_offset, trig_velocity, block_start,
+            sample_rate=sr, block_size=B, smooth_coeff=smooth_coeff,
+            max_harmonics=max_harmonics,
+        )
+
     vb = VoiceBlock(state.params, trig_offset, block_start, B, smooth_coeff, PARAM_INDEX,
                     overrides=overrides)
     ptraj, value_at_trigger, eff = vb.ptraj, vb.value_at_trigger, vb.eff

@@ -277,9 +277,10 @@ def _scan_const(b, a, y0):
     N = b.shape[-1]
     a0, a1 = (float(a[0]), float(a[1])) if isinstance(a, tuple) else (float(a),) * 2
     paired = a0 != a1
+    half = b.shape[0] // 2  # rows 0:half = group 0, half: = group 1
     if paired:  # in-kernel [R, 1] column (pallas rejects captured np arrays)
         riot = jax.lax.broadcasted_iota(jnp.int32, (b.shape[0], 1), 0)
-        col = lambda v0, v1: jnp.where(riot < 2, np.float32(v0), np.float32(v1))
+        col = lambda v0, v1: jnp.where(riot < half, np.float32(v0), np.float32(v1))
     step = 1
     while step < N:  # powers in f64, cast once (ULP parity with scalar form)
         p = col(a0 ** step, a1 ** step) if paired else np.float32(a0 ** step)
@@ -304,7 +305,7 @@ def _pair(a):
 
 
 def _paircol(rows, v0, v1):
-    """Per-row-group constant: rows 0:2 get v0, rows 2:4 get v1.
+    """Per-row-group constant: rows 0:rows//2 get v0, the rest v1.
 
     Values are computed in python f64 and cast once; built in-kernel from
     scalars with an iota select (pallas rejects captured np array
@@ -313,7 +314,7 @@ def _paircol(rows, v0, v1):
     if float(v0) == float(v1):
         return np.float32(v0)
     riot = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    return jnp.where(riot < 2, np.float32(v0), np.float32(v1))
+    return jnp.where(riot < rows // 2, np.float32(v0), np.float32(v1))
 
 
 def _ap_direct(sig, a, y0, x0):
@@ -378,16 +379,16 @@ def _tile4(v):
 
 
 def _swap_halves(v4):
-    """Swap row groups 0:2 and 2:4 of a [4, C] array (a sublane roll)."""
-    return pltpu.roll(v4, 2, 0)
+    """Swap the two row groups of a [2H, C] array (a sublane roll)."""
+    return pltpu.roll(v4, v4.shape[0] // 2, 0)
 
 
 def _rowsel(lo4, hi4):
-    """[lo4[0:2]; hi4[2:4]] via a select — Mosaic cannot lower a
+    """[lo4[0:H]; hi4[H:2H]] via a select — Mosaic cannot lower a
     tpu.concatenate whose operands sit at different sublane offsets, so
-    stacked rows are combined with where(row < 2) instead."""
+    stacked rows are combined with where(row < H) instead."""
     riot = jax.lax.broadcasted_iota(jnp.int32, lo4.shape, 0)
-    return jnp.where(riot < 2, lo4, hi4)
+    return jnp.where(riot < lo4.shape[0] // 2, lo4, hi4)
 
 
 def _ovs4_pipeline(x, shape_fn, ld, stv, lds, stvs):
@@ -444,17 +445,18 @@ def _ovs4_pipeline(x, shape_fn, ld, stv, lds, stvs):
     # -> xe_in = (q0, q3d): q3 already sits in xo4's upper rows, so one
     # stacked shift (lower rows discarded by the select) does it
     xo4_shift = _shift_right(xo4, 1, ld("d2_x1"))
-    stvs("d2_x1", _swap_halves(xo4)[0:2, -1:])  # q3's last sample
+    H = x.shape[0]  # rows per group (2 channels on the bus, V in voice banks)
+    stvs("d2_x1", _swap_halves(xo4)[0:H, -1:])  # q3's last sample
     ye4, yo4 = chain_inter2(
         _rowsel(xe4, xo4_shift), _rowsel(xo4, xe4), _C0_2, _C1_2, "d2")
     # 2x downsampled stream: both row groups hold the same (d2e, d2o)
     d2e4 = 0.5 * (ye4 + _swap_halves(ye4))
     d2o4 = 0.5 * (yo4 + _swap_halves(yo4))
-    stvs("d1_x1", d2o4[0:2, -1:])
+    stvs("d1_x1", d2o4[0:H, -1:])
     # down1: phases of the 2x stream run independent chains
     d2o_shift = _shift_right(d2o4, 1, ld("d1_x1"))
     y4 = chain_direct2(_rowsel(d2e4, d2o_shift), _C0_1, _C1_1, "d1")
-    return 0.5 * (y4 + _swap_halves(y4))[0:2]
+    return 0.5 * (y4 + _swap_halves(y4))[0:H]
 
 
 def _dc_block(sat, bypass, lds, stvs):
@@ -1402,13 +1404,14 @@ def env_follow_bank(rect, freeze, env0, *, att, rel, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     V, B = rect.shape
-    Vp, G = _bank_pad(V, _ENV_BANK_GROUPS)
+    # small banks (the product-shaped kit: V <= 16 per family) pad to one
+    # 128-lane group instead of a full 8-group slab
+    GT = _ENV_BANK_GROUPS if V > 128 else max(1, (V + 127) // 128)
+    Vp, G = _bank_pad(V, GT)
 
     xT = _bank_tilt(rect, 0.0, V, Vp, B)
     fT = _bank_tilt(freeze, 1.0, V, Vp, B)  # pad lanes frozen
     e0 = jnp.zeros((Vp,), jnp.float32).at[:V].set(env0).reshape(G, 128)
-
-    GT = _ENV_BANK_GROUPS
     env, envl = pl.pallas_call(
         functools.partial(_env_bank_kernel, att=att, rel=rel, B=B),
         grid=(G // GT,),
