@@ -179,6 +179,28 @@ def render_block(
     (sequencer per-step notes set the frequency before triggering).
     """
     sr = sample_rate
+    # Fused bank path (ops/pallas_voice.py): the swept SVF keeps its
+    # sequential kernel; oscillators/bleps/drive fuse into one pallas_call.
+    import jax as _jax
+
+    from libgooey_tpu.ops import pallas_voice as _pv
+
+    trig_arr = jnp.asarray(trig_offset)
+    if (
+        _pv.IMPL != "xla"
+        and (_jax.default_backend() == "tpu" or _pv.IMPL == "pallas")
+        and trig_arr.ndim == 1
+        and overrides is None
+        and os_mode == 4
+        and (note_freq is None or jnp.ndim(note_freq) == 1)
+        and trig_arr.shape[0] <= _pv.MAX_FUSED_VOICES
+    ):
+        return _pv.bass_render_fused(
+            state, trig_offset, trig_velocity, block_start,
+            sample_rate=sr, block_size=block_size, smooth_coeff=smooth_coeff,
+            note_freq=note_freq,
+        )
+
     vb = VoiceBlock(state.params, trig_offset, block_start, block_size,
                     smooth_coeff, PARAM_INDEX, overrides=overrides)
     ptraj, vat, eff = vb.ptraj, vb.value_at_trigger, vb.eff

@@ -144,6 +144,24 @@ def render_block(
 ):
     """Render one block for the HiHat2 bank → ``(new_state, out[V, B])``."""
     sr = sample_rate
+    # Fused single-kernel bank path (ops/pallas_voice.py).
+    import jax as _jax
+
+    from libgooey_tpu.ops import pallas_voice as _pv
+
+    trig_arr = jnp.asarray(trig_offset)
+    if (
+        _pv.IMPL != "xla"
+        and (_jax.default_backend() == "tpu" or _pv.IMPL == "pallas")
+        and trig_arr.ndim == 1
+        and overrides is None
+        and trig_arr.shape[0] <= _pv.MAX_FUSED_VOICES
+    ):
+        return _pv.hihat2_render_fused(
+            state, trig_offset, trig_velocity, block_start,
+            sample_rate=sr, block_size=block_size, smooth_coeff=smooth_coeff,
+        )
+
     vb = VoiceBlock(state.params, trig_offset, block_start, block_size,
                     smooth_coeff, PARAM_INDEX, overrides=overrides)
     ptraj, eff = vb.ptraj, vb.eff

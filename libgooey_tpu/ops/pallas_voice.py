@@ -46,6 +46,7 @@ from libgooey_tpu.ops.pallas_fx import (
     _affine_scan,
     _affine_scan2,
     _ovs4_pipeline,
+    _scan_const,
     _shift_right,
     _vmem,
 )
@@ -249,6 +250,105 @@ def unpack_voice_ovs(nst, V, ovs: ovs_mod.OversamplerState):
         down1=stage1("d1", col("d1_x1")),
     )
     return new_ovs, col("dc_x1"), col("dc_y1")
+
+
+class _Ctx:
+    """Shared in-kernel trigger/latch/trajectory context (VoiceBlock's
+    single-trigger mode, op-for-op).  All refs are [Vp, ...] row-padded."""
+
+    def __init__(self, cur_ref, tgt_ref, off_ref, trig_ref, bs, kp, coeff,
+                 B, sr):
+        Vp = cur_ref.shape[0]
+        self.kp = kp
+        self.B = B
+        self.q = np.float32(1.0 - coeff)
+        self.cur, self.tgt = cur_ref[...], tgt_ref[...]
+        self.n = jax.lax.broadcasted_iota(jnp.int32, (Vp, B), 1)
+        nf1 = self.n[0:1].astype(jnp.float32) + 1.0
+        self.powq = jnp.power(self.q, nf1)
+        self.off = off_ref[...]                       # [Vp, 1] i32
+        self.has = self.off < B
+        self.after = (self.n >= self.off) & self.has
+        self.at_trig = (self.n == self.off) & self.has
+        self.bs = bs
+        offf = jnp.clip(self.off, 0, B).astype(jnp.float32)
+        self.qoff = jnp.power(self.q, offf)
+        self.trig_prev = trig_ref[...]                # [Vp, 1] i32
+        trig_eff = jnp.where(self.after, bs + self.off, self.trig_prev)
+        self.elapsed_i = (bs + self.n) - trig_eff
+        self.idx_f = self.elapsed_i.astype(jnp.float32)
+        self.elapsed = self.idx_f * np.float32(1.0 / sr)
+
+    def ptraj(self, name):
+        i = self.kp[name]
+        c, t = self.cur[:, i:i + 1], self.tgt[:, i:i + 1]
+        d = (c - t) * self.powq
+        return t + jnp.where(jnp.abs(d) < 1e-4, 0.0, d)
+
+    def vat(self, name):
+        i = self.kp[name]
+        c, t = self.cur[:, i:i + 1], self.tgt[:, i:i + 1]
+        d = (c - t) * self.qoff
+        return t + jnp.where(jnp.abs(d) < 1e-4, 0.0, d)
+
+    def eff(self, new, old_col):
+        return jnp.where(self.after, new, old_col)
+
+    def latch(self, new, old_col):
+        return jnp.where(self.has, new, old_col)
+
+    def advance(self):
+        d = (self.cur - self.tgt) * (self.q ** np.float32(self.B))
+        return self.tgt + jnp.where(jnp.abs(d) < 1e-4, 0.0, d)
+
+    def new_trig(self):
+        return jnp.where(self.has, self.bs + self.off, self.trig_prev)
+
+
+def _tuning_mult(traj):
+    """core/dsp.py tuning_to_multiplier, op-for-op."""
+    semitones = (jnp.clip(traj, 0.0, 1.0) - 0.5) * 24.0
+    return jnp.exp2(semitones * (1.0 / 12.0))
+
+
+def _phase_cumsum_reset(inc, reset, carry_col):
+    """ops/scan.py phase_cumsum_reset in lane-scan form.
+
+    The split-increment exactness argument carries over unchanged; the only
+    reassociation is the tiny residual cumsum (inc - inc0, ~1e-9/sample for
+    smoothed frequency trajectories).  The base latch's coefficients are in
+    {0, 1} so its Hillis-Steele scan is exact.
+    """
+    B = inc.shape[-1]
+    n1 = (jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(jnp.float32)
+          + 1.0)
+    reset_f = reset.astype(jnp.float32) if reset.dtype != jnp.float32 else reset
+    inc0 = inc[:, 0:1]
+    hi = jnp.floor(inc0 * 2048.0) * jnp.float32(1.0 / 2048.0)
+    lo = inc0 - hi
+    ramp_hi = hi * n1
+    ramp_hi = ramp_hi - jnp.floor(ramp_hi)
+    ramp = ramp_hi + lo * n1
+    ones = jnp.ones(inc.shape, jnp.float32)
+    resid = _affine_scan(ones, inc - inc0, jnp.zeros_like(inc0))
+    p = jnp.mod(ramp + resid, 1.0)
+    p_prev = _shift_right(p, 1, 0.0)
+    base = _affine_scan(1.0 - reset_f, reset_f * p_prev, -carry_col)
+    return jnp.mod(p - base, 1.0)
+
+
+def _waveshape_fn(drive):
+    """effects/waveshaper.py process()'s fn, for _ovs4_pipeline (drive is
+    the engine-rate [V, B] trajectory; each sample's four phases see the
+    same value, exactly repeat_to_rate's semantics)."""
+    drive4 = jnp.concatenate([drive, drive], axis=0)
+    d = jnp.maximum(drive4, 1.0 + 1e-6)
+    compensation = jnp.tanh(0.5) / jnp.tanh(0.5 * d)
+
+    def fn(v):
+        return jnp.tanh(v * d) * compensation
+
+    return fn
 
 
 # --- kick kernel A: sources ----------------------------------------------------
@@ -617,5 +717,719 @@ def kick_render_fused(state, trig_offset, trig_velocity, block_start, *,
         shaper=fbws.FBShaperState(
             last_out=filt_last, filter_state=filt_last,
             dc_x1=dc_x1, dc_y1=dc_y1, env=env_last, ovs=new_ovs),
+    )
+    return new_state, out[:V]
+
+# --- snare: sources kernel + (sequential Chamberlin) + drive kernel ------------
+
+# snare param indices (instruments/snare.py PARAM_NAMES order)
+_SP = dict(
+    frequency=0, tonal=1, noise=2, brightness=3, decay=4, pitch_drop=5,
+    volume=6, tonal_decay=7, tonal_decay_curve=8, noise_decay=9,
+    noise_tail_decay=10, filter_cutoff=11, filter_resonance=12, xfade=13,
+    phase_mod_amount=14, overdrive=15, amp_decay=16, amp_decay_curve=17,
+    tuning=18,
+)
+_SNARE_NP = len(_SP)
+_SLAT = dict(velocity=0, pitch_mult=1, amp_curve=2, tonal_curve=3,
+             amp_decay=4, pm_active=5)
+
+
+def _snare_a_kernel(cur_ref, tgt_ref, off_ref, vel_ref, trig_ref, lat_ref,
+                    bs_ref,
+                    dry_ref, nraw_ref, ncur_ref, nlat_ref, ntrig_ref,
+                    *, sr, coeff, max_harmonics, B, seed):
+    ctx = _Ctx(cur_ref, tgt_ref, off_ref, trig_ref, bs_ref[0], _SP, coeff,
+               B, sr)
+    lat = lat_ref[...]
+
+    # --- trigger snapshots (snare.rs:873-1027) --------------------------------
+    vel_new = jnp.clip(vel_ref[...], 0.0, 1.0)
+    decay_scale_new = 1.0 - 0.45 * vel_new * vel_new
+    pitch_mult_new = 1.0 + ctx.vat("pitch_drop") * 1.5
+    tc = _denorm(ctx.vat("tonal_decay_curve"), 0.1, 10.0)
+    ad = _denorm(ctx.vat("amp_decay"), 0.0, 4.0) * decay_scale_new
+    ac = _denorm(ctx.vat("amp_decay_curve"), 0.1, 10.0)
+    pm_active_new = (ctx.vat("phase_mod_amount") > 0.001).astype(jnp.float32)
+
+    vel = ctx.eff(vel_new, lat[:, _SLAT["velocity"]:_SLAT["velocity"] + 1])
+    pitch_mult = ctx.eff(pitch_mult_new,
+                         lat[:, _SLAT["pitch_mult"]:_SLAT["pitch_mult"] + 1])
+    tonal_curve = ctx.eff(tc, lat[:, _SLAT["tonal_curve"]:_SLAT["tonal_curve"] + 1])
+    pm_active = ctx.eff(pm_active_new,
+                        lat[:, _SLAT["pm_active"]:_SLAT["pm_active"] + 1])
+    elapsed, idx_f = ctx.elapsed, ctx.idx_f
+
+    # --- live decays (snare.rs:1058-1105) --------------------------------------
+    vel2 = vel * vel
+    decay_scale = 1.0 - 0.45 * vel2
+    pitch_decay_scale = 1.0 - 0.5 * vel2
+    scaled_decay = _denorm(ctx.ptraj("decay"), 0.05, 3.5) * decay_scale
+    pitch_decay = jnp.minimum(
+        scaled_decay * 0.3 * pitch_decay_scale, scaled_decay * 0.25)
+    base_freq = _denorm(ctx.ptraj("frequency"), 100.0, 600.0) * _tuning_mult(
+        ctx.ptraj("tuning"))
+
+    pitch_env = _adsr_amp(elapsed, 0.001, pitch_decay, 0.0, 1.0, 1.0)
+    fmult = 1.0 + (pitch_mult - 1.0) * pitch_env
+    pm_amt = ctx.ptraj("phase_mod_amount")
+    pm = _phase_mod_env(elapsed, pm_active > 0.5)
+    fmult = fmult * jnp.where(pm_amt > 0.001, 1.0 + pm * pm_amt * 1.0, 1.0)
+
+    hold_env = _adsr_amp(elapsed, 0.001, 0.001, 1.0, 1.0, 1.0)
+
+    # --- tonal --------------------------------------------------------------
+    if max_harmonics > 0:
+        tonal_raw = _triangle_additive(idx_f, base_freq * fmult, sr,
+                                       max_harmonics)
+    else:
+        tonal_raw = jnp.sin(idx_f * (base_freq * fmult) * (2.0 * np.pi / sr))
+    tonal_env = _adsr_amp(
+        elapsed, 0.001,
+        _denorm(ctx.ptraj("tonal_decay"), 0.0, 3.5) * decay_scale,
+        0.0, 1.0, tonal_curve)
+    xfade = ctx.ptraj("xfade")
+    tonal_out = tonal_raw * hold_env * ctx.ptraj("tonal") * tonal_env * (
+        1.0 - xfade)
+
+    # --- noise (pre-filter gain; the Chamberlin runs OUTSIDE, sequentially) --
+    as_u32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
+    white = _white(as_u32(jnp.floor(idx_f).astype(jnp.int32)), seed)
+    nraw_ref[...] = white * hold_env * (ctx.ptraj("noise") * 0.8)
+
+    # --- crack ----------------------------------------------------------------
+    crack_env = _adsr_amp(elapsed, 0.001, scaled_decay * 0.2, 0.0, 1.0, 1.0)
+    crack_out = (white * crack_env) * (
+        ctx.ptraj("brightness") * 0.4 * (0.7 + 0.3 * vel))
+
+    dry_ref[...] = tonal_out + crack_out
+
+    # --- state advance ----------------------------------------------------------
+    ncur_ref[...] = ctx.advance()
+    nlat_ref[:, _SLAT["velocity"]:_SLAT["velocity"] + 1] = ctx.latch(
+        vel_new, lat[:, 0:1])
+    nlat_ref[:, _SLAT["pitch_mult"]:_SLAT["pitch_mult"] + 1] = ctx.latch(
+        pitch_mult_new, lat[:, 1:2])
+    nlat_ref[:, _SLAT["amp_curve"]:_SLAT["amp_curve"] + 1] = ctx.latch(
+        ac, lat[:, 2:3])
+    nlat_ref[:, _SLAT["tonal_curve"]:_SLAT["tonal_curve"] + 1] = ctx.latch(
+        tc, lat[:, 3:4])
+    nlat_ref[:, _SLAT["amp_decay"]:_SLAT["amp_decay"] + 1] = ctx.latch(
+        ad, lat[:, 4:5])
+    nlat_ref[:, _SLAT["pm_active"]:_SLAT["pm_active"] + 1] = ctx.latch(
+        pm_active_new, lat[:, 5:6])
+    ntrig_ref[...] = ctx.new_trig()
+
+
+def _snare_b_kernel(cur_ref, tgt_ref, off_ref, vel_ref, trig_ref, lat_ref,
+                    bs_ref, dry_ref, filt_ref, st_ref,
+                    out_ref, nst_ref, *, sr, coeff, B):
+    ctx = _Ctx(cur_ref, tgt_ref, off_ref, trig_ref, bs_ref[0], _SP, coeff,
+               B, sr)
+    lat = lat_ref[...]
+    Vp = dry_ref.shape[0]
+    vel_new = jnp.clip(vel_ref[...], 0.0, 1.0)
+    vel = ctx.eff(vel_new, lat[:, _SLAT["velocity"]:_SLAT["velocity"] + 1])
+    ad = _denorm(ctx.vat("amp_decay"), 0.0, 4.0) * (
+        1.0 - 0.45 * vel_new * vel_new)
+    ac = _denorm(ctx.vat("amp_decay_curve"), 0.1, 10.0)
+    amp_decay_s = ctx.eff(ad, lat[:, _SLAT["amp_decay"]:_SLAT["amp_decay"] + 1])
+    amp_curve = ctx.eff(ac, lat[:, _SLAT["amp_curve"]:_SLAT["amp_curve"] + 1])
+    elapsed = ctx.elapsed
+    decay_scale = 1.0 - 0.45 * vel * vel
+
+    noise_env = _adsr_amp(
+        elapsed, 0.001,
+        _denorm(ctx.ptraj("noise_decay"), 0.0, 3.5) * decay_scale,
+        0.0, 1.0, 1.0)
+    tail_env = _adsr_amp(
+        elapsed, 0.001,
+        _denorm(ctx.ptraj("noise_tail_decay"), 0.0, 3.5) * decay_scale,
+        0.0, 1.0, 1.0)
+    xfade = ctx.ptraj("xfade")
+    noise_out = filt_ref[...] * (noise_env * 0.7 + tail_env * 0.3) * xfade
+    total = dry_ref[...] + noise_out
+
+    # --- overdrive: plain tanh waveshaper at 4x (snare.rs:1166) --------------
+    drive = 1.0 + ctx.ptraj("overdrive") * 9.0
+    ld, lds, stv, stvs = _accessors_h(st_ref, nst_ref, Vp)
+    sat = _ovs4_pipeline(total, _waveshape_fn(drive), ld, stv, lds, stvs)
+    wet = total * (1.0 - 1.0) + sat * 1.0      # ws.process with mix == 1.0
+    bypass = drive <= 1.0
+    shaped = jnp.where(bypass, total, wet)
+    shaped = jnp.where(jnp.isfinite(total), shaped, 0.0)
+
+    amp_env = _adsr_amp(elapsed, 0.001, jnp.maximum(amp_decay_s, 0.001),
+                        0.0, 1.0, amp_curve)
+    out_ref[...] = shaped * amp_env * jnp.sqrt(vel) * ctx.ptraj("volume")
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "block_size", "smooth_coeff", "max_harmonics", "os_mode",
+    "interpret"))
+def snare_render_fused(state, trig_offset, trig_velocity, block_start, *,
+                       sample_rate, block_size, smooth_coeff,
+                       max_harmonics=128, os_mode=4, interpret=None):
+    """Fused snare bank block; XLA twin: snare.render_block.
+
+    The Chamberlin SVF runs OUTSIDE via filters.chamberlin_block so its
+    recurrence keeps the sample-sequential bank kernel (high-Q resonators
+    amplify lane-scan reassociation noise past the oracle bar; see
+    ops/scan.py LINREC2_IMPL).
+    """
+    from libgooey_tpu.instruments import snare as snare_mod
+    from libgooey_tpu.core.smoother import SmootherBank
+    from libgooey_tpu.ops import filters as filt_mod
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = block_size
+    V = state.trig_sample.shape[0]
+    Vp = max(8, ((V + 7) // 8) * 8)
+
+    cur = _pad_rows(state.params.current, Vp, 0.5)
+    tgt = _pad_rows(state.params.target, Vp, 0.5)
+    off = _pad_rows(jnp.asarray(trig_offset, jnp.int32)[:, None], Vp, B)
+    vel = _pad_rows(jnp.asarray(trig_velocity, jnp.float32)[:, None], Vp)
+    trig = _pad_rows(state.trig_sample[:, None], Vp, np.int32(-(2 ** 30)))
+    lat = _pad_rows(jnp.stack([
+        state.velocity, state.pitch_mult, state.amp_curve, state.tonal_curve,
+        state.amp_decay, state.pm_active], axis=1), Vp, 1.0)
+    bs = jnp.asarray(block_start, jnp.int32).reshape(1)
+
+    kern_a = functools.partial(
+        _snare_a_kernel, sr=float(sample_rate), coeff=float(smooth_coeff),
+        max_harmonics=int(max_harmonics), B=B, seed=0x9ABCDEF0)
+    dry, nraw, ncur, nlat, ntrig = pl.pallas_call(
+        kern_a,
+        out_shape=(
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, _SNARE_NP), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
+        ),
+        in_specs=[_vmem()] * 6 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(_vmem(),) * 5,
+        interpret=interpret,
+    )(cur, tgt, off, vel, trig, lat, bs)
+
+    # --- Chamberlin SVF (sequential linrec2 path) + tap select ----------------
+    q = np.float32(1.0 - smooth_coeff)
+    powq = q ** jnp.arange(1, B + 1, dtype=jnp.float32)
+
+    def traj(idx):
+        d = (cur[:V, idx, None] - tgt[:V, idx, None]) * powq
+        return tgt[:V, idx, None] + jnp.where(jnp.abs(d) < 1e-4, 0.0, d)
+
+    cutoff = 100.0 + jnp.clip(traj(_SP["filter_cutoff"]), 0.0, 1.0) * (
+        10_000.0 - 100.0)
+    res = 0.5 + jnp.clip(traj(_SP["filter_resonance"]), 0.0, 1.0) * (10.0 - 0.5)
+    offs_v = jnp.asarray(trig_offset, jnp.int32)[:, None]
+    at_trig = ((jnp.arange(B, dtype=jnp.int32)[None, :] == offs_v)
+               & (offs_v < B))
+    svf_state, lo, bp, hp, notch = filt_mod.chamberlin_block(
+        state.noise_svf, nraw[:V], cutoff, res, sample_rate, reset=at_trig)
+    ft = state.filter_type[:, None]
+    filtered = jnp.where(
+        ft == snare_mod.FILTER_LP, lo,
+        jnp.where(ft == snare_mod.FILTER_HP, hp,
+                  jnp.where(ft == snare_mod.FILTER_NOTCH, notch, bp)))
+
+    packed = pack_voice_ovs(
+        state.ovs, jnp.zeros((V,), jnp.float32), jnp.zeros((V,), jnp.float32))
+    if Vp != V:
+        z = jnp.zeros((Vp - V, packed.shape[1]), jnp.float32)
+        packed = jnp.concatenate([packed[:V], z, packed[V:], z], axis=0)
+
+    kern_b = functools.partial(
+        _snare_b_kernel, sr=float(sample_rate), coeff=float(smooth_coeff), B=B)
+    out, nst = pl.pallas_call(
+        kern_b,
+        out_shape=(
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((2 * Vp, _K_OUT), jnp.float32),
+        ),
+        in_specs=[_vmem()] * 6 + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [_vmem()] * 3,
+        out_specs=(_vmem(),) * 2,
+        interpret=interpret,
+    )(cur, tgt, off, vel, trig, lat, bs, dry, _pad_rows(filtered, Vp), packed)
+
+    if Vp != V:
+        nst = jnp.concatenate([nst[:V], nst[Vp:Vp + V]], axis=0)
+    new_ovs, _dcx, _dcy = unpack_voice_ovs(nst, V, state.ovs)
+
+    new_state = snare_mod.SnareState(
+        params=SmootherBank(current=ncur[:V], target=state.params.target),
+        ovs=new_ovs,
+        filter_type=state.filter_type,
+        trig_sample=ntrig[:V, 0],
+        velocity=nlat[:V, _SLAT["velocity"]],
+        pitch_mult=nlat[:V, _SLAT["pitch_mult"]],
+        amp_curve=nlat[:V, _SLAT["amp_curve"]],
+        tonal_curve=nlat[:V, _SLAT["tonal_curve"]],
+        amp_decay=nlat[:V, _SLAT["amp_decay"]],
+        pm_active=nlat[:V, _SLAT["pm_active"]],
+        noise_svf=svf_state,
+    )
+    return new_state, out[:V]
+
+# --- bass: one fused kernel + (sequential SVF bank) ----------------------------
+
+# bass param indices (instruments/bass.py PARAM_NAMES order)
+_BP = dict(
+    frequency=0, sub_level=1, osc_level=2, detune_level=3, detune_amount=4,
+    osc_shape=5, filter_cutoff=6, filter_resonance=7, filter_env_amount=8,
+    filter_env_decay=9, filter_env_curve=10, amp_decay=11, amp_decay_curve=12,
+    overdrive=13, volume=14, tuning=15,
+)
+_BASS_NP = len(_BP)
+_BLAT = dict(velocity=0, trig_freq=1, amp_decay=2, amp_curve=3,
+             fenv_decay=4, fenv_curve=5)
+
+
+def _poly_blep(t, dt):
+    """ops/osc.py poly_blep, op-for-op."""
+    dt = jnp.maximum(dt, 1e-12)
+    early = t / dt
+    late = (t - 1.0) / dt
+    return jnp.where(
+        t < dt,
+        2.0 * early - early * early - 1.0,
+        jnp.where(t > 1.0 - dt, late * late + 2.0 * late + 1.0, 0.0),
+    )
+
+
+def _bass_kernel(cur_ref, tgt_ref, off_ref, vel_ref, nf_ref, trig_ref,
+                 lat_ref, ph_ref, st_ref, bs_ref,
+                 satur_ref, cut_ref, res_ref, ampsc_ref,
+                 ncur_ref, nlat_ref, ntrig_ref, nph_ref, nst_ref,
+                 *, sr, coeff, B):
+    ctx = _Ctx(cur_ref, tgt_ref, off_ref, trig_ref, bs_ref[0], _BP, coeff,
+               B, sr)
+    lat = lat_ref[...]
+    Vp = lat.shape[0]
+
+    # --- trigger snapshots (bass.rs:747-791) -----------------------------------
+    vel_new = jnp.clip(vel_ref[...], 0.0, 1.0)
+    freq_new = _denorm(ctx.vat("frequency"), 30.0, 200.0)
+    nf = nf_ref[...]
+    freq_new = jnp.where(nf > 0.0, nf, freq_new)
+    ad_new = _denorm(ctx.vat("amp_decay"), 0.05, 4.0)
+    ac_new = _denorm(ctx.vat("amp_decay_curve"), 0.1, 10.0)
+    fd_new = _denorm(ctx.vat("filter_env_decay"), 0.01, 2.0)
+    fc_new = _denorm(ctx.vat("filter_env_curve"), 0.1, 8.0)
+
+    vel = ctx.eff(vel_new, lat[:, _BLAT["velocity"]:_BLAT["velocity"] + 1])
+    freq0 = ctx.eff(freq_new, lat[:, _BLAT["trig_freq"]:_BLAT["trig_freq"] + 1])
+    ad = ctx.eff(ad_new, lat[:, _BLAT["amp_decay"]:_BLAT["amp_decay"] + 1])
+    ac = ctx.eff(ac_new, lat[:, _BLAT["amp_curve"]:_BLAT["amp_curve"] + 1])
+    fd = ctx.eff(fd_new, lat[:, _BLAT["fenv_decay"]:_BLAT["fenv_decay"] + 1])
+    fc = ctx.eff(fc_new, lat[:, _BLAT["fenv_curve"]:_BLAT["fenv_curve"] + 1])
+    elapsed = ctx.elapsed
+    reset = ctx.at_trig
+
+    # --- oscillators (phase accumulators, reset at trigger) --------------------
+    freq = freq0 * _tuning_mult(ctx.ptraj("tuning"))
+    detune_cents = _denorm(ctx.ptraj("detune_amount"), 0.0, 30.0)
+    det_freq = freq * jnp.exp2(detune_cents / 1200.0)
+
+    sub_inc = freq / sr
+    osc_inc = freq / sr
+    det_inc = det_freq / sr
+    sub_phase = _phase_cumsum_reset(sub_inc, reset, ph_ref[:, 0:1])
+    osc_phase = _phase_cumsum_reset(osc_inc, reset, ph_ref[:, 1:2])
+    det_phase = _phase_cumsum_reset(det_inc, reset, ph_ref[:, 2:3])
+
+    sub_out = jnp.sin(sub_phase * np.float32(2.0 * np.pi))
+    shape = ctx.ptraj("osc_shape")
+
+    def blep_pair(phase, inc):
+        saw = (2.0 * phase - 1.0) - _poly_blep(phase, inc)
+        naive_sq = jnp.where(phase < 0.5, 1.0, -1.0)
+        sq = naive_sq + _poly_blep(phase, inc) - _poly_blep(
+            jnp.mod(phase + 0.5, 1.0), inc)
+        return saw, sq
+
+    saw_m, sq_m = blep_pair(osc_phase, osc_inc)
+    saw_d, sq_d = blep_pair(det_phase, det_inc)
+    osc_out = saw_m * (1.0 - shape) + sq_m * shape
+    det_out = saw_d * (1.0 - shape) + sq_d * shape
+
+    mix = (
+        sub_out * ctx.ptraj("sub_level")
+        + osc_out * ctx.ptraj("osc_level")
+        + det_out * ctx.ptraj("detune_level")
+    )
+
+    # --- pre-filter saturation (always advances the oversampler state) ---------
+    od = ctx.ptraj("overdrive")
+    drive = 1.0 + od * 9.0
+    ld, lds, stv, stvs = _accessors_h(st_ref, nst_ref, Vp)
+    sat = _ovs4_pipeline(mix, _waveshape_fn(drive), ld, stv, lds, stvs)
+    ws_bypass = drive <= 1.0      # ws.process: mix arg is 1.0
+    ws_out = jnp.where(ws_bypass, mix, sat)
+    ws_out = jnp.where(jnp.isfinite(mix), ws_out, 0.0)
+    satur_ref[...] = jnp.where(od > 0.001, ws_out, mix)
+
+    # --- swept-filter trajectories (SVF runs OUTSIDE, sequentially) ------------
+    fenv = _adsr_amp(elapsed, 0.001, fd, 0.0, 1.0, fc)
+    base_cutoff = 20.0 * jnp.power(
+        np.float32(18_000.0 / 20.0), jnp.clip(ctx.ptraj("filter_cutoff"), 0.0, 1.0))
+    env_offset = (18_000.0 - base_cutoff) * ctx.ptraj("filter_env_amount") * fenv
+    cut_ref[...] = jnp.clip(base_cutoff + env_offset, 20.0, 18_000.0)
+    res_ref[...] = _denorm(ctx.ptraj("filter_resonance"), 0.5, 15.0)
+
+    amp_env = _adsr_amp(elapsed, 0.002, ad, 0.0, 1.0, ac)
+    ampsc_ref[...] = amp_env * jnp.sqrt(vel) * ctx.ptraj("volume")
+
+    # --- state advance ----------------------------------------------------------
+    ncur_ref[...] = ctx.advance()
+    nlat_ref[:, _BLAT["velocity"]:_BLAT["velocity"] + 1] = ctx.latch(vel_new, lat[:, 0:1])
+    nlat_ref[:, _BLAT["trig_freq"]:_BLAT["trig_freq"] + 1] = ctx.latch(freq_new, lat[:, 1:2])
+    nlat_ref[:, _BLAT["amp_decay"]:_BLAT["amp_decay"] + 1] = ctx.latch(ad_new, lat[:, 2:3])
+    nlat_ref[:, _BLAT["amp_curve"]:_BLAT["amp_curve"] + 1] = ctx.latch(ac_new, lat[:, 3:4])
+    nlat_ref[:, _BLAT["fenv_decay"]:_BLAT["fenv_decay"] + 1] = ctx.latch(fd_new, lat[:, 4:5])
+    nlat_ref[:, _BLAT["fenv_curve"]:_BLAT["fenv_curve"] + 1] = ctx.latch(fc_new, lat[:, 5:6])
+    ntrig_ref[...] = ctx.new_trig()
+    nph_ref[:, 0:1] = sub_phase[:, -1:]
+    nph_ref[:, 1:2] = osc_phase[:, -1:]
+    nph_ref[:, 2:3] = det_phase[:, -1:]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "block_size", "smooth_coeff", "os_mode", "interpret"))
+def bass_render_fused(state, trig_offset, trig_velocity, block_start, *,
+                      sample_rate, block_size, smooth_coeff, note_freq=None,
+                      os_mode=4, interpret=None):
+    """Fused bass bank block; XLA twin: bass.render_block.
+
+    The swept TPT SVF (Q up to 15) keeps the sample-sequential svf_bank
+    kernel; oscillators/bleps/drive/envelopes fuse into one kernel.
+    """
+    from libgooey_tpu.core.smoother import SmootherBank
+    from libgooey_tpu.instruments import bass as bass_mod
+    from libgooey_tpu.ops import filters as filt_mod
+    from libgooey_tpu.ops import pallas_fx
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = block_size
+    V = state.trig_sample.shape[0]
+    Vp = max(8, ((V + 7) // 8) * 8)
+
+    cur = _pad_rows(state.params.current, Vp, 0.5)
+    tgt = _pad_rows(state.params.target, Vp, 0.5)
+    off = _pad_rows(jnp.asarray(trig_offset, jnp.int32)[:, None], Vp, B)
+    vel = _pad_rows(jnp.asarray(trig_velocity, jnp.float32)[:, None], Vp)
+    if note_freq is None:
+        nf = jnp.zeros((Vp, 1), jnp.float32)
+    else:
+        nf = _pad_rows(jnp.asarray(note_freq, jnp.float32)[:, None], Vp)
+    trig = _pad_rows(state.trig_sample[:, None], Vp, np.int32(-(2 ** 30)))
+    lat = _pad_rows(jnp.stack([
+        state.velocity, state.trig_freq, state.amp_decay_s, state.amp_curve,
+        state.fenv_decay_s, state.fenv_curve], axis=1), Vp, 1.0)
+    ph = _pad_rows(jnp.stack([
+        state.sub_phase, state.osc_phase, state.det_phase], axis=1), Vp)
+    packed = pack_voice_ovs(
+        state.ovs, jnp.zeros((V,), jnp.float32), jnp.zeros((V,), jnp.float32))
+    if Vp != V:
+        z = jnp.zeros((Vp - V, packed.shape[1]), jnp.float32)
+        packed = jnp.concatenate([packed[:V], z, packed[V:], z], axis=0)
+    bs = jnp.asarray(block_start, jnp.int32).reshape(1)
+
+    kern = functools.partial(
+        _bass_kernel, sr=float(sample_rate), coeff=float(smooth_coeff), B=B)
+    satur, cut, res, ampsc, ncur, nlat, ntrig, nph, nst = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, _BASS_NP), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Vp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((2 * Vp, _K_OUT), jnp.float32),
+        ),
+        in_specs=[_vmem()] * 9 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(_vmem(),) * 9,
+        interpret=interpret,
+    )(cur, tgt, off, vel, nf, trig, lat, ph, packed, bs)
+
+    # --- swept SVF low-pass (sequential bank kernel, svf_tpt_outputs) ----------
+    offs_v = jnp.asarray(trig_offset, jnp.int32)[:, None]
+    at_trig = ((jnp.arange(B, dtype=jnp.int32)[None, :] == offs_v)
+               & (offs_v < B))
+    svf_state, filtered, _bp, _hp = filt_mod.svf_tpt_outputs(
+        state.svf, satur[:V], cut[:V], res[:V], sample_rate, reset=at_trig)
+    out = filtered * ampsc[:V]
+
+    if Vp != V:
+        nst = jnp.concatenate([nst[:V], nst[Vp:Vp + V]], axis=0)
+    new_ovs, _dcx, _dcy = unpack_voice_ovs(nst, V, state.ovs)
+
+    new_state = bass_mod.BassState(
+        ovs=new_ovs,
+        params=SmootherBank(current=ncur[:V], target=state.params.target),
+        trig_sample=ntrig[:V, 0],
+        velocity=nlat[:V, _BLAT["velocity"]],
+        trig_freq=nlat[:V, _BLAT["trig_freq"]],
+        amp_decay_s=nlat[:V, _BLAT["amp_decay"]],
+        amp_curve=nlat[:V, _BLAT["amp_curve"]],
+        fenv_decay_s=nlat[:V, _BLAT["fenv_decay"]],
+        fenv_curve=nlat[:V, _BLAT["fenv_curve"]],
+        sub_phase=nph[:V, 0],
+        osc_phase=nph[:V, 1],
+        det_phase=nph[:V, 2],
+        svf=svf_state,
+    )
+    return new_state, out
+
+# --- hihat2: one fused kernel ---------------------------------------------------
+
+_HP = dict(pitch=0, decay=1, attack=2, tone=3, volume=4, tuning=5)
+_HH2_NP = len(_HP)
+
+
+def _maxlin_scan(A, Bc, Cc, y0):
+    """Inclusive scan of ``y[n] = max(A[n], Bc[n]*y[n-1] + Cc[n])`` along
+    lanes (ops/scan.py maxlin's combine, Hillis-Steele form)."""
+    C = A.shape[-1]
+    step = 1
+    while step < C:
+        As = _shift_right(A, step, -3.0e38)
+        Bs = _shift_right(Bc, step, 1.0)
+        Cs = _shift_right(Cc, step, 0.0)
+        A = jnp.maximum(A, Bc * As + Cc)
+        Cc = Bc * Cs + Cc
+        Bc = Bc * Bs
+        step *= 2
+    return jnp.maximum(A, Bc * y0 + Cc)
+
+
+def _max_curve(progress, curve):
+    """core/max_curve.py max_curve, op-for-op (static python-float curve)."""
+    p = jnp.clip(progress, 0.0, 1.0)
+    c = float(curve)
+    cabs = abs(c)
+    hp = ((cabs + 1e-20) * 1.2) ** 0.41 * 0.91   # static scalar math
+    fp = np.float32(hp / (1.0 - hp))
+
+    def one_sided(p):
+        # Mosaic has no expm1; exp(x)-1 differs by ~1e-8 abs for the small
+        # fp*p corner (envelope path, not phase — inside tolerance)
+        gp = (jnp.exp(fp * p) - 1.0) / np.float32(np.expm1(float(fp)))
+        return p if abs(float(fp)) < 1e-6 else gp
+
+    out = 1.0 - one_sided(1.0 - p) if c < 0.0 else one_sided(p)
+    return p if cabs < 1e-6 else out
+
+
+def _biquad_df1(x, coeffs, reset_f, x1, x2, y1, y2):
+    """DF-I biquad lane scan with reset (ops/filters.py biquad_df1_block).
+
+    ``x1/x2/y1/y2``: [V, 1] carried state columns.  Returns
+    ``(out, (x1', x2', y1', y2'))``; output flushed at 1e-15.
+    """
+    b0, b1, b2, a1, a2 = coeffs
+    x_prev1 = _shift_right(x, 1, x1)
+    x_prev2 = _shift_right(x_prev1, 1, x2)
+    keepm = 1.0 - reset_f
+    reset_prev = _shift_right(reset_f, 1, 0.0)
+    x_prev1 = x_prev1 * keepm
+    x_prev2 = x_prev2 * keepm * (1.0 - reset_prev)
+    w = b0 * x + b1 * x_prev1 + b2 * x_prev2
+    zeros = jnp.zeros_like(w)
+    s1, s2 = _affine_scan2(
+        -a1 * keepm, -a2 * keepm, keepm, zeros, w, zeros, (y1, y2))
+    out = jnp.where(jnp.abs(s1) < 1e-15, 0.0, s1)
+    return out, (x[:, -1:], x_prev1[:, -1:], s1[:, -1:], s2[:, -1:])
+
+
+def _hihat2_kernel(cur_ref, tgt_ref, off_ref, vel_ref, trig_ref, lat_ref,
+                   color_ref, slope_ref, ph_ref, hpf_ref, svf_ref, pink_ref,
+                   bs_ref,
+                   out_ref, ncur_ref, nlat_ref, ntrig_ref, nph_ref, nhpf_ref,
+                   nsvf_ref, npink_ref, *, sr, coeff, B, seed):
+    ctx = _Ctx(cur_ref, tgt_ref, off_ref, trig_ref, bs_ref[0], _HP, coeff,
+               B, sr)
+    Vp = cur_ref.shape[0]
+    vel_new = jnp.clip(vel_ref[...], 0.0, 1.0)
+    vel = ctx.eff(vel_new, lat_ref[:, 0:1])
+    elapsed = ctx.elapsed
+    reset = ctx.at_trig
+    reset_f = reset.astype(jnp.float32)
+
+    attack_s = _denorm(ctx.ptraj("attack"), 0.5, 200.0) * 0.001
+    decay_s = _denorm(ctx.ptraj("decay"), 0.5, 4000.0) * 0.001
+    pn = ctx.ptraj("pitch")
+    pitch_hz = _denorm(pn * pn, 3500.0, 10_000.0) * _tuning_mult(
+        ctx.ptraj("tuning"))
+
+    # --- noise source (never reset; counter = global sample + voice salt) ----
+    n_glob_i = ctx.bs + ctx.n                                   # [Vp, B] i32
+    n_glob = jax.lax.bitcast_convert_type(n_glob_i, jnp.uint32)
+    salt = jax.lax.bitcast_convert_type(
+        jax.lax.broadcasted_iota(jnp.int32, (Vp, 1), 0), jnp.uint32)
+    white = _white(n_glob + salt * jnp.uint32(0x9E3779B9), seed)
+    poles, gains = noise_mod.coefficients(sr)
+    pwhite = _white(n_glob, seed)   # pink_block's counter-only stream
+    youts = []
+    pstate = []
+    for i in range(3):
+        y = _scan_const(np.float32(gains[i]) * pwhite, float(poles[i]),
+                        pink_ref[:, i:i + 1])
+        youts.append(y)
+        pstate.append(y[:, -1:])
+    pink = (youts[0] + youts[1] + youts[2]
+            + pwhite * noise_mod.DIRECT_GAIN) * noise_mod.OUTPUT_GAIN
+    noise_sig = jnp.where(color_ref[...] == 1, pink, white)
+
+    # --- phase-mod oscillator chain (hihat2.rs:256-285, 497-505) -------------
+    mod_inc = pitch_hz * 0.1 / sr
+    main_inc = pitch_hz / sr
+    mod_phase = _phase_cumsum_reset(mod_inc, reset_f, ph_ref[:, 0:1])
+    main_phase = _phase_cumsum_reset(main_inc, reset_f, ph_ref[:, 1:2])
+    two_pi = np.float32(2.0 * np.pi)
+    mod_sig = noise_sig * 0.25
+    mod_out = jnp.sin(two_pi * jnp.mod(mod_phase + mod_sig, 1.0))
+    main_out = jnp.sin(two_pi * jnp.mod(main_phase + mod_out * 0.75, 1.0))
+
+    # --- highpass stages at pitch (RBJ, q = 1) --------------------------------
+    omega = 2.0 * np.pi * pitch_hz / sr
+    sin_o, cos_o = jnp.sin(omega), jnp.cos(omega)
+    alpha = sin_o / (2.0 * 1.0)
+    a0 = 1.0 + alpha
+    hb0 = (1.0 + cos_o) / 2.0 / a0
+    hb1 = -(1.0 + cos_o) / a0
+    hb2 = (1.0 + cos_o) / 2.0 / a0
+    ha1 = -2.0 * cos_o / a0
+    ha2 = (1.0 - alpha) / a0
+    coeffs = (hb0, hb1, hb2, ha1, ha2)
+    y1, st1 = _biquad_df1(main_out, coeffs, reset_f,
+                          hpf_ref[:, 0:1], hpf_ref[:, 1:2],
+                          hpf_ref[:, 2:3], hpf_ref[:, 3:4])
+    y2, st2 = _biquad_df1(y1, coeffs, reset_f,
+                          hpf_ref[:, 4:5], hpf_ref[:, 5:6],
+                          hpf_ref[:, 6:7], hpf_ref[:, 7:8])
+    filtered = jnp.where(slope_ref[...] == 1, y2 * 0.8, y1)
+
+    # --- MaxCurve envelope through the asymmetric smoother --------------------
+    in_attack = elapsed < attack_s
+    attack_prog = jnp.where(attack_s > 0,
+                            elapsed / jnp.maximum(attack_s, 1e-9), 1.0)
+    decay_prog = jnp.where(
+        decay_s > 0, (elapsed - attack_s) / jnp.maximum(decay_s, 1e-9), 1.0)
+    env_raw = jnp.where(
+        in_attack,
+        _max_curve(attack_prog, -0.3),
+        1.0 - _max_curve(jnp.clip(decay_prog, 0.0, 1.0), -0.8),
+    )
+    env_raw = jnp.where(elapsed < 0.0, 0.0, env_raw)
+    down_coeff = np.float32(1.0 - np.exp(-1.0 / 100.0))
+    bmul = jnp.where(reset, 0.0, jnp.full_like(env_raw, 1.0 - down_coeff))
+    env = _maxlin_scan(env_raw, bmul, down_coeff * env_raw, ph_ref[:, 2:3])
+
+    output = filtered * env * vel * 0.35
+
+    # --- tone SVF highpass + volume -------------------------------------------
+    tone_hz = _denorm(ctx.ptraj("tone"), 500.0, 10_000.0)
+    cutoff = jnp.clip(tone_hz, 20.0, sr * 0.45)
+    g = jnp.tan(np.pi * cutoff / sr)
+    r = 1.0 / jnp.maximum(0.5, 0.5)
+    h = 1.0 / (1.0 + r * g + g * g)
+    v1, v2, ic1_l, ic2_l = _svf_tpt_reset(
+        output, g, h, reset, svf_ref[:, 0:1], svf_ref[:, 1:2])
+    hp = output - (r * v1 + v2)
+    out_ref[...] = hp * ctx.ptraj("volume")
+
+    # --- state advance ----------------------------------------------------------
+    ncur_ref[...] = ctx.advance()
+    nlat_ref[:, 0:1] = ctx.latch(vel_new, lat_ref[:, 0:1])
+    ntrig_ref[...] = ctx.new_trig()
+    nph_ref[:, 0:1] = mod_phase[:, -1:]
+    nph_ref[:, 1:2] = main_phase[:, -1:]
+    nph_ref[:, 2:3] = env[:, -1:]
+    for i, v in enumerate(st1 + st2):
+        nhpf_ref[:, i:i + 1] = v
+    nsvf_ref[:, 0:1] = ic1_l
+    nsvf_ref[:, 1:2] = ic2_l
+    for i in range(3):
+        npink_ref[:, i:i + 1] = pstate[i]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "block_size", "smooth_coeff", "interpret"))
+def hihat2_render_fused(state, trig_offset, trig_velocity, block_start, *,
+                        sample_rate, block_size, smooth_coeff, interpret=None):
+    """Fused HiHat2 bank block; XLA twin: hihat2.render_block."""
+    from libgooey_tpu.core.smoother import SmootherBank
+    from libgooey_tpu.instruments import hihat2 as hh2_mod
+    from libgooey_tpu.ops import filters as filt_mod
+    from libgooey_tpu.ops import noise as _noise
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = block_size
+    V = state.trig_sample.shape[0]
+    Vp = max(8, ((V + 7) // 8) * 8)
+
+    cur = _pad_rows(state.params.current, Vp, 0.5)
+    tgt = _pad_rows(state.params.target, Vp, 0.5)
+    off = _pad_rows(jnp.asarray(trig_offset, jnp.int32)[:, None], Vp, B)
+    vel = _pad_rows(jnp.asarray(trig_velocity, jnp.float32)[:, None], Vp)
+    trig = _pad_rows(state.trig_sample[:, None], Vp, np.int32(-(2 ** 30)))
+    lat = _pad_rows(state.velocity[:, None], Vp, 1.0)
+    color = _pad_rows(state.noise_color[:, None], Vp)
+    slope = _pad_rows(state.filter_slope[:, None], Vp)
+    ph = _pad_rows(jnp.stack([
+        state.mod_phase, state.main_phase, state.env_smooth], axis=1), Vp)
+    hpf = _pad_rows(jnp.stack([
+        state.hpf1.x1, state.hpf1.x2, state.hpf1.y1, state.hpf1.y2,
+        state.hpf2.x1, state.hpf2.x2, state.hpf2.y1, state.hpf2.y2], axis=1),
+        Vp)
+    svf = _pad_rows(jnp.stack([state.svf.ic1, state.svf.ic2], axis=1), Vp)
+    pink = _pad_rows(state.pink.fstate, Vp)
+    bs = jnp.asarray(block_start, jnp.int32).reshape(1)
+
+    kern = functools.partial(
+        _hihat2_kernel, sr=float(sample_rate), coeff=float(smooth_coeff),
+        B=B, seed=0x9ABCDEF0)
+    out, ncur, nlat, ntrig, nph, nhpf, nsvf, npink = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, _HH2_NP), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Vp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, 8), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, 2), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, 3), jnp.float32),
+        ),
+        in_specs=[_vmem()] * 12 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(_vmem(),) * 8,
+        interpret=interpret,
+    )(cur, tgt, off, vel, trig, lat, color, slope, ph, hpf, svf, pink, bs)
+
+    new_state = hh2_mod.HiHat2State(
+        params=SmootherBank(current=ncur[:V], target=state.params.target),
+        noise_color=state.noise_color,
+        filter_slope=state.filter_slope,
+        trig_sample=ntrig[:V, 0],
+        velocity=nlat[:V, 0],
+        mod_phase=nph[:V, 0],
+        main_phase=nph[:V, 1],
+        env_smooth=nph[:V, 2],
+        hpf1=filt_mod.BiquadState(x1=nhpf[:V, 0], x2=nhpf[:V, 1],
+                                  y1=nhpf[:V, 2], y2=nhpf[:V, 3]),
+        hpf2=filt_mod.BiquadState(x1=nhpf[:V, 4], x2=nhpf[:V, 5],
+                                  y1=nhpf[:V, 6], y2=nhpf[:V, 7]),
+        svf=filt_mod.SVFState(ic1=nsvf[:V, 0], ic2=nsvf[:V, 1]),
+        pink=_noise.PinkState(fstate=npink[:V]),
     )
     return new_state, out[:V]

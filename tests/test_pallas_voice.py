@@ -6,10 +6,12 @@ reassociation rounding.  Every in-kernel formula is written op-for-op like
 the XLA twin, so in interpret mode the only differences are the lane scans
 (Hillis-Steele vs linrec) and f32 reassociation in the oversampler; measured
 worst cases are ~6e-6 on the output and ~1e-4 on the (drive-scaled, up to
-~30x full-scale) internal shaper states.
+~30x full-scale) internal shaper states.  The high-Q recurrences (snare's
+Chamberlin, bass's swept SVF) run OUTSIDE the fused kernels on the
+sample-sequential bank path, so their numerics class is unchanged.
 
-On a real TPU the same twin pair matched to 1.4e-6 out / 4.3e-6 state at
-V=16, B=512 (recorded 2026-08-19; the suite runs CPU-only).
+On a real TPU the same twin pairs match to 1e-6..1e-5 (tools/tpu_smoke.py
+smoke_voice_fused re-checks on hardware; the suite runs CPU-only).
 """
 
 import jax
@@ -18,73 +20,125 @@ import numpy as np
 import pytest
 
 from libgooey_tpu.core.smoother import SmootherBank, smoothing_coeff
-from libgooey_tpu.instruments import kick
+from libgooey_tpu.instruments import bass, hihat2, kick, snare
 from libgooey_tpu.ops import pallas_voice as pv
 
 SR = 44100.0
 B = 128
 COEFF = smoothing_coeff(SR)
 
+#: (module, fused_fn, render kwargs, param clamps) per family.  Clamps keep
+#: random configs off genuinely-unstable corners (the Chamberlin at 10 kHz
+#: cutoff + max resonance rings up to inf in BOTH paths — reference math).
+FAMILIES = {
+    "kick": (kick, "kick_render_fused",
+             dict(max_harmonics=32, feedback_path=False), {}),
+    "snare": (snare, "snare_render_fused", dict(max_harmonics=32),
+              {"filter_cutoff": (0.0, 0.7), "filter_resonance": (0.0, 0.6)}),
+    "hihat2": (hihat2, "hihat2_render_fused", dict(), {}),
+    "bass": (bass, "bass_render_fused", dict(), {}),
+}
+
 
 def _max_state_err(sa, sb):
     worst = 0.0
     for la, lb in zip(jax.tree_util.tree_leaves(sa), jax.tree_util.tree_leaves(sb)):
         if la.size:
-            worst = max(worst, float(jnp.max(jnp.abs(
-                jnp.asarray(la, jnp.float32) - jnp.asarray(lb, jnp.float32)))))
+            e = float(jnp.max(jnp.abs(
+                jnp.asarray(la, jnp.float32) - jnp.asarray(lb, jnp.float32))))
+            assert not np.isnan(e), "NaN state leaf"
+            worst = max(worst, e)
     return worst
 
 
-def _mk_kick(V, rng):
-    targets = np.clip(rng.uniform(0, 1, (V, kick.NUM_PARAMS)), 0, 1).astype(np.float32)
+def _mk_state(mod, V, rng, clamps):
+    targets = np.clip(rng.uniform(0, 1, (V, mod.NUM_PARAMS)), 0, 1).astype(np.float32)
     cur = np.clip(targets + rng.normal(0, 0.2, targets.shape), 0, 1).astype(np.float32)
-    st = kick.init_state(V, targets=targets)
+    for name, (lo, hi) in clamps.items():
+        i = mod.PARAM_INDEX[name]
+        targets[:, i] = np.clip(targets[:, i], lo, hi)
+        cur[:, i] = np.clip(cur[:, i], lo, hi)
+    st = mod.init_state(V, targets=targets)
     return st._replace(params=SmootherBank(current=jnp.asarray(cur),
                                            target=jnp.asarray(targets)))
 
 
-def test_kick_fused_matches_xla_twin():
+@pytest.mark.parametrize("kind", sorted(FAMILIES))
+def test_fused_matches_xla_twin(kind):
+    mod, fused_name, kw, clamps = FAMILIES[kind]
     V = 5
-    rng = np.random.default_rng(7)
-    state_x = _mk_kick(V, rng)
+    rng = np.random.default_rng(hash(kind) % 1000)
+    state_x = _mk_state(mod, V, rng, clamps)
     state_f = state_x
+    if kind == "snare":
+        state_x = state_x._replace(
+            filter_type=jnp.asarray([0, 1, 2, 3, 1], jnp.int32))
+        state_f = state_x
+    if kind == "hihat2":
+        state_x = state_x._replace(
+            noise_color=jnp.asarray([0, 1, 0, 1, 0], jnp.int32),
+            filter_slope=jnp.asarray([1, 0, 1, 0, 1], jnp.int32))
+        state_f = state_x
     offs = [np.array([0, 40, B, 3, 100], np.int32),
             np.array([B, B, 17, B, B], np.int32),
             np.array([5, B, B, B, 0], np.int32)]
     vels = np.array([1.0, 0.8, 0.5, 0.3, 0.9], np.float32)
+    fused = getattr(pv, fused_name)
+    fused_kw = {k: v for k, v in kw.items() if k != "feedback_path"}
     prev = pv.IMPL
     try:
+        pv.IMPL = "xla"
         for blk, off in enumerate(offs):
-            pv.IMPL = "xla"
-            state_x, out_x = kick.render_block(
+            state_x, out_x = mod.render_block(
                 state_x, off, vels, np.int32(blk * B), sample_rate=SR,
-                block_size=B, smooth_coeff=COEFF, max_harmonics=32,
-                feedback_path=False)
-            state_f, out_f = pv.kick_render_fused(
+                block_size=B, smooth_coeff=COEFF, **kw)
+            state_f, out_f = fused(
                 state_f, off, vels, np.int32(blk * B), sample_rate=SR,
-                block_size=B, smooth_coeff=COEFF, max_harmonics=32,
-                interpret=True)
-            assert float(jnp.max(jnp.abs(out_x - out_f))) < 3e-5, blk
-            assert _max_state_err(state_x, state_f) < 4e-4, blk
+                block_size=B, smooth_coeff=COEFF, interpret=True, **fused_kw)
+            assert float(jnp.max(jnp.abs(out_x - out_f))) < 3e-5, (kind, blk)
+            assert _max_state_err(state_x, state_f) < 4e-4, (kind, blk)
     finally:
         pv.IMPL = prev
 
 
-def test_kick_fused_dispatch_gate():
-    """The fused path only engages on TPU (or forced); CPU tests stay XLA."""
+def test_bass_fused_note_freq():
+    """Per-step note overrides reach the fused path's trigger snapshot."""
+    V = 3
+    rng = np.random.default_rng(11)
+    state_x = _mk_state(bass, V, rng, {})
+    state_f = state_x
+    off = np.array([0, 7, B], np.int32)
+    vels = np.ones(V, np.float32)
+    nfq = np.array([55.0, 110.0, 0.0], np.float32)
+    prev = pv.IMPL
+    try:
+        pv.IMPL = "xla"
+        state_x, out_x = bass.render_block(
+            state_x, off, vels, np.int32(0), sample_rate=SR, block_size=B,
+            smooth_coeff=COEFF, note_freq=nfq)
+        state_f, out_f = pv.bass_render_fused(
+            state_f, off, vels, np.int32(0), sample_rate=SR, block_size=B,
+            smooth_coeff=COEFF, note_freq=nfq, interpret=True)
+        assert float(jnp.max(jnp.abs(out_x - out_f))) < 3e-5
+        assert float(jnp.max(jnp.abs(state_x.trig_freq - state_f.trig_freq))) == 0.0
+    finally:
+        pv.IMPL = prev
+
+
+def test_fused_dispatch_gate():
+    """The fused path only engages on TPU (or forced); CPU tests stay XLA.
+    Multi-trigger [V, K] offsets and overrides fall back to XLA."""
     V = 3
     rng = np.random.default_rng(3)
-    state = _mk_kick(V, rng)
+    state = _mk_state(kick, V, rng, {})
     off = np.zeros(V, np.int32)
     vel = np.ones(V, np.float32)
-    # multi-trigger [V, K] offsets and overrides must fall back to XLA
     off_k = np.full((V, 2), B, np.int32)
     st2, out2 = kick.render_block(
         state, off_k, np.zeros((V, 2), np.float32), np.int32(0),
         sample_rate=SR, block_size=B, smooth_coeff=COEFF, max_harmonics=16,
         feedback_path=False)
     assert out2.shape == (V, B)
-    # forced pallas on CPU runs interpret mode and matches
     prev = pv.IMPL
     try:
         pv.IMPL = "pallas"

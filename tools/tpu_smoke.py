@@ -244,32 +244,34 @@ def smoke_engine_render():
 
 def smoke_voice_fused():
     """Fused instrument-bank kernels vs their XLA twins, on hardware."""
-    t0 = time.perf_counter()
     from libgooey_tpu.core.smoother import smoothing_coeff
-    from libgooey_tpu.instruments import kick
+    from libgooey_tpu.engine import engine as eng
     from libgooey_tpu.ops import pallas_voice as pv
 
     V = 16
     coeff = smoothing_coeff(SR)
-    state = kick.init_state(V)
     off = np.full(V, B, np.int32)
     off[:4] = [0, 40, 3, 100]
     vel = np.full(V, 0.8, np.float32)
+    static = {"kick": dict(max_harmonics=64, feedback_path=False),
+              "snare": dict(max_harmonics=64)}
     prev = pv.IMPL
     try:
-        pv.IMPL = "xla"
-        _, out_x = kick.render_block(
-            state, off, vel, np.int32(0), sample_rate=SR, block_size=B,
-            smooth_coeff=coeff, max_harmonics=64, feedback_path=False)
-        pv.IMPL = "auto"
-        _, out_f = pv.kick_render_fused(
-            state, off, vel, np.int32(0), sample_rate=SR, block_size=B,
-            smooth_coeff=coeff, max_harmonics=64)
-        err = float(jnp.max(jnp.abs(out_x - out_f)))
-        assert err < 1e-4, f"kick fused-vs-xla on hardware: {err}"
+        for kind in ("kick", "snare", "hihat2", "bass"):
+            t0 = time.perf_counter()
+            mod = eng.FAMILIES[kind]
+            state = mod.init_state(V)
+            kw = dict(sample_rate=SR, block_size=B, smooth_coeff=coeff,
+                      **static.get(kind, {}))
+            pv.IMPL = "xla"
+            _, out_x = mod.render_block(state, off, vel, np.int32(0), **kw)
+            pv.IMPL = "auto"
+            _, out_f = mod.render_block(state, off, vel, np.int32(0), **kw)
+            err = float(jnp.max(jnp.abs(out_x - out_f)))
+            assert err < 1e-4, f"{kind} fused-vs-xla on hardware: {err}"
+            _ok(f"voice_fused ({kind}, err {err:.1e})", t0)
     finally:
         pv.IMPL = prev
-    _ok("voice_fused (kick)", t0)
 
 
 def smoke_entry():
