@@ -47,9 +47,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 256               # output samples per window chunk (<= engine block)
-WINR = 15                 # window rows of 128 floats per chunk
 TG = 8                    # grains per grid program
-MAX_STEP = float((WINR * 128 - 4 - 127) / (CHUNK - 1))  # ~7.03
+MAX_STEP = float((15 * 128 - 4 - 127) / (CHUNK - 1))  # largest tier, ~7.03
 
 
 def _cubic_w(d, c0, c1, c2, c3):
@@ -65,43 +64,76 @@ def _dot3(a, b):
     passes, and Precision.HIGH is unimplemented in Mosaic — so split each
     operand into bf16 (hi, lo) halves and take the three significant
     products (error ~2^-22 relative, ~-100 dBFS; measured 1.4e-5 max abs
-    on the 4k-grain bench signal)."""
+    on the 4k-grain bench signal).
+
+    The ah@bh and al@bh products share the RHS, so they run as ONE M=2
+    pass (rows stacked) — 2 MXU K-sweeps instead of 3 for the same
+    numerics (each product is still a separate f32 accumulation)."""
     ah = a.astype(jnp.bfloat16)
     al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
     bh = b.astype(jnp.bfloat16)
     bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
     dp = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
-    return dp(ah, bh) + (dp(ah, bl) + dp(al, bh))
+    hl = dp(jnp.concatenate([ah, al], axis=0), bh)      # [2, CH]
+    return hl[0:1] + (dp(ah, bl) + hl[1:2])             # original sum order
+
+
+#: per-grain window tiers (rows of 128): the smallest R with
+#: R*128 - 4 - 127 >= (CH-1)|step| is picked per grain (step is constant
+#: over the block), so a |step|<=0.99 grain builds/dots 384 lanes instead
+#: of a worst-case 1920.  (1-D HBM slices must align to 1024 elements, so
+#: windows stay row-granular: up to 127 lanes of alignment waste.)
+_TIERS_R = (3, 5, 6, 15)
 
 
 def _kernel(p0_ref, step_ref, buf_ref, out_ref, win_ref, wt_ref, sem,
-            *, B, NR, L, CH, WR):
-    """win_ref: [2, WR, 128] double-buffered windows; wt_ref:
-    [WR*128, CH] transposed weights; buf_ref: [NR, 128] HBM rows."""
+            *, B, NR, L, CH):
+    """Tiered double-buffered windows: each (grain, chunk) DMAs the
+    smallest row span covering its tap band.  win_ref: [2, RMAX, 128];
+    wt_ref: [RMAX*128, CH]; buf_ref: [NR, 128] HBM rows.  (A variant
+    that built the bf16 (hi, lo) weight planes directly measured SLOWER
+    — bf16 stores retile (8,128)->(16,128) and cost more than the f32
+    plane's cast round-trip saves.)"""
     LF = np.float32(L - 1)
-    KW = WR * 128
+    RMAX = _TIERS_R[-1]
     ncols = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1).astype(jnp.float32)
     krow = jax.lax.broadcasted_iota(jnp.int32, (128, CH), 0)
     NCH = B // CH
     NK = TG * NCH
 
-    def w0row(t, c):
+    def tier_of(t):
+        sab = jnp.abs(step_ref[t, 0])
+        tier = len(_TIERS_R) - 1
+        for i in range(len(_TIERS_R) - 2, -1, -1):
+            tier = jnp.where(
+                sab <= np.float32((_TIERS_R[i] * 128 - 4 - 127) / (CH - 1)),
+                i, tier)
+        return tier
+
+    def w0row(t, c, R):
         p0 = p0_ref[t, 0]
         stp = step_ref[t, 0]
         n0 = jnp.asarray(c * CH, jnp.float32)
         a = jnp.clip(p0 + stp * n0, 0.0, LF)
         b = jnp.clip(p0 + stp * (n0 + CH - 1), 0.0, LF)
         w0 = jnp.floor(jnp.minimum(a, b)).astype(jnp.int32)
-        return jnp.clip(w0 // 128, 0, NR - WR)
+        return jnp.clip(w0 // 128, 0, NR - R)
 
-    def dma(k, slot):
+    def dma(k, slot, R):
         t, c = k // NCH, k % NCH
         return pltpu.make_async_copy(
-            buf_ref.at[pl.ds(w0row(t, c), WR)],
-            win_ref.at[slot], sem.at[slot],
+            buf_ref.at[pl.ds(w0row(t, c, R), R)],
+            win_ref.at[slot, 0:R], sem.at[slot],
         )
 
-    dma(0, 0).start()
+    def start_dma(k, slot):
+        tier = tier_of(k // NCH)
+        for i, R in enumerate(_TIERS_R):
+            @pl.when(tier == i)
+            def _(R=R):
+                dma(k, slot, R).start()
+
+    start_dma(0, 0)
 
     def body(k, _):
         t, c = k // NCH, k % NCH
@@ -109,17 +141,14 @@ def _kernel(p0_ref, step_ref, buf_ref, out_ref, win_ref, wt_ref, sem,
 
         @pl.when(k + 1 < NK)
         def _():
-            dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+            start_dma(k + 1, jax.lax.rem(k + 1, 2))
 
         p0 = p0_ref[t, 0]
         stp = step_ref[t, 0]
-        w0r = w0row(t, c)
         n0 = jnp.asarray(c * CH, jnp.float32)
         pos = jnp.clip(p0 + stp * (n0 + ncols), 0.0, LF)   # [1, CH]
         i1f = jnp.floor(pos)
         f = pos - i1f
-        # padded coords: tap p0 (= buf[i1-1]) sits at window index rel
-        rel = i1f.astype(jnp.int32) - w0r * 128            # [1, CH]
         f2 = f * f
         f3 = f2 * f
         c0 = -0.5 * f3 + f2 - 0.5 * f
@@ -127,30 +156,38 @@ def _kernel(p0_ref, step_ref, buf_ref, out_ref, win_ref, wt_ref, sem,
         c2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
         c3 = 0.5 * f3 - 0.5 * f2
 
-        # chunk-level tap bounds: rows outside [rmin, rmax+3] hold no taps
-        a = jnp.clip(p0 + stp * n0, 0.0, LF)
-        b = jnp.clip(p0 + stp * (n0 + CH - 1), 0.0, LF)
-        rel_a = jnp.floor(a).astype(jnp.int32) - w0r * 128
-        rel_b = jnp.floor(b).astype(jnp.int32) - w0r * 128
-        rmin = jnp.minimum(rel_a, rel_b)
-        rmax = jnp.maximum(rel_a, rel_b) + 3
+        tier = tier_of(t)
+        for i, R in enumerate(_TIERS_R):
+            @pl.when(tier == i)
+            def _(R=R):
+                w0r = w0row(t, c, R)
+                # padded coords: tap p0 (= buf[i1-1]) sits at window rel
+                rel = i1f.astype(jnp.int32) - w0r * 128     # [1, CH]
+                a = jnp.clip(p0 + stp * n0, 0.0, LF)
+                b = jnp.clip(p0 + stp * (n0 + CH - 1), 0.0, LF)
+                rel_a = jnp.floor(a).astype(jnp.int32) - w0r * 128
+                rel_b = jnp.floor(b).astype(jnp.int32) - w0r * 128
+                rmin = jnp.minimum(rel_a, rel_b)
+                rmax = jnp.maximum(rel_a, rel_b) + 3
+                for r in range(R):
+                    overlap = (r * 128 <= rmax) & ((r + 1) * 128 > rmin)
 
-        for r in range(WR):  # static: build or zero one transposed row tile
-            overlap = (r * 128 <= rmax) & ((r + 1) * 128 > rmin)
+                    @pl.when(overlap)
+                    def _(r=r):
+                        d = (r * 128 + krow) - rel          # [128, CH]
+                        wt_ref[r * 128:(r + 1) * 128, :] = _cubic_w(
+                            d, c0, c1, c2, c3)
 
-            @pl.when(overlap)
-            def _(r=r):
-                d = (r * 128 + krow) - rel                 # [128, CH]
-                wt_ref[r * 128:(r + 1) * 128, :] = _cubic_w(d, c0, c1, c2, c3)
+                    @pl.when(jnp.logical_not(overlap))
+                    def _(r=r):
+                        wt_ref[r * 128:(r + 1) * 128, :] = jnp.zeros(
+                            (128, CH), jnp.float32)
 
-            @pl.when(jnp.logical_not(overlap))
-            def _(r=r):
-                wt_ref[r * 128:(r + 1) * 128, :] = jnp.zeros((128, CH),
-                                                             jnp.float32)
+                dma(k, slot, R).wait()
+                win = win_ref[slot, 0:R].reshape(1, R * 128)
+                out_ref[pl.ds(t, 1), pl.ds(c * CH, CH)] = _dot3(
+                    win, wt_ref[0:R * 128, :])
 
-        dma(k, slot).wait()
-        win = win_ref[slot].reshape(1, KW)  # [WR, 128] rows -> one lane row
-        out_ref[pl.ds(t, 1), pl.ds(c * CH, CH)] = _dot3(win, wt_ref[...])
         return 0
 
     jax.lax.fori_loop(0, NK, body, 0)
@@ -165,13 +202,12 @@ def grain_read_cubic(buffer, p0, step, *, B: int, interpret=None):
     if interpret is None:  # CPU (tests) runs the same kernel interpreted
         interpret = jax.default_backend() != "tpu"
     CH = min(CHUNK, B)
-    wr_of = lambda ms: -(-int((CH - 1) * ms + 4 + 127) // 128)
-    WR = wr_of(MAX_STEP)
     L = buffer.shape[0]
     G = p0.shape[0]
+    RMAX = _TIERS_R[-1]
     padded = jnp.concatenate([buffer[:1], buffer, buffer[-1:], buffer[-1:]])
     # rows of 128; pad one full window of extra rows so any w0r fits
-    NR = -(-(L + 3) // 128) + WR
+    NR = -(-(L + 3) // 128) + RMAX
     padded = jnp.pad(padded, (0, NR * 128 - (L + 3)))
     # NOTE: p0 is NOT pre-clipped — the kernel clips pos per sample, which
     # preserves edge-hold ramps that start outside the buffer
@@ -185,37 +221,23 @@ def grain_read_cubic(buffer, p0, step, *, B: int, interpret=None):
             stp.reshape(Gp, 1).astype(jnp.float32),
             padded.reshape(NR, 128).astype(jnp.float32))
 
-    def call(wr):
-        return pl.pallas_call(
-            functools.partial(_kernel, B=B, NR=NR, L=L, CH=CH, WR=wr),
-            out_shape=jax.ShapeDtypeStruct((Gp, B), jnp.float32),
-            grid=(Gp // TG,),
-            in_specs=[
-                pl.BlockSpec((TG, 1), lambda i: (i, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((TG, 1), lambda i: (i, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((TG, B), lambda i: (i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, wr, 128), jnp.float32),
-                pltpu.VMEM((wr * 128, CH), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-            interpret=interpret,
-        )
-
-    # two-tier windows: a narrow kernel covers the common |step| range with
-    # ~2.5x fewer MXU passes; a runtime cond picks per block
-    WR_FAST = 6
-    fast_max = (WR_FAST * 128 - 4 - 127) / (CH - 1)
-    if interpret:
-        out = call(WR)(*args)  # interpreter: one instance, full window
-    else:
-        ok = jnp.max(jnp.abs(stp)) <= np.float32(fast_max)
-        out = jax.lax.cond(ok, lambda a, b, c: call(WR_FAST)(a, b, c),
-                           lambda a, b, c: call(WR)(a, b, c), *args)
+    out = pl.pallas_call(
+        functools.partial(_kernel, B=B, NR=NR, L=L, CH=CH),
+        out_shape=jax.ShapeDtypeStruct((Gp, B), jnp.float32),
+        grid=(Gp // TG,),
+        in_specs=[
+            pl.BlockSpec((TG, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TG, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((TG, B), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, RMAX, 128), jnp.float32),
+            pltpu.VMEM((RMAX * 128, CH), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(*args)
     return out[:G]
 
 
