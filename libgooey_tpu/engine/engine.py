@@ -153,6 +153,7 @@ def _render_all(
     fx_order: Tuple[str, ...] = (),
     sidechain_voice: int = -1,
     collect_sources: bool = False,
+    fused_banks: bool = True,
 ):
     """One block over every instrument bank + mix + master + global FX.
 
@@ -161,6 +162,10 @@ def _render_all(
     order on the stereo bus before the pinned soft limiter.
     ``sidechain_voice``: global voice index feeding the compressor detector
     (-1 = self-keyed), mirroring the FFI's per-instrument sidechain source.
+    ``fused_banks``: static — allow the fused Pallas instrument-bank path
+    on TPU.  Multi-chip callers MUST pass False: a pallas_call does not
+    partition under GSPMD, so sharded state would be gathered to one chip
+    (the voice-parallel XLA path is what the mesh shards; see parallel/).
     """
     static = {k: dict(v) for k, v in family_static}
     new_state = dict(state)
@@ -210,6 +215,8 @@ def _render_all(
                 }
         if kind == "bass" and "bass_freq" in events:
             extra["note_freq"] = events["bass_freq"]
+        if kind in ("kick", "snare", "hihat2", "bass"):
+            extra["fused"] = fused_banks
         bank_state, out = mod.render_block(
             state[kind],
             events[kind + "_off"],
@@ -310,6 +317,7 @@ _STATIC_NAMES = (
     "fx_order",
     "sidechain_voice",
     "collect_sources",
+    "fused_banks",
 )
 
 _render_all_jit = jax.jit(_render_all, static_argnames=_STATIC_NAMES)

@@ -141,6 +141,7 @@ def render_block(
     block_size: int,
     smooth_coeff: float,
     overrides=None,
+    fused: bool = True,
 ):
     """Render one block for the HiHat2 bank → ``(new_state, out[V, B])``."""
     sr = sample_rate
@@ -151,7 +152,8 @@ def render_block(
 
     trig_arr = jnp.asarray(trig_offset)
     if (
-        _pv.IMPL != "xla"
+        fused
+        and _pv.IMPL != "xla"
         and (_jax.default_backend() == "tpu" or _pv.IMPL == "pallas")
         and trig_arr.ndim == 1
         and overrides is None

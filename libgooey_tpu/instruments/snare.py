@@ -195,6 +195,7 @@ def render_block(
     max_harmonics: int = 256,
     os_mode: int = 4,
     overrides=None,
+    fused: bool = True,
 ):
     """Render one block for the snare bank → ``(new_state, out[V, B])``."""
     sr = sample_rate
@@ -206,7 +207,8 @@ def render_block(
 
     trig_arr = jnp.asarray(trig_offset)
     if (
-        _pv.IMPL != "xla"
+        fused
+        and _pv.IMPL != "xla"
         and (_jax.default_backend() == "tpu" or _pv.IMPL == "pallas")
         and trig_arr.ndim == 1
         and overrides is None

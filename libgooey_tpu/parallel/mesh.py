@@ -14,6 +14,14 @@ scaling story is therefore pure data parallelism over voices:
 
 Control (sequencer events, parameter targets) is broadcast from the host;
 event arrays are ``[V]``-sharded like the state.
+
+IMPORTANT: sharded renders must pass ``fused_banks=False`` to the engine
+(``engine._render_all``) — the fused Pallas instrument-bank kernels do not
+partition under GSPMD; the voice-parallel XLA path is what the mesh shards.
+``tests/test_parallel.py`` and ``__graft_entry__.dryrun_multichip`` pin the
+sharded==single-device equality for the full kit (kick/snare/hihat2/tom2/
+bass), the replicated bus chain after the psum, and sharded granulator /
+sampler arena reads.
 """
 
 from __future__ import annotations

@@ -2,6 +2,7 @@
 single-device render (8 virtual CPU devices, conftest sets the flag)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -61,3 +62,163 @@ def test_sharded_render_matches_single_device():
     # identical math, different reduction layout → f32 reassociation only
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
     assert np.abs(ref).max() > 1e-3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_sharded_full_kit_bus_matches_single_device():
+    """Every trig-latch-heavy family (incl. hihat2/tom2) sharded over the
+    mesh, with a replicated bus chain applied after the psum mix."""
+    from libgooey_tpu.effects import lowpass as fx_lowpass
+    from libgooey_tpu.effects import saturation as fx_saturation
+
+    per_family = {"kick": 8, "snare": 8, "hihat2": 8, "tom2": 8, "bass": 8}
+    V = sum(per_family.values())
+    state = {}
+    for kind, vk in per_family.items():
+        state[kind] = eng.FAMILIES[kind].init_state(vk)
+    state["pan"] = SmootherBank.init(np.linspace(0.2, 0.8, V).astype(np.float32))
+    state["gain"] = SmootherBank.init(np.full(V, 1.0 / V, np.float32))
+    state["master"] = SmootherBank.init(np.float32(0.5))
+    state["fx_saturation"] = fx_saturation.init_state(SR)
+    state["fx_lowpass"] = fx_lowpass.init_state(SR)
+
+    rng = np.random.RandomState(7)
+    static = dict(
+        kinds=tuple(per_family.keys()), sample_rate=SR, block_size=B,
+        smooth_coeff=smoothing_coeff(SR), limiter_threshold=1.0,
+        family_static=(("kick", (("feedback_path", False),
+                                 ("max_harmonics", 16))),
+                       ("snare", (("max_harmonics", 16),))),
+        fx_order=("saturation", "lowpass"),
+        fused_banks=False,   # pallas banks do not partition under GSPMD
+    )
+
+    def make_events(i):
+        ev = {"block_start": np.int32(i * B),
+              "fx_saturation": jnp.asarray([0.4, 0.3, 1.0], jnp.float32),
+              "fx_lowpass": jnp.asarray([6000.0, 0.2], jnp.float32)}
+        for kind, vk in per_family.items():
+            if i == 0:
+                ev[kind + "_off"] = rng.randint(0, B, vk).astype(np.int32)
+                ev[kind + "_vel"] = rng.uniform(0.3, 1.0, vk).astype(np.float32)
+            else:
+                ev[kind + "_off"] = np.full(vk, B, np.int32)
+                ev[kind + "_vel"] = np.zeros(vk, np.float32)
+        return ev
+
+    events = [make_events(i) for i in range(3)]
+
+    def run(st, shard=None):
+        outs = []
+        for ev in events:
+            ev = {k: jnp.asarray(v) for k, v in ev.items()}
+            if shard is not None:
+                vspec, rep = shard
+                for k in list(ev):
+                    if ev[k].ndim == 1 and ev[k].shape[0] % 8 == 0:
+                        ev[k] = jax.device_put(ev[k], vspec)
+            st, out, _ = eng._render_all_jit(st, ev, **static)
+            outs.append(np.asarray(out))
+        return np.concatenate(outs, axis=-1)
+
+    ref = run(state)
+
+    mesh = pmesh.make_mesh(8)
+    vspec = NamedSharding(mesh, P(pmesh.VOICE_AXIS))
+    rep = NamedSharding(mesh, P())
+    st_sharded = pmesh.shard_voice_tree(state, mesh)
+    got = run(st_sharded, shard=(vspec, rep))
+
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
+    assert np.abs(ref).max() > 1e-3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_sharded_granulator_sampler_match_single_device():
+    """Grain/voice lanes shard over the mesh; the (replicated) sample
+    arenas are read with sharded per-lane positions; the lane-sum mix is
+    the psum seam."""
+    from libgooey_tpu.instruments import granulator as gran
+    from libgooey_tpu.instruments import sampler as samp
+
+    rng = np.random.RandomState(3)
+    buf = rng.randn(4096).astype(np.float32) * 0.3
+    G = gran.TOTAL  # 80 lanes -> 10 per device
+    gstate = gran.init_state(buf, SR)
+    gstate = gstate._replace(
+        spawn_sample=jnp.zeros(G, jnp.int32),
+        duration=jnp.asarray(rng.uniform(2000, 6000, G).astype(np.float32)),
+        src_pos=jnp.asarray(rng.uniform(0, 2048, G).astype(np.float32)),
+        step=jnp.asarray(rng.uniform(0.5, 2.0, G).astype(np.float32)),
+        shape=jnp.asarray(rng.uniform(0.5, 4.0, G).astype(np.float32)),
+        vel=jnp.asarray(rng.uniform(0.3, 1.0, G).astype(np.float32)),
+    )
+    gev = gran.SpawnEvents.empty()
+
+    @jax.jit
+    def grun(gs):
+        outs = []
+        for i in range(2):
+            gs, out = gran.render_block(
+                gs, gev, jnp.int32(i * B), sample_rate=SR, block_size=B,
+                smooth_coeff=smoothing_coeff(SR), grain_read="gather")
+            outs.append(out)
+        return jnp.concatenate(outs, axis=-1)
+
+    ref = np.asarray(grun(gstate))
+
+    mesh = pmesh.make_mesh(8)
+    vspec = NamedSharding(mesh, P(pmesh.VOICE_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def shard_gran(gs):
+        def place(x):
+            x = jnp.asarray(x)
+            if x.ndim >= 1 and x.shape[0] == G:
+                return jax.device_put(x, vspec)
+            return jax.device_put(x, rep)   # buffer/scalars replicated
+        return jax.tree_util.tree_map(place, gs)
+
+    got = np.asarray(grun(shard_gran(gstate)))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+    assert np.abs(ref).max() > 1e-4
+
+    # --- sampler: 32 stereo voices over an interleaved arena ---------------
+    SVO = samp.VOICES
+    sstate = samp.init_state(4096)
+    arena = rng.randn(4096, 2).astype(np.float32) * 0.3
+    sstate = sstate._replace(
+        arena=jnp.asarray(arena),
+        start_sample=jnp.zeros(SVO, jnp.int32),
+        base=jnp.zeros(SVO, jnp.int32),
+        frames=jnp.full(SVO, 3000.0, jnp.float32),
+        increment=jnp.asarray(rng.uniform(0.5, 2.0, SVO).astype(np.float32)),
+        velocity=jnp.asarray(rng.uniform(0.3, 1.0, SVO).astype(np.float32)),
+    )
+    sev = samp.StartEvents.empty()
+
+    @jax.jit
+    def srun(ss):
+        outs = []
+        for i in range(2):
+            ss, out = samp.render_block(
+                ss, sev, jnp.int32(i * B), sample_rate=SR, block_size=B,
+                voice_read="gather")
+            outs.append(out)
+        return jnp.concatenate(outs, axis=-1)
+
+    sref = np.asarray(srun(sstate))
+
+    def shard_samp(ss):
+        def place(x):
+            x = jnp.asarray(x)
+            if x.ndim >= 1 and x.shape[0] == SVO:
+                return jax.device_put(x, vspec)
+            return jax.device_put(x, rep)
+        return jax.tree_util.tree_map(place, ss)
+
+    sgot = np.asarray(srun(shard_samp(sstate)))
+    np.testing.assert_allclose(sgot, sref, rtol=0, atol=1e-6)
+    assert np.abs(sref).max() > 1e-5
