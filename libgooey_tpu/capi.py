@@ -1037,7 +1037,8 @@ def engine_loop_set_playing(handle, channel, playing):
 
 
 def engine_loop_set_gain(handle, channel, gain):
-    _loop(handle, channel).gain_target = float(gain)
+    # loop_channel.rs:407-409 clamps to [0, MAX_GAIN=2.0]
+    _loop(handle, channel).gain_target = min(max(float(gain), 0.0), 2.0)
 
 
 def engine_loop_set_mute(handle, channel, muted):
@@ -1049,7 +1050,8 @@ def engine_loop_set_solo(handle, channel, soloed):
 
 
 def engine_loop_set_speed(handle, channel, speed):
-    _loop(handle, channel).speed = float(speed)
+    # loop_channel.rs:419-421 clamps to [-MAX_SPEED, MAX_SPEED] = +/-4.0
+    _loop(handle, channel).speed = min(max(float(speed), -4.0), 4.0)
 
 
 def engine_loop_set_start(handle, channel, start):
