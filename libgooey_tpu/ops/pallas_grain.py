@@ -9,31 +9,43 @@ chunk touches one CONTIGUOUS source window, so per (grain, chunk) they
 1. DMA that window HBM->VMEM as one flat ``[WINR*128]`` lane row,
    double-buffered so the next window's transfer hides behind the
    current chunk's compute;
-2. build a TRANSPOSED weight matrix ``Wt[WINR*128, CH]`` (window element
-   k's weight for output sample n) as dense per-window-row tiles from
-   iota arithmetic — rows outside the chunk's tap span are zeroed, not
+2. build a TRANSPOSED selection matrix ``Oh[WINR*128, CH]`` — a single
+   ``j == floor(pos[n])`` ONE-HOT per output sample, from iota
+   arithmetic — rows outside the chunk's tap span are zeroed, not
    built (for |step| <= 2 that skips ~2/3 of the rows);
-3. evaluate the whole chunk as ONE MXU pass ``win[1, K] @ Wt[K, CH]``.
+3. gather all four cubic taps with ONE MXU pass: the LHS stacks the
+   window's (bf16-hi, bf16-lo) split under lane-rolls of +1/+2/+3
+   (``pltpu.roll``), so ``lhs[8, K] @ Oh[K, CH]`` returns tap streams
+   ``t_k[n] = win[rel[n]+k]`` and the Catmull-Rom combine runs on
+   [1, CH] vectors afterwards.
 
-A first revision issued one [128, 128] matvec per active window row; on
-a v5e the ~150 ns per-matmul dispatch latency dominated everything
-(48k matvecs = 7.3 ms/block at 4000 grains).  One wide M=1 matmul per
-chunk cuts the dispatch count 6x, and the flat-row window layout is what
-makes it legal: the contraction dim must be the LHS lane axis, so the
-window is DMA'd as lanes and the weights live transposed.
+Two earlier revisions, kept for the record: (a) one [128, 128] matvec
+per active window row — the ~150 ns per-matmul dispatch latency
+dominated (48k matvecs = 7.3 ms/block at 4000 grains); (b) a DENSE
+cubic weight band (weights folded into the matrix, bf16x3 via
+``_dot3``) — the [128, CH] per-row weight construction on the VPU
+(~6-8 ops/element over the whole tap band) was ~70 % of kernel time,
+and the hi/lo x3 product needed 2 MXU dispatches per chunk.  The
+one-hot form costs ~2 ops/element over a NARROWER band (taps ride the
+rolled LHS rows, not extra band rows), runs ONE MXU dispatch per
+chunk, and moved config-5 (4,128 lanes) from 7.8k to >=15k aggregate
+RTF.
 
 Positions are clipped to the buffer exactly like the XLA path; the
 buffer is edge-padded by (1, 2) so the 4-tap stencil never leaves the
 window.  Valid for ``|step| <= MAX_STEP`` (~7); the wrapper clips steps
 to that range — the reference's pitch map tops out at 4x.
 
-Numerics: the kernel evaluates the interpolation in basis form
-(c0*p0 + c1*p1 + c2*p2 + c3*p3) via a manual bf16x3 MXU matmul (see
-``_dot3``) while the gather path uses f32 Horner form; measured max
-divergence ~3e-5 absolute on unity-scale noise (~-90 dBFS) — dominated
-by the dropped bf16 lo*lo product, with eps(pos)*slope position
-rounding below it.  (Round-1 note: the default MXU precision rounds
-operands to bf16, which cost -39 dBFS; HIGHEST doubles kernel time.)
+Numerics: every LHS value is bf16-representable by construction (hi =
+bf16(win), lo = bf16(win - hi)) and the one-hot entries are exactly
+0/1, so the MXU's default-precision operand rounding is LOSSLESS and
+the TPU dot bit-matches the interpret-mode f32 dot.  The only error vs
+the XLA gather path is the dropped sub-lo residual of the hi+lo split
+(~2^-18 relative on the buffer values, ~-100 dBFS); the Catmull-Rom
+combine reuses the gather path's exact Horner op order on the
+recovered taps.  (Round-1 note: default MXU precision on RAW f32
+operands costs -39 dBFS; HIGHEST costs 6 passes — the split sidesteps
+both.)
 """
 
 from __future__ import annotations
@@ -51,31 +63,14 @@ TG = 8                    # grains per grid program
 MAX_STEP = float((15 * 128 - 4 - 127) / (CHUNK - 1))  # largest tier, ~7.03
 
 
-def _cubic_w(d, c0, c1, c2, c3):
-    """Dense tap-weight tile: d == j selects cj, else 0 (binary tree)."""
-    lo = jnp.where(d == 0, c0, c1)
-    hi = jnp.where(d == 2, c2, c3)
-    return jnp.where((d >= 0) & (d <= 3), jnp.where(d <= 1, lo, hi), 0.0)
-
-
-def _dot3(a, b):
-    """Manual bf16x3 matmul: Mosaic's default MXU precision rounds both
-    operands to bf16 (-39 dBFS absolute on unity audio), HIGHEST costs 6
-    passes, and Precision.HIGH is unimplemented in Mosaic — so split each
-    operand into bf16 (hi, lo) halves and take the three significant
-    products (error ~2^-22 relative, ~-100 dBFS; measured 1.4e-5 max abs
-    on the 4k-grain bench signal).
-
-    The ah@bh and al@bh products share the RHS, so they run as ONE M=2
-    pass (rows stacked) — 2 MXU K-sweeps instead of 3 for the same
-    numerics (each product is still a separate f32 accumulation)."""
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-    dp = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
-    hl = dp(jnp.concatenate([ah, al], axis=0), bh)      # [2, CH]
-    return hl[0:1] + (dp(ah, bl) + hl[1:2])             # original sum order
+def _split_hi_lo(wf):
+    """bf16 (hi, lo) split of an f32 row, RETURNED AS f32: both halves are
+    exactly bf16-representable, so the MXU's default-precision operand
+    rounding is lossless and TPU/interpret paths agree bit-for-bit.  The
+    dropped residual (win - hi - lo) is ~2^-18 relative."""
+    hi = wf.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (wf - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, lo
 
 
 #: per-grain window tiers (rows of 128): the smallest R with
@@ -86,14 +81,15 @@ def _dot3(a, b):
 _TIERS_R = (3, 5, 6, 15)
 
 
-def _kernel(p0_ref, step_ref, buf_ref, out_ref, win_ref, wt_ref, sem,
+def _kernel(p0_ref, step_ref, buf_ref, out_ref, win_ref, oh_ref, lhs_ref, sem,
             *, B, NR, L, CH):
     """Tiered double-buffered windows: each (grain, chunk) DMAs the
     smallest row span covering its tap band.  win_ref: [2, RMAX, 128];
-    wt_ref: [RMAX*128, CH]; buf_ref: [NR, 128] HBM rows.  (A variant
-    that built the bf16 (hi, lo) weight planes directly measured SLOWER
-    — bf16 stores retile (8,128)->(16,128) and cost more than the f32
-    plane's cast round-trip saves.)"""
+    oh_ref: [RMAX*128, CH] one-hot; lhs_ref: [8, RMAX*128] rolled hi/lo
+    planes; buf_ref: [NR, 128] HBM rows.  (A variant that stored the
+    LHS planes in bf16 directly measured SLOWER in the dense-band
+    revision — bf16 stores retile (8,128)->(16,128) and cost more than
+    the f32 plane's cast round-trip saves.)"""
     LF = np.float32(L - 1)
     RMAX = _TIERS_R[-1]
     ncols = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1).astype(jnp.float32)
@@ -149,12 +145,6 @@ def _kernel(p0_ref, step_ref, buf_ref, out_ref, win_ref, wt_ref, sem,
         pos = jnp.clip(p0 + stp * (n0 + ncols), 0.0, LF)   # [1, CH]
         i1f = jnp.floor(pos)
         f = pos - i1f
-        f2 = f * f
-        f3 = f2 * f
-        c0 = -0.5 * f3 + f2 - 0.5 * f
-        c1 = 1.5 * f3 - 2.5 * f2 + 1.0
-        c2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
-        c3 = 0.5 * f3 - 0.5 * f2
 
         tier = tier_of(t)
         for i, R in enumerate(_TIERS_R):
@@ -168,25 +158,47 @@ def _kernel(p0_ref, step_ref, buf_ref, out_ref, win_ref, wt_ref, sem,
                 rel_a = jnp.floor(a).astype(jnp.int32) - w0r * 128
                 rel_b = jnp.floor(b).astype(jnp.int32) - w0r * 128
                 rmin = jnp.minimum(rel_a, rel_b)
-                rmax = jnp.maximum(rel_a, rel_b) + 3
+                # the band only needs the d == 0 row (taps +1..+3 ride
+                # the rolled LHS planes), so no +3 here
+                rmax = jnp.maximum(rel_a, rel_b)
                 for r in range(R):
                     overlap = (r * 128 <= rmax) & ((r + 1) * 128 > rmin)
 
                     @pl.when(overlap)
                     def _(r=r):
                         d = (r * 128 + krow) - rel          # [128, CH]
-                        wt_ref[r * 128:(r + 1) * 128, :] = _cubic_w(
-                            d, c0, c1, c2, c3)
+                        oh_ref[r * 128:(r + 1) * 128, :] = (
+                            d == 0).astype(jnp.float32)
 
                     @pl.when(jnp.logical_not(overlap))
                     def _(r=r):
-                        wt_ref[r * 128:(r + 1) * 128, :] = jnp.zeros(
+                        oh_ref[r * 128:(r + 1) * 128, :] = jnp.zeros(
                             (128, CH), jnp.float32)
 
                 dma(k, slot, R).wait()
-                win = win_ref[slot, 0:R].reshape(1, R * 128)
-                out_ref[pl.ds(t, 1), pl.ds(c * CH, CH)] = _dot3(
-                    win, wt_ref[0:R * 128, :])
+                K = R * 128
+                wf = win_ref[slot, 0:R].reshape(1, K)
+                hi, lo = _split_hi_lo(wf)
+                lhs_ref[0:1, 0:K] = hi
+                lhs_ref[4:5, 0:K] = lo
+                for kk in (1, 2, 3):
+                    # pltpu.roll(x, K-kk) == jnp.roll(x, -kk): lane j
+                    # holds win[j+kk]; rel <= K-4 (tier margin), so the
+                    # wrapped top lanes are never selected
+                    lhs_ref[kk:kk + 1, 0:K] = pltpu.roll(hi, K - kk, 1)
+                    lhs_ref[4 + kk:5 + kk, 0:K] = pltpu.roll(lo, K - kk, 1)
+                g = jnp.dot(lhs_ref[0:8, 0:K], oh_ref[0:K, :],
+                            preferred_element_type=jnp.float32)   # [8, CH]
+                t0 = g[0:1] + g[4:5]
+                t1 = g[1:2] + g[5:6]
+                t2 = g[2:3] + g[6:7]
+                t3 = g[3:4] + g[7:8]
+                # gather path's exact Horner combine (see gather_read_cubic)
+                a0 = -0.5 * t0 + 1.5 * t1 - 1.5 * t2 + 0.5 * t3
+                a1 = t0 - 2.5 * t1 + 2.0 * t2 - 0.5 * t3
+                a2 = -0.5 * t0 + 0.5 * t2
+                out_ref[pl.ds(t, 1), pl.ds(c * CH, CH)] = (
+                    (a0 * f + a1) * f + a2) * f + t1
 
         return 0
 
@@ -234,6 +246,7 @@ def grain_read_cubic(buffer, p0, step, *, B: int, interpret=None):
         scratch_shapes=[
             pltpu.VMEM((2, RMAX, 128), jnp.float32),
             pltpu.VMEM((RMAX * 128, CH), jnp.float32),
+            pltpu.VMEM((8, RMAX * 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -268,11 +281,13 @@ MAX_INC = 4.0
 
 
 def _kernel_lin(p0_ref, step_ref, hi_ref, base_ref, buf_ref, out_ref,
-                win_ref, wt_ref, sem, *, B, NR, CH, WR):
+                win_ref, wt_ref, lhs_ref, sem, *, B, NR, CH, WR):
     """Each chunk emits BOTH channels from one window: the output tile is
     [1, 2*CH] with L samples in lanes 0:CH and R in CH:2CH (R taps sit one
     flat index above L in the interleaved arena), so stereo costs one DMA
-    + one dot instead of two."""
+    + one dot instead of two.  Same one-hot + rolled-LHS scheme as
+    ``_kernel``: the interleaved second tap sits at flat +2, so the LHS
+    is [hi, hi<<2, lo, lo<<2] and ONE M=4 dot returns both taps."""
     KW = WR * 128
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * CH), 1)
     is_r = (lane2 >= CH).astype(jnp.int32)                  # channel offset
@@ -327,7 +342,7 @@ def _kernel_lin(p0_ref, step_ref, hi_ref, base_ref, buf_ref, out_ref,
         rel_a = 2 * jnp.floor(a).astype(jnp.int32) + flat_base - w0r * 128
         rel_b = 2 * jnp.floor(b).astype(jnp.int32) + flat_base - w0r * 128
         rmin = jnp.minimum(rel_a, rel_b)
-        rmax = jnp.maximum(rel_a, rel_b) + 3    # +1 R offset, +2 far tap
+        rmax = jnp.maximum(rel_a, rel_b) + 1    # +1 R-channel offset only
 
         for r in range(WR):
             overlap = (r * 128 <= rmax) & ((r + 1) * 128 > rmin)
@@ -335,9 +350,7 @@ def _kernel_lin(p0_ref, step_ref, hi_ref, base_ref, buf_ref, out_ref,
             @pl.when(overlap)
             def _(r=r):
                 d = (r * 128 + krow) - rel                 # [128, 2CH]
-                wt_ref[r * 128:(r + 1) * 128, :] = (
-                    jnp.where(d == 0, 1.0 - f, 0.0) + jnp.where(d == 2, f, 0.0)
-                )
+                wt_ref[r * 128:(r + 1) * 128, :] = (d == 0).astype(jnp.float32)
 
             @pl.when(jnp.logical_not(overlap))
             def _(r=r):
@@ -346,7 +359,18 @@ def _kernel_lin(p0_ref, step_ref, hi_ref, base_ref, buf_ref, out_ref,
 
         dma(k, slot).wait()
         win = win_ref[slot].reshape(1, KW)  # [WR, 128] rows -> one lane row
-        out_ref[pl.ds(t, 1), pl.ds(c * 2 * CH, 2 * CH)] = _dot3(win, wt_ref[...])
+        whi, wlo = _split_hi_lo(win)
+        lhs_ref[0:1, :] = whi
+        lhs_ref[2:3, :] = wlo
+        # second tap = frame+1 = flat +2 in the interleaved arena
+        lhs_ref[1:2, :] = pltpu.roll(whi, KW - 2, 1)
+        lhs_ref[3:4, :] = pltpu.roll(wlo, KW - 2, 1)
+        g = jnp.dot(lhs_ref[...], wt_ref[...],
+                    preferred_element_type=jnp.float32)     # [4, 2CH]
+        t0 = g[0:1] + g[2:3]
+        t1 = g[1:2] + g[3:4]
+        # gather path's exact combine: f0 + (f1 - f0) * frac
+        out_ref[pl.ds(t, 1), pl.ds(c * 2 * CH, 2 * CH)] = t0 + (t1 - t0) * f
         return 0
 
     jax.lax.fori_loop(0, NK, body, 0)
@@ -407,6 +431,7 @@ def sampler_read_linear(arena, base, end_frames, age0, inc, *, B: int,
             scratch_shapes=[
                 pltpu.VMEM((2, wr, 128), jnp.float32),
                 pltpu.VMEM((wr * 128, 2 * CH), jnp.float32),
+                pltpu.VMEM((4, wr * 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,

@@ -205,16 +205,59 @@ def smoke_grain_read():
     from libgooey_tpu.ops import pallas_grain
 
     L, G = 4096, 64
-    buf = jnp.asarray(np.random.RandomState(1).randn(L).astype(np.float32))
+    rng = np.random.RandomState(1)
+    buf = jnp.asarray(rng.randn(L).astype(np.float32))
     p0 = jnp.linspace(0.0, L - 8.0, G).astype(jnp.float32)
-    step = jnp.full((G,), 0.731, jnp.float32)
-    y = jax.block_until_ready(
+    # cover every window tier incl. reverse reads
+    step = jnp.asarray(
+        rng.uniform(-2.0, 4.0, G).astype(np.float32))
+    y, ref = jax.block_until_ready(
         jax.jit(
-            lambda b, p, s: pallas_grain.grain_read_cubic(b, p, s, B=B)
+            lambda b, p, s: (pallas_grain.grain_read_cubic(b, p, s, B=B),
+                             pallas_grain.gather_read_cubic(b, p, s, B=B))
         )(buf, p0, step)
     )
-    assert np.isfinite(np.asarray(y)).all()
-    _ok("grain_read_cubic", t0)
+    # Error budget vs the gather path on HARDWARE: the kernel's chunked
+    # position math ((p0 + n0) + j vs p0 + n) can land 1-2 ulp(pos) away
+    # after Mosaic/XLA fuse differently, which moves the interpolation
+    # point by up to ~2*ulp(max_pos) — an error of slope * delta, NOT a
+    # wrong-tap error (tap selection is exact; see _probe history).  For
+    # a white randn buffer slope ~= |adjacent delta| <= ~8.
+    max_pos = float(L)
+    budget = 1e-4 + 8.0 * 2.0 * max_pos * 2.0 ** -23
+    err = float(np.abs(np.asarray(y) - np.asarray(ref)).max())
+    assert err < budget, (err, budget)
+    _ok(f"grain_read_cubic (err {err:.1e})", t0)
+
+    # sampler stereo linear reads vs the XLA gather path, on hardware.
+    # A SMOOTH arena makes tap-selection bugs visible above the pos-ulp
+    # noise: a wrong tap errs by the adjacent delta (~2e-2 here) while
+    # pos-ulp ambiguity errs by slope * 2ulp(pos) (~1e-6).
+    F, V = 2048, 32
+    i2 = np.arange(F, dtype=np.float32)
+    smooth = np.stack([np.sin(0.02 * i2), np.cos(0.017 * i2)], 1) * 2.0
+    arena = jnp.asarray(smooth.astype(np.float32))
+    base = jnp.zeros((V,), jnp.int32)
+    frames = jnp.full((V,), float(F), jnp.float32)
+    age0 = jnp.linspace(0.0, 64.0, V).astype(jnp.float32)
+    inc = jnp.asarray(rng.uniform(0.25, 2.2, V).astype(np.float32))
+
+    def both(a, b_, fr, g0, ic):
+        got = pallas_grain.sampler_read_linear(a, b_, fr, g0, ic, B=B)
+        n = jnp.arange(B, dtype=jnp.float32)
+        pos = jnp.clip((g0[:, None] + n) * ic[:, None], 0.0, fr[:, None] - 1.0)
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, (fr[:, None] - 1.0).astype(jnp.int32))
+        frac = (pos - jnp.floor(pos))[..., None]
+        f0 = a[b_[:, None] + i0]
+        f1 = a[b_[:, None] + i1]
+        return got, f0 + (f1 - f0) * frac
+
+    ys, refs = jax.block_until_ready(
+        jax.jit(both)(arena, base, frames, age0, inc))
+    errs = float(np.abs(np.asarray(ys) - np.asarray(refs)).max())
+    assert errs < 1e-4, errs
+    _ok(f"sampler_read_linear (err {errs:.1e})", t0)
 
 
 def smoke_engine_render():
