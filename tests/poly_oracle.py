@@ -3,7 +3,7 @@ semantics as realized by libgooey_tpu.instruments.poly.render_block)."""
 
 import numpy as np
 
-from bass_oracle import poly_blep
+from bass_oracle import ExactPhase, poly_blep
 
 F = np.float32
 TWO_PI = F(2.0 * np.pi)
@@ -45,7 +45,7 @@ def adsr_amp(elapsed, a, d, s, release_elapsed, release):
 class PolyVoiceOracle:
     """One lane; params settled (targets == current) for clarity."""
 
-    def __init__(self, config: dict, sample_rate=44100.0):
+    def __init__(self, config: dict, sample_rate=44100.0, block_size=512):
         self.sr = sample_rate
         self.p = {k: F(min(max(config.get(k, 0.5), 0.0), 1.0))
                   for k in PARAM_NAMES}
@@ -56,6 +56,8 @@ class PolyVoiceOracle:
         self.freq = F(440.0)
         self.amp = (0.01, 0.3, 0.7, 0.5)
         self.filt = (0.01, 0.3, 0.7, 0.5)
+        self._osc_a = ExactPhase(block_size)
+        self._osc_b = ExactPhase(block_size)
         self.ph_a = F(0.0)
         self.ph_b = F(0.0)
         self.ic1 = F(0.0)
@@ -104,11 +106,12 @@ class PolyVoiceOracle:
         detune = F(1.0 + p["detune_amount"] * 0.0175)
         inc_a = F(self.freq / self.sr)
         inc_b = F(self.freq * detune / self.sr)
-        # f64 phase accumulation — reference-true (polyblep.rs keeps f64
-        # phase); the bank's split-increment cumsum tracks the exact
-        # recurrence to ~1e-7 cycles
-        self.ph_a = (float(inc_a) + (0.0 if reset else self.ph_a)) % 1.0
-        self.ph_b = (float(inc_b) + (0.0 if reset else self.ph_b)) % 1.0
+        # exact split-increment mod-1 phase, mirroring the bank's
+        # ops.scan.phase_cumsum_reset (polyblep.rs keeps f64 phase; both
+        # track the exact recurrence to ~1e-7 cycles, and sharing the
+        # bank's arithmetic makes the comparison pointwise)
+        self.ph_a = self._osc_a.tick(inc_a, reset)
+        self.ph_b = self._osc_b.tick(inc_b, reset)
         self.phase_trace.append((self.ph_a, self.ph_b, inc_a, inc_b))
         shape = p["osc_shape"]
 

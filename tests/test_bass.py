@@ -1,13 +1,11 @@
-"""Bass bank vs per-sample oracle.
+"""Bass bank vs per-sample oracle — POINTWISE.
 
-Comparison policy: away from saw/square wrap points the bank must match
-the scalar oracle to <2e-4 (≈ −80 dBFS at full scale).  Inside a polyBLEP
-correction window the correction slope is ~2/dt (≈10^3), which amplifies
-the f32 tree-vs-serial phase-accumulation difference (~1e-6) into ~1e-3
-sample spikes — a *comparison* artifact, not a DSP defect — so samples
-within 2.5·inc of a wrap (and a short filter-memory tail after them) are
-held to a looser 2e-2 bound instead.  The sine-only path, which has no
-such window, must match everywhere.
+The oracle replays the bank's exact split-increment mod-1 phase
+(bass_oracle.ExactPhase mirrors ops.scan.phase_cumsum_reset), so its wrap
+samples land on the same side as the bank's and the old ±2.5-sample
+polyBLEP exclusion windows are gone: every sample must match to <2e-4
+(≈ −80 dBFS at full scale), including inside correction windows
+(VERDICT r3 #4).
 """
 
 import dataclasses
@@ -21,7 +19,6 @@ from libgooey_tpu.instruments import bass as bass_mod
 SR = 44100.0
 B = 512
 COEFF = float(np.asarray(smoothing_coeff(SR)))
-RING = 128  # resonant-filter ring tail masked after a wrap-window sample
 
 
 def render_bank(config, n_samples, trigger_at, velocity, param_changes=None):
@@ -64,25 +61,9 @@ def run_oracle(config, n_samples, trigger_at, velocity, param_changes=None):
     return out, o
 
 
-def blep_window_mask(oracle, n_samples, ring=RING):
-    """Samples inside a wrap/half-wrap correction window, + ring tail."""
-    mask = np.zeros(n_samples, bool)
-    for i, (ph, dph, inc, dinc) in enumerate(oracle.phase_trace[:n_samples]):
-        near = (min(ph, 1.0 - ph) < 2.5 * inc
-                or abs(ph - 0.5) < 2.5 * inc
-                or min(dph, 1.0 - dph) < 2.5 * dinc
-                or abs(dph - 0.5) < 2.5 * dinc)
-        if near:
-            mask[i:i + ring] = True
-    return mask
-
-
-def assert_matches(got, want, oracle, tight=2e-4, loose=2e-2):
-    mask = blep_window_mask(oracle, len(got))
+def assert_matches(got, want, oracle, tight=2e-4):
     d = np.abs(got - want)
-    assert mask.mean() < 0.6, "mask covers too much to be meaningful"
-    assert d[~mask].max() < tight, d[~mask].max()
-    assert d.max() < loose, d.max()
+    assert d.max() < tight, d.max()
 
 
 def test_bass_matches_oracle_acid():

@@ -181,7 +181,8 @@ def test_sampler_pallas_read_matches_gather():
             acc.append(np.asarray(y))
         outs[mode] = np.concatenate(acc, axis=-1)
     err = np.abs(outs["gather"] - outs["pallas"]).max()
-    # bf16x3 matmul bound (pallas_grain._dot3): ~2^-17 relative; well
-    # under the -80 dBFS (1e-4) fidelity bar
+    # hi/lo split residual bound (pallas_grain._split_hi_lo: exact one-hot
+    # tap selection, ~2^-18 relative split residual); well under the
+    # -80 dBFS (1e-4) fidelity bar
     assert err < 4e-5, err
     assert np.abs(outs["gather"]).max() > 0.1

@@ -14,7 +14,6 @@ def kern(w_ref, idx_ref, o_ref):
     lo = (wf - hi).astype(jnp.bfloat16).astype(jnp.float32)
     rel = idx_ref[...]
     krow = jax.lax.broadcasted_iota(jnp.int32, (128, N), 0)
-    oh = jnp.zeros((K, N), jnp.float32)
     rows = []
     for r in range(K // 128):
         d = (r * 128 + krow) - rel
