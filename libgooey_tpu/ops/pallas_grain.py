@@ -60,7 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 256               # output samples per window chunk (<= engine block)
 TG = 8                    # grains per grid program
-MAX_STEP = float((15 * 128 - 4 - 127) / (CHUNK - 1))  # largest tier, ~7.03
+MAX_STEP = float((15 * 128 - 5 - 127) / (CHUNK - 1))  # largest tier, ~7.02
 
 
 def _split_hi_lo(wf):
@@ -74,10 +74,15 @@ def _split_hi_lo(wf):
 
 
 #: per-grain window tiers (rows of 128): the smallest R with
-#: R*128 - 4 - 127 >= (CH-1)|step| is picked per grain (step is constant
+#: R*128 - 5 - 127 >= (CH-1)|step| is picked per grain (step is constant
 #: over the block), so a |step|<=0.99 grain builds/dots 384 lanes instead
 #: of a worst-case 1920.  (1-D HBM slices must align to 1024 elements, so
-#: windows stay row-granular: up to 127 lanes of alignment waste.)
+#: windows stay row-granular: up to 127 lanes of alignment waste.)  The
+#: -5 (one lane beyond the 4-tap stencil) buys ulp slack: the roll-wrap
+#: guarantee rel <= K-4 holds exactly in exact arithmetic at -4, but fp
+#: rounding of a chunk-endpoint position at a tier boundary could push
+#: rel one lane higher, where the +3 rolled plane would wrap lane K-3
+#: to win[0] and select a wrong tap (ADVICE r3).
 _TIERS_R = (3, 5, 6, 15)
 
 
@@ -102,7 +107,7 @@ def _kernel(p0_ref, step_ref, buf_ref, out_ref, win_ref, oh_ref, lhs_ref, sem,
         tier = len(_TIERS_R) - 1
         for i in range(len(_TIERS_R) - 2, -1, -1):
             tier = jnp.where(
-                sab <= np.float32((_TIERS_R[i] * 128 - 4 - 127) / (CH - 1)),
+                sab <= np.float32((_TIERS_R[i] * 128 - 5 - 127) / (CH - 1)),
                 i, tier)
         return tier
 
@@ -183,8 +188,9 @@ def _kernel(p0_ref, step_ref, buf_ref, out_ref, win_ref, oh_ref, lhs_ref, sem,
                 lhs_ref[4:5, 0:K] = lo
                 for kk in (1, 2, 3):
                     # pltpu.roll(x, K-kk) == jnp.roll(x, -kk): lane j
-                    # holds win[j+kk]; rel <= K-4 (tier margin), so the
-                    # wrapped top lanes are never selected
+                    # holds win[j+kk]; rel <= K-5 (tier margin incl.
+                    # one lane of ulp slack), so the wrapped top lanes
+                    # are never selected
                     lhs_ref[kk:kk + 1, 0:K] = pltpu.roll(hi, K - kk, 1)
                     lhs_ref[4 + kk:5 + kk, 0:K] = pltpu.roll(lo, K - kk, 1)
                 g = jnp.dot(lhs_ref[0:8, 0:K], oh_ref[0:K, :],
@@ -281,13 +287,14 @@ MAX_INC = 4.0
 
 
 def _kernel_lin(p0_ref, step_ref, hi_ref, base_ref, buf_ref, out_ref,
-                win_ref, wt_ref, lhs_ref, sem, *, B, NR, CH, WR):
+                win_ref, oh_ref, lhs_ref, sem, *, B, NR, CH, WR):
     """Each chunk emits BOTH channels from one window: the output tile is
     [1, 2*CH] with L samples in lanes 0:CH and R in CH:2CH (R taps sit one
     flat index above L in the interleaved arena), so stereo costs one DMA
     + one dot instead of two.  Same one-hot + rolled-LHS scheme as
-    ``_kernel``: the interleaved second tap sits at flat +2, so the LHS
-    is [hi, hi<<2, lo, lo<<2] and ONE M=4 dot returns both taps."""
+    ``_kernel``; the interleaved second tap sits at flat +2, so the LHS
+    rows are [row0=hi, row1=hi rolled +2, row2=lo, row3=lo rolled +2]
+    and ONE M=4 dot returns both taps."""
     KW = WR * 128
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * CH), 1)
     is_r = (lane2 >= CH).astype(jnp.int32)                  # channel offset
@@ -350,11 +357,11 @@ def _kernel_lin(p0_ref, step_ref, hi_ref, base_ref, buf_ref, out_ref,
             @pl.when(overlap)
             def _(r=r):
                 d = (r * 128 + krow) - rel                 # [128, 2CH]
-                wt_ref[r * 128:(r + 1) * 128, :] = (d == 0).astype(jnp.float32)
+                oh_ref[r * 128:(r + 1) * 128, :] = (d == 0).astype(jnp.float32)
 
             @pl.when(jnp.logical_not(overlap))
             def _(r=r):
-                wt_ref[r * 128:(r + 1) * 128, :] = jnp.zeros((128, 2 * CH),
+                oh_ref[r * 128:(r + 1) * 128, :] = jnp.zeros((128, 2 * CH),
                                                              jnp.float32)
 
         dma(k, slot).wait()
@@ -365,7 +372,7 @@ def _kernel_lin(p0_ref, step_ref, hi_ref, base_ref, buf_ref, out_ref,
         # second tap = frame+1 = flat +2 in the interleaved arena
         lhs_ref[1:2, :] = pltpu.roll(whi, KW - 2, 1)
         lhs_ref[3:4, :] = pltpu.roll(wlo, KW - 2, 1)
-        g = jnp.dot(lhs_ref[...], wt_ref[...],
+        g = jnp.dot(lhs_ref[...], oh_ref[...],
                     preferred_element_type=jnp.float32)     # [4, 2CH]
         t0 = g[0:1] + g[2:3]
         t1 = g[1:2] + g[3:4]
