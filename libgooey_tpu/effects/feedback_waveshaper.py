@@ -188,13 +188,18 @@ def process_block(
         )
         new_ovs2, dc_x1, dc_y1, _ = pallas_fx.unpack_ovs4_dc(nst, state.ovs)
         filt_last = nst[0:2, pallas_fx._OUT_IDX["gain"]]
+        # exact bypass freeze of the oversampler history at block
+        # granularity (feedback_waveshaper.rs early return; effects/freeze.py)
+        from libgooey_tpu.effects import freeze as frz
+
+        held = jnp.all(byp > 0.5, axis=-1)
         return FBShaperState(
             last_out=filt_last,
             filter_state=filt_last,
             dc_x1=dc_x1,
             dc_y1=dc_y1,
             env=env_last,
-            ovs=new_ovs2,
+            ovs=frz.hold_where(held, state.ovs, new_ovs2),
         ), out
 
     drive, feedback, fbc, mix, x = jnp.broadcast_arrays(
@@ -226,6 +231,10 @@ def process_block(
             dc, nst = pallas_fx.fbws_bank(
                 drive * x, comp_signed, pallas_fx.pack_fbws_bank(state))
             new_ovs, dc_x1, dc_y1 = pallas_fx.unpack_fbws_bank(nst, state)
+            from libgooey_tpu.effects import freeze as frz
+
+            new_ovs = frz.hold_where(
+                jnp.all(bypass, axis=-1), state.ovs, new_ovs)
             # feedback-filter state: pure bookkeeping on this path (the
             # loop gain is 0) — one scan outside keeps the kernel inside
             # the VMEM budget
@@ -261,13 +270,15 @@ def process_block(
         )
         filt = jnp.where(jnp.abs(filt) < 1e-15, 0.0, filt)
         out = jnp.where(bypass, x, x * (1.0 - mix) + dc * mix)
+        from libgooey_tpu.effects import freeze as frz
+
         new_state = FBShaperState(
             last_out=filt[..., -1],
             filter_state=filt[..., -1],
             dc_x1=x1[..., -1],
             dc_y1=y1[..., -1],
             env=env_state,
-            ovs=new_ovs,
+            ovs=frz.hold_where(jnp.all(bypass, axis=-1), state.ovs, new_ovs),
         )
         return new_state, out
 

@@ -76,6 +76,13 @@ def process_block(state: SaturationState, x, targets, *, sample_rate: float,
     bank = state.smooth.with_targets(
         jnp.broadcast_to(jnp.asarray(targets, jnp.float32), (2, 3))
     )
+    # exact bypass freeze at block granularity (saturation.rs:230-232 holds
+    # the oversampler history; see effects/freeze.py)
+    from libgooey_tpu.effects import freeze as frz
+
+    held = frz.traj_all_below(
+        bank.current[:, P_MIX], bank.target[:, P_MIX],
+        jnp.float32(1.0 - coeff), B, 1e-4)
 
     if impl == "pallas" and os_mode == 4:
         # one fused kernel: smoothers + 4x halfband chains + shaper + DC + mix
@@ -88,7 +95,7 @@ def process_block(state: SaturationState, x, targets, *, sample_rate: float,
         new_ovs, dc_x1, dc_y1, sm_cur = pallas_fx.unpack_ovs4_dc(nst, state.ovs)
         return SaturationState(
             dc=DCBlockState(x1=dc_x1, y1=dc_y1),
-            ovs=new_ovs,
+            ovs=frz.hold_where(held, state.ovs, new_ovs),
             smooth=SmootherBank(current=sm_cur, target=bank.target),
         ), out
 
@@ -126,7 +133,7 @@ def process_block(state: SaturationState, x, targets, *, sample_rate: float,
 
     new_state = SaturationState(
         dc=dc_state,
-        ovs=new_ovs,
+        ovs=frz.hold_where(held, state.ovs, new_ovs),
         smooth=SmootherBank(
             current=jnp.stack(
                 [(drive[:, -1] - 1.0) / 7.0, bias[:, -1] / 0.4, mix[:, -1]], axis=-1

@@ -52,6 +52,19 @@ def process_block(state: TiltState, x, targets, *, sample_rate: float,
     bank = state.smooth.with_targets(
         jnp.broadcast_to(jnp.asarray(targets, jnp.float32), (2, 2))
     )
+    # exact passthrough freeze at block granularity (tilt_filter.rs:114-115
+    # holds the SVF; see effects/freeze.py).  Passthrough <=> mix = |2k-1| <
+    # 0.001; the knob trajectory is monotone, so the whole block sits inside
+    # the center window iff its first and last samples do.
+    from libgooey_tpu.effects import freeze as frz
+
+    q = jnp.float32(1.0 - coeff)
+    _delta = bank.current[:, P_CUTOFF] - bank.target[:, P_CUTOFF]
+    _d1, _dB = _delta * q, _delta * q ** jnp.float32(B)
+    _k_first = bank.target[:, P_CUTOFF] + jnp.where(jnp.abs(_d1) < 1e-4, 0.0, _d1)
+    _k_last = bank.target[:, P_CUTOFF] + jnp.where(jnp.abs(_dB) < 1e-4, 0.0, _dB)
+    held = (jnp.abs(2.0 * _k_first - 1.0) < 0.001) & (
+        jnp.abs(2.0 * _k_last - 1.0) < 0.001)
 
     if impl == "pallas":
         from libgooey_tpu.ops import pallas_fx
@@ -65,7 +78,9 @@ def process_block(state: TiltState, x, targets, *, sample_rate: float,
             coeff=coeff, sample_rate=sample_rate,
         )
         return TiltState(
-            svf=filters.SVFState(ic1=nst[:, 0], ic2=nst[:, 1]),
+            svf=frz.hold_where(
+                held, state.svf,
+                filters.SVFState(ic1=nst[:, 0], ic2=nst[:, 1])),
             smooth=SmootherBank(current=nst[:, 2:4], target=bank.target),
         ), out
     # op-for-op identical to the Pallas kernel's _traj / freq maps so the
@@ -105,11 +120,11 @@ def process_block(state: TiltState, x, targets, *, sample_rate: float,
     out = jnp.where(jnp.isfinite(out), out, 0.0)
     out = jnp.where(jnp.abs(out) < 1e-15, 0.0, out)
 
-    # NOTE: the reference freezes SVF state in passthrough; with mix < 0.001
-    # the knob sits exactly at center where the frozen/running distinction is
-    # inaudible — we keep the filter running for a branch-free block.
+    # the reference freezes SVF state in passthrough; all-passthrough blocks
+    # hold it exactly (``held`` above), so only center-crossing boundary
+    # blocks deviate — pinned by tests/test_state_freeze.py
     new_state = TiltState(
-        svf=svf_state,
+        svf=frz.hold_where(held, state.svf, svf_state),
         smooth=SmootherBank(
             current=jnp.stack([knob[:, -1], res[:, -1]], axis=-1), target=bank.target
         ),

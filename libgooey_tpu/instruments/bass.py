@@ -291,8 +291,13 @@ def render_block(
     amp_env = amplitude(ADSR(0.002, ad, 0.0, ad * 0.1, 1.0, ac), elapsed)
     out = filtered * amp_env * jnp.sqrt(vel) * ptraj("volume")
 
+    # exact bypass freeze at block granularity (bass.rs:846 ticks the
+    # shaper only when od > 0.001; effects/freeze.py)
+    from libgooey_tpu.effects import freeze as frz
+
     new_state = BassState(
-        ovs=os_box["state"],
+        ovs=frz.hold_where(jnp.all(od <= 0.001, axis=-1),
+                           state.ovs, os_box["state"]),
         params=vb.advance_bank(),
         trig_sample=vb.latch(vb.block_start + vb.trig_offset, state.trig_sample),
         velocity=vb.latch(vel_new, state.velocity),

@@ -322,9 +322,14 @@ def render_block(
     )
     out = shaped * amp_env * jnp.sqrt(vel) * ptraj("volume")
 
+    # exact bypass freeze at block granularity (waveshaper.rs:55-57 early
+    # return at drive <= 1, i.e. od == 0; effects/freeze.py)
+    from libgooey_tpu.effects import freeze as frz
+
     new_state = SnareState(
         params=vb.advance_bank(),
-        ovs=os_box["state"],
+        ovs=frz.hold_where(jnp.all(drive <= 1.0, axis=-1),
+                           state.ovs, os_box["state"]),
         filter_type=state.filter_type,
         trig_sample=vb.latch(vb.block_start + vb.trig_offset, state.trig_sample),
         velocity=vb.latch(vel_new, state.velocity),

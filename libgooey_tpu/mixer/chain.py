@@ -155,6 +155,12 @@ def process_entry(effect_id: int, state, x, targets, *, sample_rate: float,
     if effect_id == EFFECT_WAVESHAPER:
         import jax
 
+        from libgooey_tpu.effects import freeze as frz
+
+        # waveshaper.rs:55-57 early return: the whole block is bypassed
+        # (drive/mix are per-block scalars here), so the oversampler
+        # history holds exactly (effects/freeze.py)
+        held = (targets[1] <= 1e-4) | (targets[0] <= 1.0)
         if jax.default_backend() == "tpu" and fx_ws.IMPL != "xla":
             from libgooey_tpu.ops import pallas_fx
 
@@ -162,10 +168,10 @@ def process_entry(effect_id: int, state, x, targets, *, sample_rate: float,
             packed = pallas_fx.pack_ovs4_dc(state, zeros, zeros)
             y, nst = pallas_fx.waveshaper_block(x, targets[0], targets[1], packed)
             new_state, _, _, _ = pallas_fx.unpack_ovs4_dc(nst, state)
-            return new_state, y
+            return frz.hold_where(held, state, new_state), y
         wrap, box = fx_oversample.stateful(state, 4)
         y = fx_ws.process(x, targets[0], mix=targets[1], oversample=wrap)
-        return box["state"], y
+        return frz.hold_where(held, state, box["state"]), y
     if effect_id == EFFECT_FEEDBACK_WAVESHAPER:
         new_state, y = fx_fbws.process_block(
             state, x, targets[0], targets[1],

@@ -695,6 +695,12 @@ def kick_render_fused(state, trig_offset, trig_velocity, block_start, *,
     if Vp != V:
         nst = jnp.concatenate([nst[:V], nst[Vp:Vp + V]], axis=0)
     new_ovs, dc_x1, dc_y1 = unpack_voice_ovs(nst, V, state.shaper.ovs)
+    # exact bypass freeze of the drive oversampler at block granularity
+    # (feedback_waveshaper.rs:117-118 early return; effects/freeze.py)
+    from libgooey_tpu.effects import freeze as frz
+
+    new_ovs = frz.hold_where(jnp.all(bypass, axis=-1),
+                             state.shaper.ovs, new_ovs)
     filt_last = nfilt[:V, 0]
 
     from libgooey_tpu.core.smoother import SmootherBank
@@ -959,6 +965,13 @@ def snare_render_fused(state, trig_offset, trig_velocity, block_start, *,
     if Vp != V:
         nst = jnp.concatenate([nst[:V], nst[Vp:Vp + V]], axis=0)
     new_ovs, _dcx, _dcy = unpack_voice_ovs(nst, V, state.ovs)
+    # exact bypass freeze of the overdrive oversampler at block granularity
+    # (waveshaper.rs:55-57 early return at drive <= 1, i.e. od == 0;
+    # effects/freeze.py).  drive = 1 + od*9 <= 1 <=> od traj <= 0.
+    from libgooey_tpu.effects import freeze as frz
+
+    _od = traj(_SP["overdrive"])
+    new_ovs = frz.hold_where(jnp.all(_od <= 0.0, axis=-1), state.ovs, new_ovs)
 
     new_state = snare_mod.SnareState(
         params=SmootherBank(current=ncur[:V], target=state.params.target),
@@ -1171,6 +1184,18 @@ def bass_render_fused(state, trig_offset, trig_velocity, block_start, *,
     if Vp != V:
         nst = jnp.concatenate([nst[:V], nst[Vp:Vp + V]], axis=0)
     new_ovs, _dcx, _dcy = unpack_voice_ovs(nst, V, state.ovs)
+    # exact bypass freeze of the pre-filter drive oversampler at block
+    # granularity (bass.rs:846 ticks the shaper only when od > 0.001;
+    # effects/freeze.py).  Uses the XLA-twin traj formula for the gate.
+    from libgooey_tpu.effects import freeze as frz
+
+    _q = np.float32(1.0 - smooth_coeff)
+    _powq = _q ** jnp.arange(1, B + 1, dtype=jnp.float32)
+    _odi = bass_mod.PARAM_INDEX["overdrive"]
+    _d = (cur[:V, _odi, None] - tgt[:V, _odi, None]) * _powq
+    _od = tgt[:V, _odi, None] + jnp.where(jnp.abs(_d) < 1e-4, 0.0, _d)
+    new_ovs = frz.hold_where(jnp.all(_od <= 0.001, axis=-1),
+                             state.ovs, new_ovs)
 
     new_state = bass_mod.BassState(
         ovs=new_ovs,
