@@ -154,6 +154,7 @@ def _render_all(
     sidechain_voice: int = -1,
     collect_sources: bool = False,
     fused_banks: bool = True,
+    psum_axis: Optional[str] = None,
 ):
     """One block over every instrument bank + mix + master + global FX.
 
@@ -163,12 +164,24 @@ def _render_all(
     ``sidechain_voice``: global voice index feeding the compressor detector
     (-1 = self-keyed), mirroring the FFI's per-instrument sidechain source.
     ``fused_banks``: static — allow the fused Pallas instrument-bank path
-    on TPU.  Multi-chip callers MUST pass False: a pallas_call does not
-    partition under GSPMD, so sharded state would be gathered to one chip
-    (the voice-parallel XLA path is what the mesh shards; see parallel/).
+    on TPU.  Multi-chip callers going through GSPMD (plain jit over a
+    sharded mesh) MUST pass False: a pallas_call does not partition under
+    GSPMD, so sharded state would be gathered to one chip.  The shard_map
+    path (``parallel.mesh.render_all_sharded``) instead runs this function
+    per-shard on LOCAL voice slices — there the fused kernels stay legal
+    (each shard launches its own pallas_call) and ``psum_axis`` names the
+    mesh axis to all-reduce the ``[2, B]`` mix over (SURVEY §2.10: the
+    final additive mix is the only cross-voice communication).
     """
     static = {k: dict(v) for k, v in family_static}
     new_state = dict(state)
+    if psum_axis is not None:
+        # per-shard mode: routes/sidechain index GLOBAL voice slots, which
+        # local shards cannot resolve — the GSPMD path covers those
+        assert not lfo_routes and sidechain_voice < 0, (
+            "lfo_routes/sidechain are not supported under shard_map; "
+            "use the GSPMD (fused_banks=False) path instead"
+        )
 
     # --- LFO value trajectories (device-side, from host-carried phases) ------
     lfo_trajs = None
@@ -244,6 +257,8 @@ def _render_all(
         # mixer-graph source buses (the FFI pipeline's scatter, ffi.rs:1301)
         panned = jnp.stack([shaped * gl, shaped * gr], axis=1)       # [V,2,B]
         sources = jnp.einsum("sv,vcb->scb", events["source_matrix"], panned)
+        if psum_axis is not None:
+            sources = jax.lax.psum(sources, psum_axis)
         voice_peaks = jnp.max(jnp.abs(shaped), axis=-1)              # [V]
         new_state["pan"] = pan_bank
         new_state["gain"] = gain_bank
@@ -277,6 +292,13 @@ def _render_all(
             [jnp.sum(shaped * gl, axis=0), jnp.sum(shaped * gr, axis=0)], axis=0
         )
         mono_sum = jnp.sum(shaped, axis=0)
+
+    if psum_axis is not None:
+        # the only cross-voice communication in the whole engine: one
+        # [2, B] + [B] all-reduce per block over ICI; the bus below then
+        # runs replicated on every shard from identical post-psum inputs
+        mix = jax.lax.psum(mix, psum_axis)
+        mono_sum = jax.lax.psum(mono_sum, psum_axis)
 
     master_bank, master_traj = smooth_block(state["master"], smooth_coeff, block_size)
     bus = mix * master_traj[None, :]
@@ -318,6 +340,7 @@ _STATIC_NAMES = (
     "sidechain_voice",
     "collect_sources",
     "fused_banks",
+    "psum_axis",
 )
 
 _render_all_jit = jax.jit(_render_all, static_argnames=_STATIC_NAMES)

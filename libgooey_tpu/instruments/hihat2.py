@@ -108,6 +108,11 @@ class HiHat2State(NamedTuple):
     hpf2: filters.BiquadState
     svf: filters.SVFState
     pink: pink_mod.PinkState
+    #: global voice index, used to salt the per-voice noise stream.  Carried
+    #: in state (not derived from the local shape) so shard_map slices keep
+    #: their GLOBAL salts — a local arange would duplicate noise across
+    #: shards (parallel/mesh.py render_all_sharded).
+    voice_salt: jnp.ndarray       # [V] u32
 
 
 def init_state(num_voices: int, config: Optional[HiHat2Config] = None, targets=None) -> HiHat2State:
@@ -128,6 +133,7 @@ def init_state(num_voices: int, config: Optional[HiHat2Config] = None, targets=N
         hpf2=filters.BiquadState.init(v),
         svf=filters.SVFState.init(v),
         pink=pink_mod.PinkState.init(v),
+        voice_salt=jnp.arange(num_voices, dtype=jnp.uint32),
     )
 
 
@@ -182,7 +188,7 @@ def render_block(
 
     # --- noise source (NOT reset at trigger; counter = global sample) --------
     n_global = (vb.block_start + vb.n_local).astype(jnp.uint32)[None, :]
-    voice_salt = jnp.arange(state.velocity.shape[0], dtype=jnp.uint32)[:, None]
+    voice_salt = state.voice_salt[:, None]
     white = rng.white(n_global + voice_salt * jnp.uint32(0x9E3779B9))
     pink_state, pink = pink_mod.pink_block(
         state.pink, jnp.broadcast_to(n_global.astype(jnp.int32),
@@ -249,5 +255,6 @@ def render_block(
         hpf2=hpf2,
         svf=svf_state,
         pink=pink_state,
+        voice_salt=state.voice_salt,
     )
     return new_state, out

@@ -1277,7 +1277,7 @@ def _biquad_df1(x, coeffs, reset_f, x1, x2, y1, y2):
 
 def _hihat2_kernel(cur_ref, tgt_ref, off_ref, vel_ref, trig_ref, lat_ref,
                    color_ref, slope_ref, ph_ref, hpf_ref, svf_ref, pink_ref,
-                   bs_ref,
+                   salt_ref, bs_ref,
                    out_ref, ncur_ref, nlat_ref, ntrig_ref, nph_ref, nhpf_ref,
                    nsvf_ref, npink_ref, *, sr, coeff, B, seed):
     ctx = _Ctx(cur_ref, tgt_ref, off_ref, trig_ref, bs_ref[0], _HP, coeff,
@@ -1295,11 +1295,12 @@ def _hihat2_kernel(cur_ref, tgt_ref, off_ref, vel_ref, trig_ref, lat_ref,
     pitch_hz = _denorm(pn * pn, 3500.0, 10_000.0) * _tuning_mult(
         ctx.ptraj("tuning"))
 
-    # --- noise source (never reset; counter = global sample + voice salt) ----
+    # --- noise source (never reset; counter = global sample + voice salt;
+    # the salt is the CARRIED global voice index, not a local iota — under
+    # shard_map a local iota would duplicate noise across shards) ----------
     n_glob_i = ctx.bs + ctx.n                                   # [Vp, B] i32
     n_glob = jax.lax.bitcast_convert_type(n_glob_i, jnp.uint32)
-    salt = jax.lax.bitcast_convert_type(
-        jax.lax.broadcasted_iota(jnp.int32, (Vp, 1), 0), jnp.uint32)
+    salt = jax.lax.bitcast_convert_type(salt_ref[...], jnp.uint32)
     white = _white(n_glob + salt * jnp.uint32(0x9E3779B9), seed)
     poles, gains = noise_mod.coefficients(sr)
     pwhite = _white(n_glob, seed)   # pink_block's counter-only stream
@@ -1419,6 +1420,7 @@ def hihat2_render_fused(state, trig_offset, trig_velocity, block_start, *,
         Vp)
     svf = _pad_rows(jnp.stack([state.svf.ic1, state.svf.ic2], axis=1), Vp)
     pink = _pad_rows(state.pink.fstate, Vp)
+    salt = _pad_rows(state.voice_salt.astype(jnp.int32)[:, None], Vp)
     bs = jnp.asarray(block_start, jnp.int32).reshape(1)
 
     kern = functools.partial(
@@ -1436,10 +1438,11 @@ def hihat2_render_fused(state, trig_offset, trig_velocity, block_start, *,
             jax.ShapeDtypeStruct((Vp, 2), jnp.float32),
             jax.ShapeDtypeStruct((Vp, 3), jnp.float32),
         ),
-        in_specs=[_vmem()] * 12 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=[_vmem()] * 13 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(_vmem(),) * 8,
         interpret=interpret,
-    )(cur, tgt, off, vel, trig, lat, color, slope, ph, hpf, svf, pink, bs)
+    )(cur, tgt, off, vel, trig, lat, color, slope, ph, hpf, svf, pink, salt,
+      bs)
 
     new_state = hh2_mod.HiHat2State(
         params=SmootherBank(current=ncur[:V], target=state.params.target),
@@ -1456,5 +1459,6 @@ def hihat2_render_fused(state, trig_offset, trig_velocity, block_start, *,
                                   y1=nhpf[:V, 6], y2=nhpf[:V, 7]),
         svf=filt_mod.SVFState(ic1=nsvf[:V, 0], ic2=nsvf[:V, 1]),
         pink=_noise.PinkState(fstate=npink[:V]),
+        voice_salt=state.voice_salt,
     )
     return new_state, out[:V]

@@ -15,13 +15,22 @@ scaling story is therefore pure data parallelism over voices:
 Control (sequencer events, parameter targets) is broadcast from the host;
 event arrays are ``[V]``-sharded like the state.
 
-IMPORTANT: sharded renders must pass ``fused_banks=False`` to the engine
-(``engine._render_all``) — the fused Pallas instrument-bank kernels do not
-partition under GSPMD; the voice-parallel XLA path is what the mesh shards.
+Two sharded execution paths:
+
+* **GSPMD** (plain jit over sharded arrays): flexible — LFO routes,
+  sidechain, any feature — but must pass ``fused_banks=False``: a
+  pallas_call does not partition under GSPMD, so sharded state would be
+  gathered to one chip.
+* **shard_map** (:func:`render_all_sharded`): runs ``engine._render_all``
+  per shard on LOCAL voice slices, so the fused Pallas instrument-bank
+  kernels stay on the fast path; the mix is an explicit ``psum`` of one
+  ``[2, B]`` frame per block.  Routes/sidechain (global-voice-indexed)
+  are not supported here — use GSPMD for those.
+
 ``tests/test_parallel.py`` and ``__graft_entry__.dryrun_multichip`` pin the
 sharded==single-device equality for the full kit (kick/snare/hihat2/tom2/
-bass), the replicated bus chain after the psum, and sharded granulator /
-sampler arena reads.
+bass) on both paths, the replicated bus chain after the psum, and sharded
+granulator / sampler arena reads.
 """
 
 from __future__ import annotations
@@ -47,6 +56,95 @@ def voice_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def _voice_spec_tree(tree, mesh: Mesh, *, overrides=None):
+    """PartitionSpec pytree matching ``tree``: leading-voice-axis arrays get
+    ``P(VOICE_AXIS)``, everything else ``P()``.  ``overrides`` maps top-level
+    dict keys to explicit specs (e.g. ``source_matrix`` sharded on axis 1)."""
+    overrides = overrides or {}
+
+    def spec_of(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % mesh.devices.size == 0 and x.shape[0] > 1:
+            return P(VOICE_AXIS)
+        return P()
+
+    out = {}
+    for key, sub in tree.items():
+        if key in overrides:
+            out[key] = overrides[key]
+        else:
+            out[key] = jax.tree_util.tree_map(spec_of, sub)
+    return out
+
+
+def render_all_sharded(state, events, *, mesh: Mesh, **static):
+    """One engine block over the mesh, KEEPING the fused Pallas bank path.
+
+    Wraps ``engine._render_all`` in ``jax.shard_map`` over the voice axis:
+    each shard renders its local voice slice (fused pallas_calls included —
+    they are per-shard programs, not GSPMD-partitioned ops), then the
+    ``[2, B]`` mix and ``[B]`` mono sum all-reduce with ``psum`` and the
+    replicated bus chain runs identically on every shard.
+
+    ``state``/``events`` follow ``shard_voice_tree``'s placement convention.
+    Returns ``(new_state, stereo[2, B], mono[B])`` with per-voice state
+    sharded and bus outputs replicated.  Static kwargs are
+    ``engine._render_all``'s; ``fused_banks`` defaults to True here.
+    """
+    from libgooey_tpu.engine import engine as eng
+
+    static = dict(static)
+    static.setdefault("fused_banks", True)
+    static["psum_axis"] = VOICE_AXIS
+    assert not static.get("collect_sources"), (
+        "collect_sources needs a [S, V] source_matrix spec; use GSPMD"
+    )
+
+    # The flat mixer banks (pan/gain) index voices in family-concat order
+    # [f0 voices..., f1 voices...].  Inside shard_map each shard
+    # concatenates its LOCAL family slices, so the global order of the
+    # per-shard voice axis becomes shard-major interleaved:
+    #   shard s rows = [f0[s*v0/D:(s+1)*v0/D], f1[...], ...]
+    # Permute pan/gain into that order before sharding (and back after) so
+    # each shard's local slice carries exactly its own voices' mix params.
+    D = mesh.devices.size
+    kinds = static["kinds"]
+    sizes = [events[k + "_off"].shape[0] for k in kinds]
+    assert all(v % D == 0 for v in sizes), (
+        f"family voice counts {sizes} must divide the mesh size {D}")
+    offsets = np.cumsum([0] + sizes[:-1])
+    perm = np.concatenate([
+        np.arange(o + s * (v // D), o + (s + 1) * (v // D))
+        for s in range(D)
+        for o, v in zip(offsets, sizes)
+    ])
+    inv = np.argsort(perm)
+
+    def permute_mix(st, idx):
+        st = dict(st)
+        for key in ("pan", "gain"):
+            bank = st[key]
+            st[key] = type(bank)(current=bank.current[idx],
+                                 target=bank.target[idx])
+        return st
+
+    state = permute_mix(state, perm)
+    state_specs = _voice_spec_tree(state, mesh)
+    event_specs = _voice_spec_tree(events, mesh)
+
+    def local_step(st, ev):
+        return eng._render_all(st, ev, **static)
+
+    new_state, out, mono = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_specs, event_specs),
+        out_specs=(state_specs, P(), P()),
+        check_vma=False,
+    )(state, events)
+    return permute_mix(new_state, inv), out, mono
 
 
 def shard_voice_tree(tree, mesh: Mesh):

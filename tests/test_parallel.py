@@ -136,6 +136,72 @@ def test_sharded_full_kit_bus_matches_single_device():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.slow
+def test_shard_map_keeps_fused_banks():
+    """The shard_map path (parallel.mesh.render_all_sharded) runs the FUSED
+    Pallas bank kernels per shard (interpret mode on the CPU mesh) and must
+    match the unsharded fused render to reduction-order tolerance
+    (VERDICT r3 #2: multi-chip no longer abandons the fast path)."""
+    from libgooey_tpu.ops import pallas_voice as pv
+
+    per_family = {"kick": 16, "snare": 16, "hihat2": 16, "bass": 16}
+    V = sum(per_family.values())
+    state = {}
+    for kind, vk in per_family.items():
+        state[kind] = eng.FAMILIES[kind].init_state(vk)
+    state["pan"] = SmootherBank.init(np.linspace(0.2, 0.8, V).astype(np.float32))
+    state["gain"] = SmootherBank.init(np.full(V, 1.0 / V, np.float32))
+    state["master"] = SmootherBank.init(np.float32(0.5))
+
+    rng = np.random.RandomState(11)
+    events = {"block_start": jnp.asarray(np.int32(0))}
+    for kind, vk in per_family.items():
+        events[kind + "_off"] = jnp.asarray(
+            rng.randint(0, B, vk).astype(np.int32))
+        events[kind + "_vel"] = jnp.asarray(
+            rng.uniform(0.3, 1.0, vk).astype(np.float32))
+
+    static = dict(
+        kinds=tuple(per_family.keys()), sample_rate=SR, block_size=B,
+        smooth_coeff=smoothing_coeff(SR), limiter_threshold=1.0,
+        family_static=(("kick", (("feedback_path", False),
+                                 ("max_harmonics", 16))),
+                       ("snare", (("max_harmonics", 16),))),
+    )
+
+    old_impl = pv.IMPL
+    pv.IMPL = "pallas"   # force fused kernels (interpret) on the CPU mesh
+    try:
+        ref_state, ref_out, ref_mono = eng._render_all_jit(
+            state, events, fused_banks=True, **static)
+        ref_out = np.asarray(ref_out)
+
+        mesh = pmesh.make_mesh(8)
+        st_sharded = pmesh.shard_voice_tree(state, mesh)
+        ev_sharded = pmesh.shard_voice_tree(events, mesh)
+        new_state, out, mono = pmesh.render_all_sharded(
+            st_sharded, ev_sharded, mesh=mesh, **static)
+        out = np.asarray(out)
+    finally:
+        pv.IMPL = old_impl
+
+    # identical per-shard math; only the mix reduction order differs
+    np.testing.assert_allclose(out, ref_out, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mono), np.asarray(ref_mono),
+                               rtol=0, atol=1e-6)
+    assert np.abs(ref_out).max() > 1e-3
+    # per-voice state stays sharded on the mesh
+    kick_shard = new_state["kick"].trig_sample.sharding
+    assert kick_shard.is_equivalent_to(
+        NamedSharding(mesh, P(pmesh.VOICE_AXIS)),
+        new_state["kick"].trig_sample.ndim), kick_shard
+    # carried state matches the unsharded render
+    np.testing.assert_allclose(
+        np.asarray(new_state["kick"].trig_sample),
+        np.asarray(ref_state["kick"].trig_sample))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_sharded_granulator_sampler_match_single_device():
     """Grain/voice lanes shard over the mesh; the (replicated) sample
     arenas are read with sharded per-lane positions; the lane-sum mix is
