@@ -12,9 +12,17 @@ Behavioral reference: src/mixer/wsola.rs (527 LoC).
 
 TPU split: output = overlap-add of exactly two windowed grain streams, so a
 block plan is two per-sample position streams + Hann weights — pure device
-gathers.  The correlation search (control-rate, once per 20 ms) runs
-host-side on the host's numpy copy of the loop, exactly mirroring the
-reference search including its coarse stride and 1-sample refine.
+gathers.  The correlation search (control-rate, once per 20 ms) has two
+implementations:
+
+* the numpy host search below — the oracle, exactly mirroring the
+  reference search including its coarse stride and 1-sample refine;
+* a device path (``use_device=True``; ``ops/wsola_search.py``): the
+  coarse and fine candidate banks evaluate as two fixed-size einsums +
+  argmax on device, returning chosen *indices* that the host maps back
+  through its own f64 candidate arrays — so the downstream hop state is
+  bit-identical to the host search whenever the indices agree
+  (pinned by tests/test_wsola_device.py on ramp/noise fixtures).
 """
 
 from __future__ import annotations
@@ -26,6 +34,12 @@ import numpy as np
 HOP_MS = 20.0
 SEARCH_MS = 10.0
 COARSE_STEPS = 64
+
+#: Default for new stretchers: run the correlation search on device
+#: (ops/wsola_search.py).  Off by default — at the reference's 4-channel
+#: scale the host numpy search is faster than a tunnel round trip per hop;
+#: on-die (or at many-clip scale) flip this or pass use_device per host.
+USE_DEVICE_SEARCH = False
 
 
 def _cubic_read_mono(mono: np.ndarray, pos: np.ndarray, wrap: bool) -> np.ndarray:
@@ -53,7 +67,10 @@ def _cubic_read_mono(mono: np.ndarray, pos: np.ndarray, wrap: bool) -> np.ndarra
 class WsolaHost:
     """Host-side hop scheduler + correlation search; emits device read plans."""
 
-    def __init__(self, engine_sample_rate: float, initial_cursor: float):
+    def __init__(self, engine_sample_rate: float, initial_cursor: float,
+                 use_device: bool | None = None):
+        if use_device is None:
+            use_device = USE_DEVICE_SEARCH
         sr = max(engine_sample_rate, 1.0)
         self.hop = max(int(round(HOP_MS / 1000.0 * sr)), 1)
         self.win = 2 * self.hop
@@ -67,6 +84,8 @@ class WsolaHost:
         self.prev_step = 1.0
         self._mono_cache = None
         self._mono_src = None
+        self.use_device = use_device
+        self._mono_dev = None
 
     def _mono(self, buffer) -> np.ndarray:
         if self._mono_src is not buffer:
@@ -102,6 +121,21 @@ class WsolaHost:
         span = hi_b - lo_b
         stride = max(span / COARSE_STEPS, 1.0)
         coarse = np.arange(lo_b, hi_b + 1e-9, stride)
+
+        if self.use_device:
+            # two fixed-size einsum stages + argmax on device; the returned
+            # indices map back through the host's own f64 candidate ranges
+            ci, fi, fine_won = self._device_search(
+                mono, window, lo_b, hi_b, stride, step, max_start,
+                wrap_reads, len(coarse))
+            ci = min(ci, len(coarse) - 1)
+            best = float(coarse[ci])
+            fine = np.arange(max(best - stride, lo_b),
+                             min(best + stride, hi_b) + 1e-9, 1.0)
+            if fine_won and len(fine):
+                best = float(fine[min(fi, len(fine) - 1)])
+            return best
+
         sc = scores(coarse)
         best = float(coarse[int(np.argmax(sc))])
         best_score = float(sc.max())
@@ -110,6 +144,29 @@ class WsolaHost:
         if sf.max() > best_score:
             best = float(fine[int(np.argmax(sf))])
         return best
+
+    def _device_search(self, mono, window, lo_b, hi_b, stride, step,
+                       max_start, wrap_reads, nc_valid):
+        """Run ops.wsola_search.search_hop; returns (ci, fi, fine_won)."""
+        import jax.numpy as jnp
+
+        from libgooey_tpu.ops import wsola_search as dws
+
+        if self._mono_dev is None or self._mono_dev.shape[0] != len(mono):
+            self._mono_dev = jnp.asarray(mono)
+        nf = 2 * int(np.ceil(max(
+            round(SEARCH_MS / 1000.0 * self._buffer_sr) * 2.0 / COARSE_STEPS,
+            1.0))) + 3
+        wraps = bool(window.wraps)
+        win_lo = np.float32(window.lo)
+        win_len = np.float32(window.len if wraps else 1.0)
+        ci, fi, fw = dws.search_hop(
+            self._mono_dev, jnp.asarray(self.prev_tail_mono),
+            np.float32(lo_b), np.float32(hi_b), np.float32(stride),
+            np.float32(step), np.float32(max_start), win_lo, win_len,
+            np.int32(nc_valid),
+            hop=self.hop, wrap=wraps, nc=COARSE_STEPS + 1, nf=nf)
+        return int(ci), int(fi), bool(int(fw))
 
     @staticmethod
     def _to_physical(pos_v, window):
