@@ -126,6 +126,114 @@ def bench_full_kit():
     report("full_drum_kit_mix", 4 * N_BLOCKS * B / SR, wall, "4 voices")
 
 
+def bench_full_kit_4096():
+    """BASELINE config-2 at target scale: a 4,096-voice five-family kit
+    (kick/snare/hihat2/tom2/bass banks, fused Pallas paths where available)
+    plus the full replicated global bus (saturation, lowpass, tilt, delay,
+    compressor, spring, plate, pinned soft limiter), scanned N_BLOCKS blocks
+    per dispatch with bench.py's sync discipline.  Reference pipeline:
+    ffi.rs:1043-1380."""
+    per_family = {"kick": 1024, "snare": 1024, "hihat2": 1024,
+                  "tom2": 512, "bass": 512}
+    V = sum(per_family.values())
+    state = {}
+    for kind, vk in per_family.items():
+        state[kind] = eng.FAMILIES[kind].init_state(vk)
+    state["pan"] = SmootherBank.init(
+        np.linspace(0.2, 0.8, V).astype(np.float32))
+    state["gain"] = SmootherBank.init(np.full(V, 1.0 / V, np.float32))
+    state["master"] = SmootherBank.init(np.float32(0.25))
+    fx_order = ("saturation", "lowpass", "tilt", "delay", "compressor",
+                "spring", "plate")
+    for name in fx_order:
+        state["fx_" + name] = eng.FX_MODULES[name].init_state(SR)
+
+    # staggered sequenced triggers per family (bench.py's event builder)
+    from libgooey_tpu.engine.sequencer import Sequencer
+    seq = Sequencer(120.0, SR, 16)
+    seq.set_pattern([True] * 16)
+    seq.start()
+    base_hits = []
+    done = 0
+    for _b in range(N_BLOCKS):
+        for t in seq.tick_block(B):
+            base_hits.append(done + t.offset)
+        done += B
+    rng = np.random.RandomState(0)
+    events = {"block_start": jnp.asarray(
+        (np.arange(N_BLOCKS) * B).astype(np.int32))}
+    total = N_BLOCKS * B
+    for kind, vk in per_family.items():
+        offs = np.full((N_BLOCKS, vk), B, np.int32)
+        vels = np.zeros((N_BLOCKS, vk), np.float32)
+        lags = rng.randint(0, int(SR * 0.5), size=vk)
+        for v in range(vk):
+            for h in base_hits:
+                s = h + int(lags[v])
+                if s < total:
+                    offs[s // B, v] = s % B
+                    vels[s // B, v] = 0.5 + 0.5 * ((v % 7) / 6.0)
+        events[kind + "_off"] = jnp.asarray(offs)
+        events[kind + "_vel"] = jnp.asarray(vels)
+    for name in fx_order:
+        events["fx_" + name] = jnp.broadcast_to(
+            jnp.asarray(eng.FX_DEFAULT_TARGETS[name], jnp.float32),
+            (N_BLOCKS, len(eng.FX_DEFAULT_TARGETS[name])))
+
+    static = dict(
+        kinds=tuple(per_family.keys()),
+        sample_rate=SR, block_size=B, smooth_coeff=COEFF,
+        limiter_threshold=1.0,
+        family_static=(
+            ("kick", (("feedback_path", False), ("max_harmonics", 0))),
+            ("snare", (("max_harmonics", 64),)),
+        ),
+        fx_order=fx_order,
+    )
+    run = jax.jit(lambda s: eng.render_many(s, events, **static))
+    wall = timed(run, state)
+    report("full_kit_4096_voices_plus_bus", V * N_BLOCKS * B / SR, wall,
+           f"{V} voices, 5 families, 7-effect bus")
+
+
+def bench_preserve_pitch_loops():
+    """4 loop channels in PreservePitch (WSOLA) at warp 1.5 — the clip-grid
+    time-stretch path (wsola.rs:34-37).  Reported for both correlation-
+    search implementations: host numpy (reference-mirroring oracle) and
+    the on-device fixed-size-einsum search (ops/wsola_search.py)."""
+    from libgooey_tpu.mixer import wsola
+    from libgooey_tpu.mixer.loop_channel import PITCH_PRESERVE
+    from libgooey_tpu.mixer.mixer import Mixer
+    from libgooey_tpu.mixer.stereo_buffer import StereoSampleBuffer
+
+    rng = np.random.RandomState(0)
+    n = 32
+
+    for dev in (False, True):
+        wsola.USE_DEVICE_SEARCH = dev
+        try:
+            m = Mixer(SR, block_size=B, buffer_capacity=1 << 16)
+            m.set_bpm(180.0)  # source 120 -> warp 1.5
+            for ch in m.channels:
+                tone = (rng.randn(44100) * 0.3).astype(np.float32)
+                ch.set_buffer(StereoSampleBuffer.from_channels(
+                    tone, tone, SR, 120.0))
+                ch.pitch_mode = PITCH_PRESERVE
+                ch.set_playing(True)
+            m.render_block()  # warm graphs
+
+            def run():
+                for _ in range(n):
+                    out = m.render_block()
+                return out
+
+            wall = timed(run, iters=3, warmup=1) / n
+            report(f"preserve_pitch_4loops_{'device' if dev else 'host'}_search",
+                   4 * B / SR, wall, "4 WSOLA channels, warp 1.5")
+        finally:
+            wsola.USE_DEVICE_SEARCH = False
+
+
 def bench_sequenced_submix():
     from libgooey_tpu.gooey import GooeyEngine
 
@@ -379,9 +487,11 @@ def main():
     print(f"# device: {_discover_device()}", file=sys.stderr)
     bench_single_kick()
     bench_full_kit()
+    bench_full_kit_4096()
     bench_effects_chain()
     bench_effects_chain_all9()
     bench_granulator_sampler_4k()
+    bench_preserve_pitch_loops()
     bench_sequenced_submix()
     bench_interactive_pipelined()
     bench_onchip_product_block()

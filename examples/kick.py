@@ -42,5 +42,44 @@ def main(out_path: str = "/tmp/gooey_kick.wav", quick: bool = False):
     return out_path
 
 
+def play(audio: np.ndarray, sample_rate: float = 44100.0):
+    """Audible playback where the optional sounddevice backend exists
+    (engine_output.rs realtime path); no-op headless."""
+    from libgooey_tpu.engine import output as out_mod
+
+    if not out_mod.sounddevice_available():
+        print("sounddevice not installed - skipping audible playback")
+        return
+
+    class BufferEngine:
+        block = 512
+
+        def __init__(self, mono):
+            self.mono, self.pos = mono, 0
+
+        def render(self, frames):
+            seg = self.mono[self.pos:self.pos + frames]
+            self.pos += frames
+            seg = np.pad(seg, (0, frames - len(seg)))
+            return np.repeat(seg, 2).astype(np.float32)
+
+    out = out_mod.EngineOutput(prefetch_blocks=4)
+    out.initialize(sample_rate)
+    out.create_stream_with_engine(BufferEngine(audio))
+    stream = out_mod.RealtimeStream(out, backend="sounddevice")
+    stream.start()
+    import time
+    time.sleep(len(audio) / sample_rate + 0.2)
+    stream.stop()
+    print(f"played {len(audio)} samples; overruns: {out.take_overrun_count()}")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    path = main(quick="--quick" in sys.argv)
+    if "--play" in sys.argv:
+        from libgooey_tpu.io_wav import read_wav
+
+        data, sr = read_wav(path)          # [channels, frames]
+        play(np.asarray(data, np.float32).mean(axis=0), sr)

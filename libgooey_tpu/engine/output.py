@@ -161,3 +161,96 @@ class EngineOutput:
             self.stop()
             return True
         return False
+
+
+def sounddevice_available() -> bool:
+    """Whether the optional ``sounddevice`` (PortAudio) backend can load."""
+    try:
+        import sounddevice  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+class RealtimeStream:
+    """Bind :class:`EngineOutput` to an actual output stream.
+
+    The reference negotiates a CPAL device and sample format
+    (engine_output.rs:162-249).  Here the device layer is pluggable:
+
+    * ``backend="sounddevice"`` — a real PortAudio output stream when the
+      optional ``sounddevice`` package is importable (the audible path on
+      a host with audio hardware); the PortAudio callback calls
+      :meth:`EngineOutput.fill` directly, so overruns are observed from
+      the real device cadence.
+    * ``backend="null"`` — a wall-clock-paced driver thread that invokes
+      ``fill`` at the exact callback cadence a device would, writing into
+      an optional ``sink(buf)`` — the headless twin used by tests and CI
+      (this image has no audio stack at all: no ALSA/PortAudio, no
+      /dev/snd).
+    * ``backend="auto"`` — sounddevice if available, else null.
+    """
+
+    def __init__(self, output: EngineOutput, *, backend: str = "auto",
+                 frames_per_buffer: int = 512, num_channels: int = 2,
+                 sink=None, device=None):
+        if backend == "auto":
+            backend = "sounddevice" if sounddevice_available() else "null"
+        if backend == "sounddevice" and not sounddevice_available():
+            raise RuntimeError("sounddevice backend requested but the "
+                               "package is not importable")
+        self.output = output
+        self.backend = backend
+        self.frames = int(frames_per_buffer)
+        self.channels = int(num_channels)
+        self.sink = sink
+        self.device = device
+        self._stream = None
+        self._thread = None
+        self._running = False
+
+    def start(self):
+        self.output.start()
+        self._running = True
+        if self.backend == "sounddevice":
+            import sounddevice as sd
+
+            def callback(outdata, frames, time_info, status):
+                buf = np.zeros(frames * self.channels, np.float32)
+                self.output.fill(buf, self.channels)
+                outdata[:] = buf.reshape(frames, self.channels)
+
+            self._stream = sd.OutputStream(
+                samplerate=self.output.sample_rate, blocksize=self.frames,
+                channels=self.channels, dtype="float32", device=self.device,
+                callback=callback)
+            self._stream.start()
+        else:
+            self._thread = threading.Thread(target=self._null_loop, daemon=True)
+            self._thread.start()
+
+    def _null_loop(self):
+        period = self.frames / self.output.sample_rate
+        next_t = time.monotonic()
+        buf = np.zeros(self.frames * self.channels, np.float32)
+        while self._running:
+            self.output.fill(buf, self.channels)
+            if self.sink is not None:
+                self.sink(buf.copy())
+            next_t += period
+            delay = next_t - time.monotonic()
+            if delay > 0:
+                time.sleep(delay)
+            else:
+                next_t = time.monotonic()  # fell behind: resync, don't spin
+
+    def stop(self):
+        self._running = False
+        if self._stream is not None:
+            self._stream.stop()
+            self._stream.close()
+            self._stream = None
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None
+        self.output.stop()

@@ -201,3 +201,47 @@ def test_output_drives_real_engine():
     np.testing.assert_allclose(frames[:, 0], frames[:, 1], atol=1e-6)
     assert out.sample_counter == 2048
     out.stop()
+
+
+def test_realtime_stream_null_backend_paces_callbacks():
+    """RealtimeStream drives fill() at device cadence on the headless null
+    backend: sample counter advances in real time, frames reach the sink,
+    and the overrun counter stays quiet for a trivially fast engine."""
+    from libgooey_tpu.engine.output import RealtimeStream
+
+    # prefetch must cover a whole device buffer: 8 x 64-frame blocks > 256
+    out = EngineOutput(prefetch_blocks=8)
+    out.initialize(44100.0)
+    out.create_stream_with_engine(RampEngine())
+    got = []
+    stream = RealtimeStream(out, backend="null", frames_per_buffer=256,
+                            sink=got.append)
+    stream.start()
+    time.sleep(0.15)   # ~25 callbacks at 5.8 ms/256-frame buffer
+    stream.stop()
+    assert len(got) >= 10, len(got)
+    assert out.sample_counter >= 10 * 256
+    # callbacks were paced, not free-running: 0.15 s admits ~26 buffers
+    assert out.sample_counter <= 0.25 * 44100
+    first = got[0].reshape(-1, 2)
+    np.testing.assert_array_equal(first[:, 0], -first[:, 1])  # L == -R ramp
+    assert out.take_overrun_count() <= 1  # startup fill at most
+
+
+def test_realtime_stream_sounddevice_backend():
+    """Audible path — runs only where the optional sounddevice (PortAudio)
+    package exists (engine_output.rs:162-249's device negotiation role)."""
+    import pytest
+
+    from libgooey_tpu.engine import output as out_mod
+
+    if not out_mod.sounddevice_available():
+        pytest.skip("sounddevice not installed (no audio stack in image)")
+    out = EngineOutput(prefetch_blocks=2)
+    out.initialize(44100.0)
+    out.create_stream_with_engine(RampEngine())
+    stream = out_mod.RealtimeStream(out, backend="sounddevice")
+    stream.start()
+    time.sleep(0.2)
+    stream.stop()
+    assert out.sample_counter > 0
