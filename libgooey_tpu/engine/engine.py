@@ -228,7 +228,7 @@ def _render_all(
                 }
         if kind == "bass" and "bass_freq" in events:
             extra["note_freq"] = events["bass_freq"]
-        if kind in ("kick", "snare", "hihat2", "bass"):
+        if kind in ("kick", "snare", "hihat2", "bass", "tom2"):
             extra["fused"] = fused_banks
         bank_state, out = mod.render_block(
             state[kind],
@@ -244,11 +244,28 @@ def _render_all(
         )
         new_state[kind] = bank_state
         voice_outs.append(out)
-    all_voices = jnp.concatenate(voice_outs, axis=0) if voice_outs else jnp.zeros(
-        (0, block_size), jnp.float32
-    )
+
+    def _all_voices():
+        """[sum V, B] concat — only materialized by the paths that need a
+        single voice matrix (source scatter, pallas mix).  The default mix
+        below accumulates per family instead: concatenating the banks'
+        kernel outputs (each with its own layout) forces a relayout copy
+        per family — measured ~175 us/block of pure epilogue on the
+        64-voice product kit."""
+        return jnp.concatenate(voice_outs, axis=0) if voice_outs else jnp.zeros(
+            (0, block_size), jnp.float32
+        )
+
+    def _voice_row(i):
+        """Row ``i`` of the global voice matrix without the concat."""
+        for out in voice_outs:
+            if i < out.shape[0]:
+                return out[i]
+            i -= out.shape[0]
+        raise IndexError(i)
 
     if collect_sources:
+        all_voices = _all_voices()
         pan_bank, pan_traj = smooth_block(state["pan"], smooth_coeff, block_size)
         gain_bank, gain_traj = smooth_block(state["gain"], smooth_coeff, block_size)
         gl, gr = dsp.pan_gains(pan_traj)
@@ -264,7 +281,9 @@ def _render_all(
         new_state["gain"] = gain_bank
         return new_state, sources, all_voices, voice_peaks
 
-    if MIX_IMPL == "pallas" and all_voices.ndim == 2 and all_voices.shape[0] >= 8:
+    total_v = sum(out.shape[0] for out in voice_outs)
+    if MIX_IMPL == "pallas" and total_v >= 8:
+        all_voices = _all_voices()
         # Opt-in fused mix kernel (ops/pallas_fx.py mix_bank).  Measured AT
         # PARITY with the XLA path on the 4,096-voice block (1.395 vs
         # 1.380 ms/block): XLA already fuses the mix into the voice banks'
@@ -287,11 +306,20 @@ def _render_all(
         pan_bank, pan_traj = smooth_block(state["pan"], smooth_coeff, block_size)
         gain_bank, gain_traj = smooth_block(state["gain"], smooth_coeff, block_size)
         gl, gr = dsp.pan_gains(pan_traj)
-        shaped = all_voices * gain_traj
-        mix = jnp.stack(
-            [jnp.sum(shaped * gl, axis=0), jnp.sum(shaped * gr, axis=0)], axis=0
-        )
-        mono_sum = jnp.sum(shaped, axis=0)
+        # per-family accumulation: each family's pan/gain/mix fuses into its
+        # own bank epilogue, no [sum V, B] concat/relayout (see _all_voices)
+        mixl = jnp.zeros(block_size, jnp.float32)
+        mixr = jnp.zeros(block_size, jnp.float32)
+        mono_sum = jnp.zeros(block_size, jnp.float32)
+        idx = 0
+        for out in voice_outs:
+            V = out.shape[0]
+            shaped = out * gain_traj[idx:idx + V]
+            mixl = mixl + jnp.sum(shaped * gl[idx:idx + V], axis=0)
+            mixr = mixr + jnp.sum(shaped * gr[idx:idx + V], axis=0)
+            mono_sum = mono_sum + jnp.sum(shaped, axis=0)
+            idx += V
+        mix = jnp.stack([mixl, mixr], axis=0)
 
     if psum_axis is not None:
         # the only cross-voice communication in the whole engine: one
@@ -309,7 +337,7 @@ def _render_all(
         mod = FX_MODULES[fx_name]
         kw = {}
         if fx_name == "compressor" and sidechain_voice >= 0:
-            sc = all_voices[sidechain_voice]
+            sc = _voice_row(sidechain_voice)   # static index resolution
             kw["sidechain"] = jnp.stack([sc, sc], axis=0)
         new_state["fx_" + fx_name], bus = mod.process_block(
             state["fx_" + fx_name], bus, events["fx_" + fx_name],

@@ -76,7 +76,34 @@ def morph_block(
     sr = sample_rate
 
     def accum(inc, carry):
-        return gscan.cumsum_reset(inc, reset, jnp.zeros_like(inc), carry)
+        """Unwrapped cumsum with trigger resets, split-increment form.
+
+        The rand~ accumulator reaches ~inc*B per block (tens of cycles at
+        high `color`), so a plain tree cumsum rounds at eps(total) per
+        combine level — enough to flip floor(total) segment boundaries
+        against the sequential oracle.  Split the block-start increment
+        ``inc0 = hi + lo`` with ``hi`` on a 2^-11 grid: ``hi*(n+1)`` is
+        exact (total*2048 < 2^24 grid steps), ``lo*(n+1)`` and the
+        residual cumsum of ``inc - inc0`` (zero for tom2's block-constant
+        rate) carry one rounding each.  The reset base-latch scan has
+        coefficients in {0, 1}, so it is exact under any scan order —
+        the fused kernel (pallas_voice._tom2_kernel) mirrors this
+        expression op-for-op.
+        """
+        B = inc.shape[-1]
+        n1 = jnp.arange(1, B + 1, dtype=jnp.float32)
+        reset_f = jnp.asarray(reset, jnp.float32)
+        inc0 = inc[..., 0:1]
+        hi = jnp.floor(inc0 * 2048.0) / 2048.0
+        lo = inc0 - hi
+        ramp = hi * n1 + lo * n1
+        resid = gscan.cumsum_bank(inc - inc0, axis=-1)
+        p = ramp + resid
+        p_prev = jnp.concatenate(
+            [jnp.zeros_like(p[..., 0:1]), p[..., :-1]], axis=-1)
+        base = gscan.linrec1(
+            1.0 - reset_f, reset_f * p_prev, -jnp.asarray(carry, jnp.float32))
+        return p - base
 
     inc = frequency / sr
     # exact mod-1 accumulation (~1e-7 cycles/block; see

@@ -1462,3 +1462,254 @@ def hihat2_render_fused(state, trig_offset, trig_velocity, block_start, *,
         voice_salt=state.voice_salt,
     )
     return new_state, out[:V]
+
+
+# --- tom2 sources kernel --------------------------------------------------------
+
+# tom2 param indices (instruments/tom2.py PARAM_NAMES order; plain 0-100
+# values, not smoothed — tom2.rs does not smooth its params)
+_T2P = dict(tune=0, bend=1, tone=2, color=3, decay=4, membrane=5,
+            membrane_q=6, volume=7, tuning=8)
+_T2_NP = len(_T2P)
+
+_T2_TWO_PI = np.float32(2.0 * np.pi)
+_T2_RAND_SEED = 0x12345678     # ops/morph.py RAND_SEED
+_T2_WHITE_SEED = 0x9ABCDEF0    # core/rng.py DEFAULT_SEED
+
+
+def _tom2_kernel(par_ref, off_ref, trig_ref, dec_ref, ph_ref, seg_ref,
+                 bs_ref,
+                 mixed_ref, env_ref, done_ref, fade_ref, freq_ref,
+                 ntrig_ref, ndec_ref, nph_ref, nseg_ref,
+                 *, sr, B, triangle_enabled):
+    """Tom2 bank *sources* in one kernel (XLA twin: the front half of
+    tom2.render_block, single-trigger mode).  Behavioral reference:
+    src/instruments/tom2.rs:427-594 — MaxCurve env, bend-squared pitch,
+    ClickOsc + triangle + MorphOsc sources.
+
+    The pitch-tracking RBJ bandpass and 5-band membrane resonator
+    deliberately stay OUTSIDE this kernel, on the shared XLA/bank-kernel
+    recurrence path: they are lightly-damped resonators whose state rings
+    across blocks, so Hillis-Steele scan reassociation compounds to ~1e-3
+    within a few blocks (measured) — the same reason snare's Chamberlin
+    and bass's swept SVF run on the sample-sequential bank path.
+
+    Outputs: ``mixed``/``env``/``main_done``(f32)/``fade_factor``/
+    ``modulated_freq`` [V, B] plus the front-half state advance.  Packed
+    state columns: ``ph`` [V, 6] = (tri_phase, morph main/tri/fixed/gated
+    phases, rand_frac); ``seg`` [V, 1] i32 rand segment.
+    """
+    Vp = par_ref.shape[0]
+    n = jax.lax.broadcasted_iota(jnp.int32, (Vp, B), 1)
+    off = off_ref[...]                       # [Vp, 1] i32
+    has = off < B
+    after = (n >= off) & has
+    at_trig = (n == off) & has
+    reset_f = at_trig.astype(jnp.float32)
+    bs = bs_ref[0]
+    trig_prev = trig_ref[...]
+    trig_eff = jnp.where(after, bs + off, trig_prev)
+    elapsed_i = (bs + n) - trig_eff
+    elapsed = elapsed_i.astype(jnp.float32) * np.float32(1.0 / sr)
+
+    p = lambda name: par_ref[:, _T2P[name]:_T2P[name] + 1]   # [Vp, 1]
+
+    # --- decay latch + envelope [(1, 1ms, 0.8), (0, decay, -0.83)] ----------
+    decay_new = (0.5 + (p("decay") / 100.0) * (4000.0 - 0.5)) * 0.001
+    decay_s = jnp.where(after, decay_new, dec_ref[...])
+    attack_s = np.float32(0.001)
+    in_attack = elapsed < attack_s
+    env = jnp.where(
+        in_attack,
+        _max_curve(elapsed / 0.001, 0.8),
+        1.0 - _max_curve(jnp.clip((elapsed - attack_s) / decay_s, 0.0, 1.0),
+                         -0.83),
+    )
+    env = jnp.where(elapsed < 0.0, 0.0, env)
+    env_complete = elapsed >= (attack_s + decay_s)
+
+    # --- pitch ---------------------------------------------------------------
+    tn = p("tune") / 100.0
+    base_freq = (40.0 + tn * tn * (600.0 - 40.0)) * _tuning_mult(p("tuning"))
+    bend_scaled = (p("bend") / 100.0) * 2.0
+    pitch_mod = jnp.square(env * bend_scaled)
+    raw_freq = base_freq * (1.0 + pitch_mod)
+
+    past_attack = (elapsed >= attack_s) | (env > 0.9)
+    main_done = env_complete | (past_attack & (raw_freq < 20.0))
+    fade_factor = jnp.where(
+        past_attack & (raw_freq < 40.0),
+        (raw_freq - 20.0) / (40.0 - 20.0),
+        1.0,
+    )
+    modulated_freq = jnp.maximum(raw_freq, 40.0)
+
+    # --- ClickOsc: 64-sample one-shot wavetable as an unrolled select tree
+    # (morph.click_block; a 64-entry VMEM gather would serialize on the
+    # scalar core — 42 vector selects are cheaper at any V) -----------------
+    click = jnp.zeros((Vp, B), jnp.float32)
+    from libgooey_tpu.ops import morph as _morph_mod
+
+    for k, val in enumerate(_morph_mod.TOM_IMPULSE):
+        if float(val) != 0.0:
+            click = jnp.where(elapsed_i == k, np.float32(val), click)
+    click_out = click * 1.1
+
+    # --- standalone triangle -------------------------------------------------
+    inc = modulated_freq / sr
+    tri_phase = _phase_cumsum_reset(inc, reset_f, ph_ref[:, 0:1])
+
+    def _triangle(t):
+        return jnp.where(t < 0.5, 4.0 * t - 1.0, 3.0 - 4.0 * t)
+
+    def _used(phase, step):
+        return jnp.mod(phase - step, 1.0)
+
+    if triangle_enabled:
+        tri_out = _triangle(_used(tri_phase, inc)) * 0.5
+    else:
+        tri_out = jnp.zeros_like(click_out)
+
+    # --- MorphOsc (ops/morph.py morph_block, op-for-op) ----------------------
+    tone = p("tone") + jnp.zeros_like(env)            # [Vp, B]
+    mix_control = (p("tone") / 100.0) * 2.0 - 1.0
+    color_midi = 30.0 + (p("color") / 100.0) * 20.0
+    cf1 = 440.0 * jnp.exp2((color_midi - 69.0) / 12.0)
+
+    m_main = _phase_cumsum_reset(inc, reset_f, ph_ref[:, 1:2])
+    m_tri = _phase_cumsum_reset(inc, reset_f, ph_ref[:, 2:3])
+    fixed_inc = jnp.full((Vp, B), np.float32(190.0 / sr))
+    m_fixed = _phase_cumsum_reset(fixed_inc, reset_f, ph_ref[:, 3:4])
+    m_gated = _phase_cumsum_reset(inc, reset_f, ph_ref[:, 4:5])
+
+    main_sine = jnp.sin(_T2_TWO_PI * _used(m_main, inc)) * 0.5
+    tri_m = _triangle(_used(m_tri, inc)) * 0.5
+    fixed_sine = jnp.sin(_T2_TWO_PI * _used(m_fixed, np.float32(190.0 / sr))) * 0.5
+    gated_sine = jnp.where(
+        tone < 99.0, jnp.sin(_T2_TWO_PI * _used(m_gated, inc)) * 0.2, 0.0)
+
+    elapsed_u = jax.lax.bitcast_convert_type(elapsed_i, jnp.uint32)
+    white = _white(elapsed_u, _T2_WHITE_SEED) * 0.2
+
+    # rand~ S&H with linear ramps at mtof(mtof(color_midi)) Hz; split-
+    # increment unwrapped accumulator, op-for-op with morph.accum (the
+    # {0,1}-coefficient base latch is exact under any scan order)
+    rand_freq = 440.0 * jnp.exp2((cf1 - 69.0) / 12.0)
+    inc_r = rand_freq / sr + jnp.zeros_like(env)
+    n1r = (jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(jnp.float32)
+           + 1.0)
+    inc0_r = inc_r[:, 0:1]
+    hi_r = jnp.floor(inc0_r * 2048.0) / 2048.0
+    lo_r = inc0_r - hi_r
+    ramp_r = hi_r * n1r + lo_r * n1r
+    resid_r = _affine_scan(jnp.ones_like(inc_r), inc_r - inc0_r,
+                           jnp.zeros_like(inc0_r))
+    p_r = ramp_r + resid_r
+    p_prev_r = _shift_right(p_r, 1, 0.0)
+    base_r = _affine_scan(1.0 - reset_f, reset_f * p_prev_r, -ph_ref[:, 5:6])
+    total = p_r - base_r
+    seg_local = jnp.floor(total)
+    frac = total - seg_local
+    seg_base = jnp.where(after, 0, seg_ref[...])
+    seg = seg_base + seg_local.astype(jnp.int32)
+    segu = jax.lax.bitcast_convert_type(seg, jnp.uint32)
+    tgt_r = jnp.where(seg >= 1, _white(segu, _T2_RAND_SEED), 0.0)
+    cur_r = jnp.where(seg >= 2, _white(segu - jnp.uint32(1), _T2_RAND_SEED), 0.0)
+    rand_value = cur_r + (tgt_r - cur_r) * frac
+
+    noise_combined = (white + rand_value) * 0.4
+    ch1 = main_sine * fixed_sine
+    ch2 = tri_m + noise_combined
+    ch3 = noise_combined + gated_sine
+    w1 = jnp.clip(-mix_control, 0.0, 1.0)
+    w2 = jnp.clip(1.0 - jnp.abs(mix_control), 0.0, 1.0)
+    w3 = jnp.clip(mix_control, 0.0, 1.0)
+    morph_out = ch1 * w1 + ch2 * w2 + ch3 * w3
+
+    mixed_ref[...] = click_out + tri_out + morph_out
+    env_ref[...] = env
+    done_ref[...] = main_done.astype(jnp.float32)
+    fade_ref[...] = fade_factor
+    freq_ref[...] = modulated_freq
+
+    # --- state advance --------------------------------------------------------
+    ntrig_ref[...] = jnp.where(has, bs + off, trig_prev)
+    ndec_ref[...] = jnp.where(has, decay_new, dec_ref[...])
+    nph_ref[:, 0:1] = jnp.mod(tri_phase[:, -1:], 1.0)
+    nph_ref[:, 1:2] = m_main[:, -1:]
+    nph_ref[:, 2:3] = m_tri[:, -1:]
+    nph_ref[:, 3:4] = m_fixed[:, -1:]
+    nph_ref[:, 4:5] = m_gated[:, -1:]
+    nph_ref[:, 5:6] = frac[:, -1:]
+    nseg_ref[...] = seg[:, -1:]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "block_size", "triangle_enabled", "interpret"))
+def tom2_sources_fused(state, trig_offset, block_start, *,
+                       sample_rate, block_size, triangle_enabled=True,
+                       interpret=None):
+    """Fused tom2 source stage; XLA twin: tom2.render_block's front half.
+
+    Eligibility (callers gate): single-trigger offsets ([V]),
+    V <= MAX_FUSED_VOICES.  Velocity is ignored (tom2.rs trigger).
+
+    Returns ``(front, mixed, env, main_done, fade_factor, modulated_freq)``
+    where ``front = (trig_sample, decay_s, tri_phase, MorphState)`` are the
+    advanced front-half state leaves; the caller runs the bandpass/membrane
+    recurrences and output composition on the shared XLA path.
+    """
+    from libgooey_tpu.ops import morph as morph_mod
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = block_size
+    V = state.trig_sample.shape[0]
+    Vp = max(8, ((V + 7) // 8) * 8)
+
+    par = _pad_rows(state.params, Vp, 50.0)
+    off = _pad_rows(jnp.asarray(trig_offset, jnp.int32)[:, None], Vp, B)
+    trig = _pad_rows(state.trig_sample[:, None], Vp, np.int32(-(2 ** 30)))
+    dec = _pad_rows(state.decay_s[:, None], Vp, 1.0)
+    ph = _pad_rows(jnp.stack([
+        state.tri_phase, state.morph.main_phase, state.morph.tri_phase,
+        state.morph.fixed_phase, state.morph.gated_phase,
+        state.morph.rand_frac], axis=1), Vp)
+    seg = _pad_rows(state.morph.rand_seg[:, None], Vp)
+    bs = jnp.asarray(block_start, jnp.int32).reshape(1)
+
+    kern = functools.partial(
+        _tom2_kernel, sr=float(sample_rate), B=B,
+        triangle_enabled=bool(triangle_enabled))
+    mixed, env, done, fade, freq, ntrig, ndec, nph, nseg = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Vp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
+            jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
+        ),
+        in_specs=[_vmem()] * 6 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(_vmem(),) * 9,
+        interpret=interpret,
+    )(par, off, trig, dec, ph, seg, bs)
+
+    front = (
+        ntrig[:V, 0],
+        ndec[:V, 0],
+        nph[:V, 0],
+        morph_mod.MorphState(
+            main_phase=nph[:V, 1],
+            tri_phase=nph[:V, 2],
+            fixed_phase=nph[:V, 3],
+            gated_phase=nph[:V, 4],
+            rand_seg=nseg[:V, 0],
+            rand_frac=nph[:V, 5],
+        ),
+    )
+    return (front, mixed[:V], env[:V], done[:V] > 0.5, fade[:V], freq[:V])

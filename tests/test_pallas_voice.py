@@ -154,3 +154,50 @@ def test_fused_dispatch_gate():
             assert float(jnp.max(jnp.abs(out_x - out_f))) < 3e-5
     finally:
         pv.IMPL = prev
+
+
+def test_tom2_fused_matches_xla_twin():
+    """Tom2's single-kernel fused bank vs the stage-by-stage XLA twin.
+
+    Tom2 params are plain 0-100 values (unsmoothed, tom2.rs); velocity is
+    ignored by its trigger.  Membrane + bandpass + morph/rand state must
+    round-trip bit-comparably across blocks.
+    """
+    from libgooey_tpu.instruments import tom2
+
+    V = 5
+    rng = np.random.default_rng(42)
+    targets = (rng.uniform(0, 1, (V, tom2.NUM_PARAMS)) * 100.0).astype(np.float32)
+    targets[:, tom2.PARAM_INDEX["tuning"]] /= 100.0     # tuning is 0-1
+    targets[0] = tom2.Tom2Config.ring().as_array()      # membrane-heavy preset
+    targets[1] = tom2.Tom2Config.brush().as_array()     # high color (fast rand~)
+    state_x = tom2.init_state(V, targets=targets)
+    state_f = state_x
+    offs = [np.array([0, 40, B, 3, 100], np.int32),
+            np.array([B, B, 17, B, B], np.int32),
+            np.array([5, B, B, B, 0], np.int32)]
+    vels = np.ones(V, np.float32)
+    # Both paths must run JITTED: XLA's compiled exp2 differs from the
+    # eager path by a few ulp, and tom2's double-mtof (rand~ rate)
+    # amplifies that into ~6e-4 of rand-phase drift.  The engine always
+    # runs under jit, so jit-vs-jit is the operationally meaningful
+    # equality.  (The bandpass/membrane recurrences are shared code —
+    # tom2's fused path only swaps the source stage.)
+    twin = jax.jit(
+        lambda st, off, bs: tom2.render_block(
+            st, off, vels, bs, sample_rate=SR, block_size=B,
+            smooth_coeff=COEFF, fused=False))
+    prev = pv.IMPL
+    try:
+        pv.IMPL = "pallas"
+        fused_fn = jax.jit(
+            lambda st, off, bs: tom2.render_block(
+                st, off, vels, bs, sample_rate=SR, block_size=B,
+                smooth_coeff=COEFF, fused=True))
+        for blk, off in enumerate(offs):
+            state_x, out_x = twin(state_x, off, np.int32(blk * B))
+            state_f, out_f = fused_fn(state_f, off, np.int32(blk * B))
+            assert float(jnp.max(jnp.abs(out_x - out_f))) < 3e-5, blk
+            assert _max_state_err(state_x, state_f) < 4e-4, blk
+    finally:
+        pv.IMPL = prev

@@ -69,6 +69,33 @@ def make_floor_runner(n_blocks):
     return lambda: jax.block_until_ready(run(jnp.float32(0.0)))
 
 
+def make_families_runner(n_blocks):
+    """All five family banks back-to-back in ONE jitted scan, no mix/master:
+    isolates family compute + inter-family sequencing from the engine
+    epilogue (pan/gain smoothing, einsum mix, master, limiter)."""
+    mods = {k: eng.FAMILIES[k] for k in PER_FAMILY}
+    states = {k: mods[k].init_state(V) for k, V in PER_FAMILY.items()}
+    offs = {k: jnp.zeros(V, jnp.int32) for k, V in PER_FAMILY.items()}
+    vels = {k: jnp.full(V, 0.8, jnp.float32) for k, V in PER_FAMILY.items()}
+
+    @jax.jit
+    def run(sts):
+        def step(carry, i):
+            sts = dict(carry)
+            acc = jnp.float32(0.0)
+            for kind, mod in mods.items():
+                sts[kind], out = mod.render_block(
+                    sts[kind], offs[kind], vels[kind], jnp.int32(i) * B,
+                    sample_rate=SR, block_size=B, smooth_coeff=COEFF,
+                    **FAMILY_STATIC.get(kind, {}))
+                acc = acc + jnp.sum(out[:, -1])
+            return sts, acc
+
+        return jax.lax.scan(step, sts, jnp.arange(n_blocks))
+
+    return lambda: jax.block_until_ready(run(states))
+
+
 def make_full_runner(n_blocks, fx=True):
     """The exact composed product step (entry() kit [+ all-10 chain])."""
     import __graft_entry__ as ge
@@ -114,6 +141,8 @@ def main():
     for kind in PER_FAMILY:
         if only is None or kind in only:
             cands[kind] = make_family_runner(kind, n)
+    if only is None or "families" in only:
+        cands["families_seq"] = make_families_runner(n)
     if only is None or "kit" in only:
         cands["kit_nofx"] = make_full_runner(n, fx=False)
     if only is None or "full" in only:

@@ -300,7 +300,7 @@ def smoke_voice_fused():
               "snare": dict(max_harmonics=64)}
     prev = pv.IMPL
     try:
-        for kind in ("kick", "snare", "hihat2", "bass"):
+        for kind in ("kick", "snare", "hihat2", "bass", "tom2"):
             t0 = time.perf_counter()
             mod = eng.FAMILIES[kind]
             state = mod.init_state(V)
