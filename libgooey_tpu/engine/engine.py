@@ -192,8 +192,63 @@ def _render_all(
             * (events["lfo_phase"][:, None] + n[None, :] * events["lfo_inc"][:, None])
         ) * events["lfo_amount"][:, None]          # [8, B]
 
+    # --- kit mega-kernel batch: eligible families render through TWO merged
+    # pallas calls (pallas_voice.kit_render_fused) instead of one+ per
+    # family — the composed product step is launch-bound (~20 us per
+    # in-graph pallas call).  Eligibility mirrors each family's own fused
+    # gate; ineligible kinds (multi-trigger blocks, LFO-routed params,
+    # kick feedback path, oversized banks) fall through to the per-family
+    # path below unchanged.
+    from libgooey_tpu.ops import pallas_voice as _pv
+
+    kit_results = {}
+    if (
+        fused_banks
+        and _pv.IMPL != "xla"
+        and (jax.default_backend() == "tpu" or _pv.IMPL == "pallas")
+    ):
+        kit_kinds = []
+        for kind in kinds:
+            if kind not in ("kick", "snare", "hihat2", "bass", "tom2"):
+                continue
+            if any(r[1] == kind for r in lfo_routes):
+                continue
+            st = static.get(kind, {})
+            if kind == "kick" and (st.get("feedback_path", False)
+                                   or st.get("os_mode", 4) != 4):
+                continue
+            if kind in ("snare", "bass") and st.get("os_mode", 4) != 4:
+                continue
+            if events[kind + "_off"].ndim != 1:
+                continue
+            if state[kind].trig_sample.shape[0] > _pv.MAX_FUSED_VOICES:
+                continue
+            kit_kinds.append(kind)
+        if len(kit_kinds) >= 2:
+            kit_results = _pv.kit_render_fused(
+                {k: state[k] for k in kit_kinds},
+                {k: events[k + "_off"] for k in kit_kinds},
+                {k: events[k + "_vel"] for k in kit_kinds},
+                events["block_start"],
+                kinds=tuple(kit_kinds),
+                sample_rate=sample_rate,
+                block_size=block_size,
+                smooth_coeff=smooth_coeff,
+                kick_max_harmonics=static.get("kick", {}).get(
+                    "max_harmonics", 256),
+                snare_max_harmonics=static.get("snare", {}).get(
+                    "max_harmonics", 256),
+                bass_note_freq=(events.get("bass_freq")
+                                if "bass" in kit_kinds else None),
+            )
+
     voice_outs = []
     for kind in kinds:
+        if kind in kit_results:
+            bank_state, out = kit_results[kind]
+            new_state[kind] = bank_state
+            voice_outs.append(out)
+            continue
         mod = FAMILIES[kind]
         overrides = None
         kind_routes = [r for r in lfo_routes if r[1] == kind]

@@ -248,6 +248,30 @@ def render_block(
         new_decay = jnp.where(has_trig, decay_new, state.decay_s)
         new_tri_phase = jnp.mod(tri_phase[:, -1], 1.0)
 
+    bp_state, mem_state, out = _back_half(
+        state, at_trig, elapsed_i, mixed, env, main_done, fade_factor,
+        modulated_freq, sr)
+
+    new_state = Tom2State(
+        params=state.params,
+        trig_sample=new_trig,
+        decay_s=new_decay,
+        tri_phase=new_tri_phase,
+        morph=morph_state,
+        bandpass=bp_state,
+        membrane=mem_state,
+    )
+    return new_state, out
+
+
+def _back_half(state, at_trig, elapsed_i, mixed, env, main_done, fade_factor,
+               modulated_freq, sr):
+    """Bandpass + membrane recurrences and output composition — shared by
+    the XLA path, the per-family fused path, and the kit mega-kernel path
+    (the resonators stay on the sample-sequential bank path; see
+    render_block)."""
+    p = lambda name: state.params[:, PARAM_INDEX[name]][:, None]  # [V,1]
+
     # --- pitch-tracking bandpass (q = 1 + (color/100)^2, gain 1.1) -------------
     filter_freq = jnp.maximum(modulated_freq, 20.0)
     color_n = p("color") / 100.0
@@ -275,7 +299,29 @@ def render_block(
     # fully inactive: main done and membrane not ringing (tom2.rs:478-482)
     out = jnp.where(main_done & (ring <= 0.0001), 0.0, out)
     out = jnp.where(elapsed_i >= 0, out, 0.0)
+    return bp_state, mem_state, out
 
+
+def finish_fused(state, trig_offset, block_start, front, mixed, env,
+                 main_done, fade_factor, modulated_freq, *, sample_rate,
+                 block_size):
+    """Finish a fused source-stage render (kit mega-kernel path): recompute
+    the trigger geometry, run the shared back half, assemble Tom2State."""
+    B = block_size
+    n_local = jnp.arange(B, dtype=jnp.int32)
+    off = jnp.asarray(trig_offset, jnp.int32)[:, None]            # [V, 1]
+    block_start = jnp.asarray(block_start, jnp.int32)
+    valid = off < B
+    at_trig = (n_local[None, :] == off) & valid
+    after = (n_local[None, :] >= off) & valid
+    trig_eff = jnp.where(after, block_start + off,
+                         state.trig_sample[:, None])
+    elapsed_i = (block_start + n_local)[None, :] - trig_eff
+
+    new_trig, new_decay, new_tri_phase, morph_state = front
+    bp_state, mem_state, out = _back_half(
+        state, at_trig, elapsed_i, mixed, env, main_done, fade_factor,
+        modulated_freq, sample_rate)
     new_state = Tom2State(
         params=state.params,
         trig_sample=new_trig,

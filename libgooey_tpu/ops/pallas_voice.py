@@ -596,25 +596,67 @@ def _pad_rows(a, Vp, fill=0.0):
     return jnp.concatenate([jnp.asarray(a), pad], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "sample_rate", "block_size", "smooth_coeff", "max_harmonics", "interpret"))
-def kick_render_fused(state, trig_offset, trig_velocity, block_start, *,
-                      sample_rate, block_size, smooth_coeff,
-                      max_harmonics=128, interpret=None):
-    """Fused-kernel kick bank block; the XLA twin is kick.render_block.
+class _Phase:
+    """One family's contribution to a merged pallas_call.
 
-    Eligibility (callers gate): single-trigger offsets ([V]), no overrides,
-    feedback_path=False, os_mode=4, V <= MAX_FUSED_VOICES.
-
-    Returns ``(new_state, out[V, B])`` exactly like render_block.
+    The composed product kit is LAUNCH-bound: each in-graph pallas call
+    costs ~20 us regardless of its work (measured by scaling identical
+    hihat2 banks), so the five family source kernels and the two drive
+    kernels merge into ONE call each via :func:`_mega_pallas`.  A phase
+    records the family's kernel body, its VMEM operands, its output
+    shapes, and where the shared SMEM ``block_start`` ref slots into the
+    kernel's positional ref list (None = kernel takes no bs).
     """
-    from libgooey_tpu.effects import feedback_waveshaper as fbws
-    from libgooey_tpu.instruments import kick as kick_mod
-    from libgooey_tpu.ops import pallas_fx
 
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    B = block_size
+    def __init__(self, kern, ins, out_shapes, bs_index):
+        self.kern = kern
+        self.ins = list(ins)
+        self.out_shapes = tuple(out_shapes)
+        self.bs_index = bs_index
+
+
+def _mega_pallas(phases, bs, interpret):
+    """Run several family kernels as ONE pallas_call; returns per-phase
+    output tuples.  Each phase's kernel body executes sequentially inside
+    the merged kernel on its own ref subset — bodies are unchanged, so
+    twin equality per family is preserved exactly."""
+    all_ins = [a for ph in phases for a in ph.ins]
+    n_in = len(all_ins)
+    out_shapes = tuple(s for ph in phases for s in ph.out_shapes)
+    counts = [(len(ph.ins), len(ph.out_shapes), ph.kern, ph.bs_index)
+              for ph in phases]
+
+    def body(*refs):
+        ins = refs[:n_in]
+        bs_ref = refs[n_in]
+        outs = refs[n_in + 1:]
+        i = o = 0
+        for n_i, n_o, kern, bsi in counts:
+            args = list(ins[i:i + n_i])
+            if bsi is not None:
+                args.insert(bsi, bs_ref)
+            kern(*(args + list(outs[o:o + n_o])))
+            i += n_i
+            o += n_o
+
+    flat = pl.pallas_call(
+        body,
+        out_shape=out_shapes,
+        in_specs=[_vmem()] * n_in + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(_vmem(),) * len(out_shapes),
+        interpret=interpret,
+    )(*(all_ins + [jnp.asarray(bs, jnp.int32).reshape(1)]))
+    if len(out_shapes) == 1:
+        flat = (flat,)
+    res, o = [], 0
+    for ph in phases:
+        res.append(tuple(flat[o:o + len(ph.out_shapes)]))
+        o += len(ph.out_shapes)
+    return res
+
+
+def _kick_phase_a(state, trig_offset, trig_velocity, B, sr, coeff,
+                  max_harmonics):
     V = state.trig_sample.shape[0]
     Vp = max(8, ((V + 7) // 8) * 8)
 
@@ -630,28 +672,32 @@ def kick_render_fused(state, trig_offset, trig_velocity, block_start, *,
     fst = _pad_rows(jnp.concatenate([
         state.click_hp.y[:, None], state.noise_svf.ic1[:, None],
         state.noise_svf.ic2[:, None], state.pink.fstate], axis=1), Vp)
-    bs = jnp.asarray(block_start, jnp.int32).reshape(1)
 
     kern_a = functools.partial(
-        _kick_a_kernel, sr=float(sample_rate), coeff=float(smooth_coeff),
+        _kick_a_kernel, sr=float(sr), coeff=float(coeff),
         max_harmonics=int(max_harmonics), B=B, seed=0x9ABCDEF0)
-    total, ampsc, ncur, nlat, ntrig, nfst = pl.pallas_call(
-        kern_a,
-        out_shape=(
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, _KICK_NP), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
-        ),
-        in_specs=[_vmem()] * 7 + [
-            pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(_vmem(),) * 6,
-        interpret=interpret,
-    )(cur, tgt, off, vel, trig, lat, fst, bs)
+    shapes = (
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, _KICK_NP), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
+        jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
+    )
+    ins = [cur, tgt, off, vel, trig, lat, fst]
+    return _Phase(kern_a, ins, shapes, len(ins)), dict(V=V, Vp=Vp, cur=cur,
+                                                       tgt=tgt)
 
-    # --- envelope follower + makeup gain (XLA + env bank kernel) -----------
+
+def _kick_phase_m(state, ctx, outs_a, sr, coeff, B, interpret):
+    """Envelope follower + makeup gain between kernels A and B; returns
+    kick's B-kernel phase and the middle context."""
+    from libgooey_tpu.effects import feedback_waveshaper as fbws
+    from libgooey_tpu.ops import pallas_fx
+
+    V, Vp, cur, tgt = ctx["V"], ctx["Vp"], ctx["cur"], ctx["tgt"]
+    sample_rate, smooth_coeff = sr, coeff
+    total, ampsc, ncur, nlat, ntrig, nfst = outs_a
     q = np.float32(1.0 - smooth_coeff)
     powq = q ** jnp.arange(1, B + 1, dtype=jnp.float32)
 
@@ -680,17 +726,25 @@ def kick_render_fused(state, trig_offset, trig_velocity, block_start, *,
 
     kern_b = functools.partial(
         _kick_b_kernel, sr=float(sample_rate), coeff=float(smooth_coeff), B=B)
-    out, nst, nfilt = pl.pallas_call(
-        kern_b,
-        out_shape=(
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((2 * Vp, _K_OUT), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 1), jnp.float32),
-        ),
-        in_specs=[_vmem()] * 7,
-        out_specs=(_vmem(),) * 3,
-        interpret=interpret,
-    )(total, _pad_rows(comp_signed, Vp, -1.0), ampsc, cur, tgt, packed, filt0)
+    shapes_b = (
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((2 * Vp, _K_OUT), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 1), jnp.float32),
+    )
+    ins_b = [total, _pad_rows(comp_signed, Vp, -1.0), ampsc, cur, tgt,
+             packed, filt0]
+    phase_b = _Phase(kern_b, ins_b, shapes_b, None)
+    return phase_b, dict(bypass=bypass, env_last=env_last)
+
+
+def _kick_finish(state, ctx, mctx, outs_a, outs_b):
+    from libgooey_tpu.effects import feedback_waveshaper as fbws
+    from libgooey_tpu.instruments import kick as kick_mod
+
+    V, Vp = ctx["V"], ctx["Vp"]
+    _total, _ampsc, ncur, nlat, ntrig, nfst = outs_a
+    bypass, env_last = mctx["bypass"], mctx["env_last"]
+    out, nst, nfilt = outs_b
 
     if Vp != V:
         nst = jnp.concatenate([nst[:V], nst[Vp:Vp + V]], axis=0)
@@ -725,6 +779,29 @@ def kick_render_fused(state, trig_offset, trig_velocity, block_start, *,
             dc_x1=dc_x1, dc_y1=dc_y1, env=env_last, ovs=new_ovs),
     )
     return new_state, out[:V]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "block_size", "smooth_coeff", "max_harmonics", "interpret"))
+def kick_render_fused(state, trig_offset, trig_velocity, block_start, *,
+                      sample_rate, block_size, smooth_coeff,
+                      max_harmonics=128, interpret=None):
+    """Fused-kernel kick bank block; the XLA twin is kick.render_block.
+
+    Eligibility (callers gate): single-trigger offsets ([V]), no overrides,
+    feedback_path=False, os_mode=4, V <= MAX_FUSED_VOICES.
+
+    Returns ``(new_state, out[V, B])`` exactly like render_block.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, sr, coeff = block_size, sample_rate, smooth_coeff
+    phase_a, ctx = _kick_phase_a(state, trig_offset, trig_velocity, B, sr,
+                                 coeff, max_harmonics)
+    (outs_a,) = _mega_pallas([phase_a], block_start, interpret)
+    phase_b, mctx = _kick_phase_m(state, ctx, outs_a, sr, coeff, B, interpret)
+    (outs_b,) = _mega_pallas([phase_b], block_start, interpret)
+    return _kick_finish(state, ctx, mctx, outs_a, outs_b)
 
 # --- snare: sources kernel + (sequential Chamberlin) + drive kernel ------------
 
@@ -870,26 +947,8 @@ def _snare_b_kernel(cur_ref, tgt_ref, off_ref, vel_ref, trig_ref, lat_ref,
     out_ref[...] = shaped * amp_env * jnp.sqrt(vel) * ctx.ptraj("volume")
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "sample_rate", "block_size", "smooth_coeff", "max_harmonics", "os_mode",
-    "interpret"))
-def snare_render_fused(state, trig_offset, trig_velocity, block_start, *,
-                       sample_rate, block_size, smooth_coeff,
-                       max_harmonics=128, os_mode=4, interpret=None):
-    """Fused snare bank block; XLA twin: snare.render_block.
-
-    The Chamberlin SVF runs OUTSIDE via filters.chamberlin_block so its
-    recurrence keeps the sample-sequential bank kernel (high-Q resonators
-    amplify lane-scan reassociation noise past the oracle bar; see
-    ops/scan.py LINREC2_IMPL).
-    """
-    from libgooey_tpu.instruments import snare as snare_mod
-    from libgooey_tpu.core.smoother import SmootherBank
-    from libgooey_tpu.ops import filters as filt_mod
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    B = block_size
+def _snare_phase_a(state, trig_offset, trig_velocity, B, sr, coeff,
+                   max_harmonics):
     V = state.trig_sample.shape[0]
     Vp = max(8, ((V + 7) // 8) * 8)
 
@@ -901,26 +960,32 @@ def snare_render_fused(state, trig_offset, trig_velocity, block_start, *,
     lat = _pad_rows(jnp.stack([
         state.velocity, state.pitch_mult, state.amp_curve, state.tonal_curve,
         state.amp_decay, state.pm_active], axis=1), Vp, 1.0)
-    bs = jnp.asarray(block_start, jnp.int32).reshape(1)
 
     kern_a = functools.partial(
-        _snare_a_kernel, sr=float(sample_rate), coeff=float(smooth_coeff),
+        _snare_a_kernel, sr=float(sr), coeff=float(coeff),
         max_harmonics=int(max_harmonics), B=B, seed=0x9ABCDEF0)
-    dry, nraw, ncur, nlat, ntrig = pl.pallas_call(
-        kern_a,
-        out_shape=(
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, _SNARE_NP), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
-        ),
-        in_specs=[_vmem()] * 6 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(_vmem(),) * 5,
-        interpret=interpret,
-    )(cur, tgt, off, vel, trig, lat, bs)
+    shapes = (
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, _SNARE_NP), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
+    )
+    ins = [cur, tgt, off, vel, trig, lat]
+    ctx = dict(V=V, Vp=Vp, cur=cur, tgt=tgt, off=off, vel=vel, trig=trig,
+               lat=lat)
+    return _Phase(kern_a, ins, shapes, len(ins)), ctx
 
-    # --- Chamberlin SVF (sequential linrec2 path) + tap select ----------------
+
+def _snare_phase_m(state, ctx, outs_a, trig_offset, sr, coeff, B, interpret):
+    """Chamberlin SVF (sequential linrec2 bank) + tap select between the
+    source and drive kernels; returns snare's B-kernel phase."""
+    from libgooey_tpu.instruments import snare as snare_mod
+    from libgooey_tpu.ops import filters as filt_mod
+
+    V, Vp, cur, tgt = ctx["V"], ctx["Vp"], ctx["cur"], ctx["tgt"]
+    sample_rate, smooth_coeff = sr, coeff
+    dry, nraw, ncur, nlat, ntrig = outs_a
     q = np.float32(1.0 - smooth_coeff)
     powq = q ** jnp.arange(1, B + 1, dtype=jnp.float32)
 
@@ -950,17 +1015,27 @@ def snare_render_fused(state, trig_offset, trig_velocity, block_start, *,
 
     kern_b = functools.partial(
         _snare_b_kernel, sr=float(sample_rate), coeff=float(smooth_coeff), B=B)
-    out, nst = pl.pallas_call(
-        kern_b,
-        out_shape=(
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((2 * Vp, _K_OUT), jnp.float32),
-        ),
-        in_specs=[_vmem()] * 6 + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [_vmem()] * 3,
-        out_specs=(_vmem(),) * 2,
-        interpret=interpret,
-    )(cur, tgt, off, vel, trig, lat, bs, dry, _pad_rows(filtered, Vp), packed)
+    shapes_b = (
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((2 * Vp, _K_OUT), jnp.float32),
+    )
+    # snare's B kernel takes bs between its 6 state refs and the 3 signal
+    # refs (index 6 of the positional ref list)
+    ins_b = [ctx["cur"], ctx["tgt"], ctx["off"], ctx["vel"], ctx["trig"],
+             ctx["lat"], dry, _pad_rows(filtered, Vp), packed]
+    phase_b = _Phase(kern_b, ins_b, shapes_b, 6)
+    od = traj(_SP["overdrive"])
+    return phase_b, dict(svf_state=svf_state, od=od)
+
+
+def _snare_finish(state, ctx, mctx, outs_a, outs_b):
+    from libgooey_tpu.core.smoother import SmootherBank
+    from libgooey_tpu.instruments import snare as snare_mod
+
+    V, Vp = ctx["V"], ctx["Vp"]
+    _dry, _nraw, ncur, nlat, ntrig = outs_a
+    svf_state, _od = mctx["svf_state"], mctx["od"]
+    out, nst = outs_b
 
     if Vp != V:
         nst = jnp.concatenate([nst[:V], nst[Vp:Vp + V]], axis=0)
@@ -970,7 +1045,6 @@ def snare_render_fused(state, trig_offset, trig_velocity, block_start, *,
     # effects/freeze.py).  drive = 1 + od*9 <= 1 <=> od traj <= 0.
     from libgooey_tpu.effects import freeze as frz
 
-    _od = traj(_SP["overdrive"])
     new_ovs = frz.hold_where(jnp.all(_od <= 0.0, axis=-1), state.ovs, new_ovs)
 
     new_state = snare_mod.SnareState(
@@ -987,6 +1061,31 @@ def snare_render_fused(state, trig_offset, trig_velocity, block_start, *,
         noise_svf=svf_state,
     )
     return new_state, out[:V]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "block_size", "smooth_coeff", "max_harmonics", "os_mode",
+    "interpret"))
+def snare_render_fused(state, trig_offset, trig_velocity, block_start, *,
+                       sample_rate, block_size, smooth_coeff,
+                       max_harmonics=128, os_mode=4, interpret=None):
+    """Fused snare bank block; XLA twin: snare.render_block.
+
+    The Chamberlin SVF runs OUTSIDE via filters.chamberlin_block so its
+    recurrence keeps the sample-sequential bank kernel (high-Q resonators
+    amplify lane-scan reassociation noise past the oracle bar; see
+    ops/scan.py LINREC2_IMPL).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, sr, coeff = block_size, sample_rate, smooth_coeff
+    phase_a, ctx = _snare_phase_a(state, trig_offset, trig_velocity, B, sr,
+                                  coeff, max_harmonics)
+    (outs_a,) = _mega_pallas([phase_a], block_start, interpret)
+    phase_b, mctx = _snare_phase_m(state, ctx, outs_a, trig_offset, sr,
+                                   coeff, B, interpret)
+    (outs_b,) = _mega_pallas([phase_b], block_start, interpret)
+    return _snare_finish(state, ctx, mctx, outs_a, outs_b)
 
 # --- bass: one fused kernel + (sequential SVF bank) ----------------------------
 
@@ -1111,24 +1210,7 @@ def _bass_kernel(cur_ref, tgt_ref, off_ref, vel_ref, nf_ref, trig_ref,
     nph_ref[:, 2:3] = det_phase[:, -1:]
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "sample_rate", "block_size", "smooth_coeff", "os_mode", "interpret"))
-def bass_render_fused(state, trig_offset, trig_velocity, block_start, *,
-                      sample_rate, block_size, smooth_coeff, note_freq=None,
-                      os_mode=4, interpret=None):
-    """Fused bass bank block; XLA twin: bass.render_block.
-
-    The swept TPT SVF (Q up to 15) keeps the sample-sequential svf_bank
-    kernel; oscillators/bleps/drive/envelopes fuse into one kernel.
-    """
-    from libgooey_tpu.core.smoother import SmootherBank
-    from libgooey_tpu.instruments import bass as bass_mod
-    from libgooey_tpu.ops import filters as filt_mod
-    from libgooey_tpu.ops import pallas_fx
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    B = block_size
+def _bass_phase_a(state, trig_offset, trig_velocity, note_freq, B, sr, coeff):
     V = state.trig_sample.shape[0]
     Vp = max(8, ((V + 7) // 8) * 8)
 
@@ -1151,27 +1233,34 @@ def bass_render_fused(state, trig_offset, trig_velocity, block_start, *,
     if Vp != V:
         z = jnp.zeros((Vp - V, packed.shape[1]), jnp.float32)
         packed = jnp.concatenate([packed[:V], z, packed[V:], z], axis=0)
-    bs = jnp.asarray(block_start, jnp.int32).reshape(1)
 
     kern = functools.partial(
-        _bass_kernel, sr=float(sample_rate), coeff=float(smooth_coeff), B=B)
-    satur, cut, res, ampsc, ncur, nlat, ntrig, nph, nst = pl.pallas_call(
-        kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, _BASS_NP), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Vp, 3), jnp.float32),
-            jax.ShapeDtypeStruct((2 * Vp, _K_OUT), jnp.float32),
-        ),
-        in_specs=[_vmem()] * 9 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(_vmem(),) * 9,
-        interpret=interpret,
-    )(cur, tgt, off, vel, nf, trig, lat, ph, packed, bs)
+        _bass_kernel, sr=float(sr), coeff=float(coeff), B=B)
+    shapes = (
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, _BASS_NP), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
+        jax.ShapeDtypeStruct((Vp, 3), jnp.float32),
+        jax.ShapeDtypeStruct((2 * Vp, _K_OUT), jnp.float32),
+    )
+    ins = [cur, tgt, off, vel, nf, trig, lat, ph, packed]
+    return _Phase(kern, ins, shapes, len(ins)), dict(V=V, Vp=Vp, cur=cur,
+                                                     tgt=tgt)
+
+
+def _bass_finish(state, ctx, outs_a, trig_offset, sr, coeff, B, interpret):
+    from libgooey_tpu.core.smoother import SmootherBank
+    from libgooey_tpu.instruments import bass as bass_mod
+    from libgooey_tpu.ops import filters as filt_mod
+
+    V, Vp, cur, tgt = ctx["V"], ctx["Vp"], ctx["cur"], ctx["tgt"]
+    sample_rate = sr
+    smooth_coeff = coeff
+    satur, cut, res, ampsc, ncur, nlat, ntrig, nph, nst = outs_a
 
     # --- swept SVF low-pass (sequential bank kernel, svf_tpt_outputs) ----------
     offs_v = jnp.asarray(trig_offset, jnp.int32)[:, None]
@@ -1213,6 +1302,25 @@ def bass_render_fused(state, trig_offset, trig_velocity, block_start, *,
         svf=svf_state,
     )
     return new_state, out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "block_size", "smooth_coeff", "os_mode", "interpret"))
+def bass_render_fused(state, trig_offset, trig_velocity, block_start, *,
+                      sample_rate, block_size, smooth_coeff, note_freq=None,
+                      os_mode=4, interpret=None):
+    """Fused bass bank block; XLA twin: bass.render_block.
+
+    The swept TPT SVF (Q up to 15) keeps the sample-sequential svf_bank
+    kernel; oscillators/bleps/drive/envelopes fuse into one kernel.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    phase, ctx = _bass_phase_a(state, trig_offset, trig_velocity, note_freq,
+                               block_size, sample_rate, smooth_coeff)
+    (outs,) = _mega_pallas([phase], block_start, interpret)
+    return _bass_finish(state, ctx, outs, trig_offset, sample_rate,
+                        smooth_coeff, block_size, interpret)
 
 # --- hihat2: one fused kernel ---------------------------------------------------
 
@@ -1388,19 +1496,7 @@ def _hihat2_kernel(cur_ref, tgt_ref, off_ref, vel_ref, trig_ref, lat_ref,
         npink_ref[:, i:i + 1] = pstate[i]
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "sample_rate", "block_size", "smooth_coeff", "interpret"))
-def hihat2_render_fused(state, trig_offset, trig_velocity, block_start, *,
-                        sample_rate, block_size, smooth_coeff, interpret=None):
-    """Fused HiHat2 bank block; XLA twin: hihat2.render_block."""
-    from libgooey_tpu.core.smoother import SmootherBank
-    from libgooey_tpu.instruments import hihat2 as hh2_mod
-    from libgooey_tpu.ops import filters as filt_mod
-    from libgooey_tpu.ops import noise as _noise
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    B = block_size
+def _hihat2_phase_a(state, trig_offset, trig_velocity, B, sr, coeff):
     V = state.trig_sample.shape[0]
     Vp = max(8, ((V + 7) // 8) * 8)
 
@@ -1421,29 +1517,33 @@ def hihat2_render_fused(state, trig_offset, trig_velocity, block_start, *,
     svf = _pad_rows(jnp.stack([state.svf.ic1, state.svf.ic2], axis=1), Vp)
     pink = _pad_rows(state.pink.fstate, Vp)
     salt = _pad_rows(state.voice_salt.astype(jnp.int32)[:, None], Vp)
-    bs = jnp.asarray(block_start, jnp.int32).reshape(1)
 
     kern = functools.partial(
-        _hihat2_kernel, sr=float(sample_rate), coeff=float(smooth_coeff),
-        B=B, seed=0x9ABCDEF0)
-    out, ncur, nlat, ntrig, nph, nhpf, nsvf, npink = pl.pallas_call(
-        kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, _HH2_NP), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Vp, 3), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 8), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 2), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 3), jnp.float32),
-        ),
-        in_specs=[_vmem()] * 13 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(_vmem(),) * 8,
-        interpret=interpret,
-    )(cur, tgt, off, vel, trig, lat, color, slope, ph, hpf, svf, pink, salt,
-      bs)
+        _hihat2_kernel, sr=float(sr), coeff=float(coeff), B=B,
+        seed=0x9ABCDEF0)
+    shapes = (
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, _HH2_NP), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
+        jax.ShapeDtypeStruct((Vp, 3), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 8), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 2), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 3), jnp.float32),
+    )
+    ins = [cur, tgt, off, vel, trig, lat, color, slope, ph, hpf, svf, pink,
+           salt]
+    return _Phase(kern, ins, shapes, len(ins)), dict(V=V)
 
+
+def _hihat2_finish(state, ctx, outs_a):
+    from libgooey_tpu.core.smoother import SmootherBank
+    from libgooey_tpu.instruments import hihat2 as hh2_mod
+    from libgooey_tpu.ops import filters as filt_mod
+    from libgooey_tpu.ops import noise as _noise
+
+    V = ctx["V"]
+    out, ncur, nlat, ntrig, nph, nhpf, nsvf, npink = outs_a
     new_state = hh2_mod.HiHat2State(
         params=SmootherBank(current=ncur[:V], target=state.params.target),
         noise_color=state.noise_color,
@@ -1462,6 +1562,19 @@ def hihat2_render_fused(state, trig_offset, trig_velocity, block_start, *,
         voice_salt=state.voice_salt,
     )
     return new_state, out[:V]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sample_rate", "block_size", "smooth_coeff", "interpret"))
+def hihat2_render_fused(state, trig_offset, trig_velocity, block_start, *,
+                        sample_rate, block_size, smooth_coeff, interpret=None):
+    """Fused HiHat2 bank block; XLA twin: hihat2.render_block."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    phase, ctx = _hihat2_phase_a(state, trig_offset, trig_velocity,
+                                 block_size, sample_rate, smooth_coeff)
+    (outs,) = _mega_pallas([phase], block_start, interpret)
+    return _hihat2_finish(state, ctx, outs)
 
 
 # --- tom2 sources kernel --------------------------------------------------------
@@ -1644,6 +1757,59 @@ def _tom2_kernel(par_ref, off_ref, trig_ref, dec_ref, ph_ref, seg_ref,
     nseg_ref[...] = seg[:, -1:]
 
 
+def _tom2_phase_a(state, trig_offset, B, sr, triangle_enabled):
+    V = state.trig_sample.shape[0]
+    Vp = max(8, ((V + 7) // 8) * 8)
+
+    par = _pad_rows(state.params, Vp, 50.0)
+    off = _pad_rows(jnp.asarray(trig_offset, jnp.int32)[:, None], Vp, B)
+    trig = _pad_rows(state.trig_sample[:, None], Vp, np.int32(-(2 ** 30)))
+    dec = _pad_rows(state.decay_s[:, None], Vp, 1.0)
+    ph = _pad_rows(jnp.stack([
+        state.tri_phase, state.morph.main_phase, state.morph.tri_phase,
+        state.morph.fixed_phase, state.morph.gated_phase,
+        state.morph.rand_frac], axis=1), Vp)
+    seg = _pad_rows(state.morph.rand_seg[:, None], Vp)
+
+    kern = functools.partial(
+        _tom2_kernel, sr=float(sr), B=B,
+        triangle_enabled=bool(triangle_enabled))
+    shapes = (
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, B), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
+        jax.ShapeDtypeStruct((Vp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
+        jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
+    )
+    ins = [par, off, trig, dec, ph, seg]
+    return _Phase(kern, ins, shapes, len(ins)), dict(V=V)
+
+
+def _tom2_finish(state, ctx, outs_a):
+    from libgooey_tpu.ops import morph as morph_mod
+
+    V = ctx["V"]
+    mixed, env, done, fade, freq, ntrig, ndec, nph, nseg = outs_a
+    front = (
+        ntrig[:V, 0],
+        ndec[:V, 0],
+        nph[:V, 0],
+        morph_mod.MorphState(
+            main_phase=nph[:V, 1],
+            tri_phase=nph[:V, 2],
+            fixed_phase=nph[:V, 3],
+            gated_phase=nph[:V, 4],
+            rand_seg=nseg[:V, 0],
+            rand_frac=nph[:V, 5],
+        ),
+    )
+    return (front, mixed[:V], env[:V], done[:V] > 0.5, fade[:V], freq[:V])
+
+
 @functools.partial(jax.jit, static_argnames=(
     "sample_rate", "block_size", "triangle_enabled", "interpret"))
 def tom2_sources_fused(state, trig_offset, block_start, *,
@@ -1659,57 +1825,106 @@ def tom2_sources_fused(state, trig_offset, block_start, *,
     advanced front-half state leaves; the caller runs the bandpass/membrane
     recurrences and output composition on the shared XLA path.
     """
-    from libgooey_tpu.ops import morph as morph_mod
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    phase, ctx = _tom2_phase_a(state, trig_offset, block_size, sample_rate,
+                               triangle_enabled)
+    (outs,) = _mega_pallas([phase], block_start, interpret)
+    return _tom2_finish(state, ctx, outs)
+
+
+# --- kit composition: all families in two merged pallas calls -------------------
+
+
+def kit_render_fused(states, offs, vels, block_start, *, kinds, sample_rate,
+                     block_size, smooth_coeff, kick_max_harmonics=256,
+                     snare_max_harmonics=256, tom2_triangle=True,
+                     bass_note_freq=None, interpret=None):
+    """Render several instrument families through TWO merged pallas calls.
+
+    The composed product kit is launch-bound (~20 us per in-graph pallas
+    call, measured by scaling identical banks), so instead of 5 source
+    kernels + 2 drive kernels this runs ONE merged source call (kick A,
+    snare A, hihat2, bass, tom2 sources) and ONE merged drive call
+    (kick B + snare B).  Kernel bodies are the per-family ones, unchanged
+    — twin equality per family is untouched; the sample-sequential
+    recurrences (kick env follower, snare Chamberlin, bass swept SVF,
+    tom2 bandpass/membrane) stay on their bank paths between the calls.
+
+    ``kinds`` is the static tuple of families to render (each present in
+    ``states``/``offs``/``vels``); returns ``{kind: (new_state, out)}``.
+    Callers gate eligibility exactly like the per-family wrappers
+    (single-trigger [V] offsets, no overrides, kick feedback_path=False,
+    V <= MAX_FUSED_VOICES).
+    """
+    from libgooey_tpu.instruments import tom2 as tom2_mod
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B = block_size
-    V = state.trig_sample.shape[0]
-    Vp = max(8, ((V + 7) // 8) * 8)
+    B, sr, coeff = block_size, sample_rate, smooth_coeff
 
-    par = _pad_rows(state.params, Vp, 50.0)
-    off = _pad_rows(jnp.asarray(trig_offset, jnp.int32)[:, None], Vp, B)
-    trig = _pad_rows(state.trig_sample[:, None], Vp, np.int32(-(2 ** 30)))
-    dec = _pad_rows(state.decay_s[:, None], Vp, 1.0)
-    ph = _pad_rows(jnp.stack([
-        state.tri_phase, state.morph.main_phase, state.morph.tri_phase,
-        state.morph.fixed_phase, state.morph.gated_phase,
-        state.morph.rand_frac], axis=1), Vp)
-    seg = _pad_rows(state.morph.rand_seg[:, None], Vp)
-    bs = jnp.asarray(block_start, jnp.int32).reshape(1)
+    phases_a, ctxs = [], {}
+    for kind in kinds:
+        if kind == "kick":
+            ph, ctx = _kick_phase_a(states[kind], offs[kind], vels[kind],
+                                    B, sr, coeff, kick_max_harmonics)
+        elif kind == "snare":
+            ph, ctx = _snare_phase_a(states[kind], offs[kind], vels[kind],
+                                     B, sr, coeff, snare_max_harmonics)
+        elif kind == "hihat2":
+            ph, ctx = _hihat2_phase_a(states[kind], offs[kind], vels[kind],
+                                      B, sr, coeff)
+        elif kind == "bass":
+            ph, ctx = _bass_phase_a(states[kind], offs[kind], vels[kind],
+                                    bass_note_freq, B, sr, coeff)
+        elif kind == "tom2":
+            ph, ctx = _tom2_phase_a(states[kind], offs[kind], B, sr,
+                                    tom2_triangle)
+        else:
+            raise KeyError(f"kit_render_fused: unsupported family {kind!r}")
+        phases_a.append(ph)
+        ctxs[kind] = ctx
+    outs_a = dict(zip(kinds, _mega_pallas(phases_a, block_start, interpret)))
 
-    kern = functools.partial(
-        _tom2_kernel, sr=float(sample_rate), B=B,
-        triangle_enabled=bool(triangle_enabled))
-    mixed, env, done, fade, freq, ntrig, ndec, nph, nseg = pl.pallas_call(
-        kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, B), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Vp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 6), jnp.float32),
-            jax.ShapeDtypeStruct((Vp, 1), jnp.int32),
-        ),
-        in_specs=[_vmem()] * 6 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(_vmem(),) * 9,
-        interpret=interpret,
-    )(par, off, trig, dec, ph, seg, bs)
+    # --- middles (bank-path recurrences) + merged drive call ---------------
+    phases_b, b_order, mctxs = [], [], {}
+    if "kick" in kinds:
+        ph, mctx = _kick_phase_m(states["kick"], ctxs["kick"],
+                                 outs_a["kick"], sr, coeff, B, interpret)
+        phases_b.append(ph)
+        b_order.append("kick")
+        mctxs["kick"] = mctx
+    if "snare" in kinds:
+        ph, mctx = _snare_phase_m(states["snare"], ctxs["snare"],
+                                  outs_a["snare"], offs["snare"], sr, coeff,
+                                  B, interpret)
+        phases_b.append(ph)
+        b_order.append("snare")
+        mctxs["snare"] = mctx
+    outs_b = (dict(zip(b_order, _mega_pallas(phases_b, block_start,
+                                             interpret)))
+              if phases_b else {})
 
-    front = (
-        ntrig[:V, 0],
-        ndec[:V, 0],
-        nph[:V, 0],
-        morph_mod.MorphState(
-            main_phase=nph[:V, 1],
-            tri_phase=nph[:V, 2],
-            fixed_phase=nph[:V, 3],
-            gated_phase=nph[:V, 4],
-            rand_seg=nseg[:V, 0],
-            rand_frac=nph[:V, 5],
-        ),
-    )
-    return (front, mixed[:V], env[:V], done[:V] > 0.5, fade[:V], freq[:V])
+    results = {}
+    for kind in kinds:
+        if kind == "kick":
+            results[kind] = _kick_finish(states[kind], ctxs[kind],
+                                         mctxs[kind], outs_a[kind],
+                                         outs_b[kind])
+        elif kind == "snare":
+            results[kind] = _snare_finish(states[kind], ctxs[kind],
+                                          mctxs[kind], outs_a[kind],
+                                          outs_b[kind])
+        elif kind == "hihat2":
+            results[kind] = _hihat2_finish(states[kind], ctxs[kind],
+                                           outs_a[kind])
+        elif kind == "bass":
+            results[kind] = _bass_finish(states[kind], ctxs[kind],
+                                         outs_a[kind], offs[kind], sr,
+                                         coeff, B, interpret)
+        elif kind == "tom2":
+            front = _tom2_finish(states[kind], ctxs[kind], outs_a[kind])
+            results[kind] = tom2_mod.finish_fused(
+                states[kind], offs[kind], block_start, *front,
+                sample_rate=sr, block_size=B)
+    return results

@@ -201,3 +201,51 @@ def test_tom2_fused_matches_xla_twin():
             assert _max_state_err(state_x, state_f) < 4e-4, blk
     finally:
         pv.IMPL = prev
+
+
+def test_kit_mega_path_matches_per_family():
+    """engine._render_all's merged two-call kit path (pallas_voice.
+    kit_render_fused) vs the stage-by-stage XLA path, all five families +
+    mix + limiter, two chained blocks."""
+    from libgooey_tpu.core.smoother import SmootherBank as SB, smoothing_coeff
+    from libgooey_tpu.engine import engine as eng
+
+    per_family = {"kick": 4, "snare": 4, "hihat2": 4, "tom2": 3, "bass": 3}
+    total = sum(per_family.values())
+    state = {k: eng.FAMILIES[k].init_state(v) for k, v in per_family.items()}
+    state["pan"] = SB.init(np.linspace(0.2, 0.8, total).astype(np.float32))
+    state["gain"] = SB.init(np.full(total, 1.0 / total, np.float32))
+    state["master"] = SB.init(np.float32(0.25))
+    events = {"block_start": np.int32(0)}
+    rng = np.random.default_rng(7)
+    for k, v in per_family.items():
+        off = np.full(v, B, np.int32)
+        off[: max(1, v // 2)] = rng.integers(0, B, max(1, v // 2))
+        events[k + "_off"] = jnp.asarray(off)
+        events[k + "_vel"] = jnp.asarray(np.full(v, 0.9, np.float32))
+    static = dict(
+        kinds=tuple(per_family), sample_rate=SR, block_size=B,
+        smooth_coeff=smoothing_coeff(SR), limiter_threshold=1.0,
+        family_static=(("kick", (("feedback_path", False),
+                                 ("max_harmonics", 16))),
+                       ("snare", (("max_harmonics", 16),))),
+    )
+
+    def run(impl, st):
+        prev = pv.IMPL
+        try:
+            pv.IMPL = impl
+            step = jax.jit(lambda s, ev: eng._render_all(s, ev, **static))
+            st, out, mono = step(st, events)
+            ev2 = dict(events, block_start=np.int32(B))
+            st, out2, _ = step(st, ev2)
+            return st, np.asarray(out), np.asarray(out2)
+        finally:
+            pv.IMPL = prev
+
+    st_x, out_x, out2_x = run("xla", state)
+    st_f, out_f, out2_f = run("pallas", state)
+    assert float(np.abs(out_x - out_f).max()) < 3e-5
+    assert float(np.abs(out2_x - out2_f).max()) < 3e-5
+    for k in per_family:
+        assert _max_state_err(st_x[k], st_f[k]) < 4e-4, k
