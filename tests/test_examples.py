@@ -46,7 +46,7 @@ MODULES = [
 QUICK_MODULES = [
     "kick", "snare", "hihat", "hihat2", "tom", "tom2", "bass",
     "delay", "reverb", "reverb_lab", "tilt_filter", "lfo_test",
-    "sequencer", "membrane", "multi_channel_submix",
+    "sequencer", "membrane", "multi_channel_submix", "midi_drums",
 ]
 
 
