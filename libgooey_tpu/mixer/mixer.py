@@ -48,6 +48,42 @@ def _channel_block(buffer, pos, weights, base, length, gain_bank, chain_states,
     return bank, new_states, wet * traj[1][None, :]
 
 
+@partial(jax.jit, static_argnames=("wrap", "chain_key", "sample_rate", "coeff"))
+def _channel_blocks(buffer, pos, weights, base, length, targets_seq, gain_bank,
+                    chain_states, chain_targets, *, wrap: bool, chain_key,
+                    sample_rate: float, coeff: float):
+    """K-block scanned twin of :func:`_channel_block`.
+
+    ``pos``/``weights`` are ``[K, 2, B]`` host-planned read streams,
+    ``targets_seq`` the per-block gain/gate targets ``[K, 2]``.  One
+    device dispatch renders all K blocks (the per-block math is identical
+    to `_channel_block`; only the dispatch granularity changes), so the
+    per-call tunnel/dispatch floor amortizes K× for offline renders.
+    Returns ``(gain_bank', chain_states', wet[K, 2, B])``.
+    """
+
+    def body(carry, xs):
+        bank, states = carry
+        p, w, ba, ln, tg = xs
+        bank = bank.with_targets(tg)
+        dry = (
+            read_cubic(buffer, p[0], wrap, ln, ba) * w[0][None, :]
+            + read_cubic(buffer, p[1], wrap, ln, ba) * w[1][None, :]
+        )
+        bank, traj = smooth_block(bank, coeff, p.shape[-1])
+        gained = dry * traj[0][None, :]
+        states, wet = chain_mod.process_chain(
+            states, gained, chain_targets, chain_key, sample_rate=sample_rate
+        )
+        return (bank, tuple(states)), wet * traj[1][None, :]
+
+    (bank, states), wets = jax.lax.scan(
+        body, (gain_bank, tuple(chain_states)),
+        (pos, weights, base, length, targets_seq),
+    )
+    return bank, states, wets
+
+
 class Mixer:
     def __init__(self, sample_rate: float, bpm: float = 120.0,
                  block_size: int = 512, buffer_capacity: int = 1 << 21):
@@ -117,6 +153,72 @@ class Mixer:
             ch.chain.states = list(new_states)
             total = total + wet
         self.clip_grid.after_tick(B)
+        return total
+
+    def render_blocks(self, n_blocks: int):
+        """Batched offline render: plan ``n_blocks`` blocks on the host,
+        then dispatch ONE scanned device program per channel.
+
+        Semantically equivalent to ``n_blocks`` :meth:`render_block` calls —
+        the same f64 sweeps, quantized swaps, clip-grid actions and gain
+        trajectories run host-side in the same order; only the device
+        dispatch granularity changes, so the per-block tunnel/dispatch
+        floor amortizes ``n_blocks``×.  Returns ``[2, n_blocks * block]``
+        (device array).
+
+        A channel whose window wrap-ness changes mid-batch is split into
+        maximal uniform-wrap runs (wrap-ness is a trace-static read mode).
+        """
+        B = self.block
+        K = int(n_blocks)
+        plans = [[] for _ in self.channels]   # per channel: (pos, w, base, len, wrap)
+        targets = [[] for _ in self.channels]
+        for _k in range(K):
+            actions = self.clip_grid.before_tick(self.channels, B)
+            any_solo = any(ch.soloed for ch in self.channels)
+            for i, ch in enumerate(self.channels):
+                ch.audible = (not ch.muted) and ((not any_solo) or ch.soloed)
+                self._upload_if_dirty(i)
+                pos, weights, region, length, wraps = ch.sweep_positions(
+                    B, actions.get(i, ())
+                )
+                self._upload_if_dirty(i)
+                plans[i].append((pos, weights, region, length, bool(wraps)))
+                targets[i].append(
+                    np.array([ch.gain_target, 1.0 if ch.audible else 0.0],
+                             np.float32)
+                )
+            self.clip_grid.after_tick(B)
+
+        total = jnp.zeros((2, K * B), jnp.float32)
+        for i, ch in enumerate(self.channels):
+            wet_runs = []
+            k0 = 0
+            while k0 < K:
+                wrap = plans[i][k0][4]
+                k1 = k0
+                while k1 < K and plans[i][k1][4] == wrap:
+                    k1 += 1
+                run = plans[i][k0:k1]
+                pos = jnp.asarray(np.stack([p for p, *_ in run]))
+                wts = jnp.asarray(np.stack([w for _, w, *_ in run]))
+                base = jnp.asarray(
+                    np.stack([r for _, _, r, *_ in run]) * self.capacity
+                )
+                length = jnp.asarray(np.stack([ln for *_x, ln, _w in run]))
+                tgt = jnp.asarray(np.stack(targets[i][k0:k1]))
+                bank, new_states, wets = _channel_blocks(
+                    self._dev_buffers[i], pos, wts, base, length, tgt,
+                    self._gain_banks[i], tuple(ch.chain.states),
+                    tuple(ch.chain.targets_list()),
+                    wrap=wrap, chain_key=ch.chain.static_key(),
+                    sample_rate=self.sr, coeff=self._coeff,
+                )
+                self._gain_banks[i] = bank
+                ch.chain.states = list(new_states)
+                wet_runs.append(wets.transpose(1, 0, 2).reshape(2, -1))
+                k0 = k1
+            total = total + jnp.concatenate(wet_runs, axis=-1)
         return total
 
     # --- offline stem render (mod.rs:444-476) -----------------------------------
