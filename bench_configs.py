@@ -233,6 +233,32 @@ def bench_preserve_pitch_loops():
         finally:
             wsola.USE_DEVICE_SEARCH = False
 
+    # device-resident hop scan (ops/wsola_stream.py): the whole WSOLA loop
+    # — search, grain reads, overlap-add — runs inside one lax.scan, so a
+    # 32-block batch is ONE dispatch instead of one round trip per hop
+    K = 32
+    wsola.USE_DEVICE_SEARCH = True
+    try:
+        m = Mixer(SR, block_size=B, buffer_capacity=1 << 16)
+        m.set_bpm(180.0)
+        for ch in m.channels:
+            tone = (rng.randn(44100) * 0.3).astype(np.float32)
+            ch.set_buffer(StereoSampleBuffer.from_channels(
+                tone, tone, SR, 120.0))
+            ch.pitch_mode = PITCH_PRESERVE
+            ch.set_playing(True)
+        m.render_blocks(K)  # warm both n_hops variants
+        m.render_blocks(K)
+
+        def run():
+            return m.render_blocks(K)
+
+        wall = timed(run, iters=5, warmup=1) / K
+        report("preserve_pitch_4loops_device_stream", 4 * B / SR, wall,
+               f"4 WSOLA channels, warp 1.5, {K}-block batched hop scan")
+    finally:
+        wsola.USE_DEVICE_SEARCH = False
+
 
 def bench_sequenced_submix():
     from libgooey_tpu.gooey import GooeyEngine

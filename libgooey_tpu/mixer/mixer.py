@@ -169,8 +169,12 @@ class Mixer:
         A channel whose window wrap-ness changes mid-batch is split into
         maximal uniform-wrap runs (wrap-ness is a trace-static read mode).
         """
+        from libgooey_tpu.mixer import stream as stream_mod
+
         B = self.block
         K = int(n_blocks)
+        stream_cfgs = [stream_mod.stream_config(self, i)
+                       for i in range(len(self.channels))]
         plans = [[] for _ in self.channels]   # per channel: (pos, w, base, len, wrap)
         targets = [[] for _ in self.channels]
         for _k in range(K):
@@ -178,20 +182,32 @@ class Mixer:
             any_solo = any(ch.soloed for ch in self.channels)
             for i, ch in enumerate(self.channels):
                 ch.audible = (not ch.muted) and ((not any_solo) or ch.soloed)
+                targets[i].append(
+                    np.array([ch.gain_target, 1.0 if ch.audible else 0.0],
+                             np.float32)
+                )
+                if stream_cfgs[i] is not None:
+                    continue  # rendered through the device hop scan below
                 self._upload_if_dirty(i)
                 pos, weights, region, length, wraps = ch.sweep_positions(
                     B, actions.get(i, ())
                 )
                 self._upload_if_dirty(i)
                 plans[i].append((pos, weights, region, length, bool(wraps)))
-                targets[i].append(
-                    np.array([ch.gain_target, 1.0 if ch.audible else 0.0],
-                             np.float32)
-                )
             self.clip_grid.after_tick(B)
 
         total = jnp.zeros((2, K * B), jnp.float32)
         for i, ch in enumerate(self.channels):
+            if stream_cfgs[i] is not None:
+                wets = stream_mod.render_stream_channel(
+                    self, i, K, np.stack(targets[i]), stream_cfgs[i])
+                if wets is not None:
+                    total = total + wets.transpose(1, 0, 2).reshape(2, -1)
+                    continue
+                # batch shorter than the hop remainder: host-plan it instead
+                for _k in range(K):
+                    pos, weights, region, length, wraps = ch.sweep_positions(B)
+                    plans[i].append((pos, weights, region, length, bool(wraps)))
             wet_runs = []
             k0 = 0
             while k0 < K:

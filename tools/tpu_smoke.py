@@ -327,6 +327,37 @@ def smoke_entry():
     _ok("graft entry()", t0)
 
 
+def smoke_wsola_stream():
+    """Device-resident WSOLA hop scan (ops/wsola_stream.py): the hop
+    search/read kernels run at non-engine block lengths (hopB=1024,
+    grainB=2048) that only this path exercises."""
+    t0 = time.perf_counter()
+    from libgooey_tpu.mixer import wsola
+    from libgooey_tpu.mixer.loop_channel import PITCH_PRESERVE
+    from libgooey_tpu.mixer.mixer import Mixer
+    from libgooey_tpu.mixer.stereo_buffer import StereoSampleBuffer
+
+    old = wsola.USE_DEVICE_SEARCH
+    wsola.USE_DEVICE_SEARCH = True
+    try:
+        m = Mixer(SR, block_size=B, buffer_capacity=1 << 16)
+        m.set_bpm(180.0)
+        rng = np.random.RandomState(0)
+        tone = (rng.randn(1 << 15) * 0.3).astype(np.float32)
+        ch = m.channels[0]
+        ch.set_buffer(StereoSampleBuffer.from_channels(tone, tone, SR, 120.0))
+        ch.pitch_mode = PITCH_PRESERVE
+        ch.set_playing(True)
+        from libgooey_tpu.mixer import stream as stream_mod
+
+        assert stream_mod.stream_config(m, 0) is not None
+        out = np.asarray(m.render_blocks(8))
+        assert np.isfinite(out).all() and np.abs(out).max() > 1e-4
+    finally:
+        wsola.USE_DEVICE_SEARCH = old
+    _ok("wsola stream scan", t0)
+
+
 def main():
     print(f"# backend: {jax.default_backend()}  device: "
           f"{jax.devices()[0].device_kind}", file=sys.stderr)
@@ -341,6 +372,7 @@ def main():
     smoke_grain_read()
     smoke_bus_chain()
     smoke_voice_fused()
+    smoke_wsola_stream()
     smoke_entry()
     smoke_engine_render()
     print("SMOKE OK")
