@@ -197,12 +197,15 @@ class Mixer:
             self.clip_grid.after_tick(B)
 
         total = jnp.zeros((2, K * B), jnp.float32)
+        finalizers = []
         for i, ch in enumerate(self.channels):
             if stream_cfgs[i] is not None:
-                wets = stream_mod.render_stream_channel(
+                res = stream_mod.render_stream_channel(
                     self, i, K, np.stack(targets[i]), stream_cfgs[i])
-                if wets is not None:
+                if res is not None:
+                    wets, wb, fin = res
                     total = total + wets.transpose(1, 0, 2).reshape(2, -1)
+                    finalizers.append((wb, fin))
                     continue
                 # batch shorter than the hop remainder: host-plan it instead
                 for _k in range(K):
@@ -235,6 +238,12 @@ class Mixer:
                 wet_runs.append(wets.transpose(1, 0, 2).reshape(2, -1))
                 k0 = k1
             total = total + jnp.concatenate(wet_runs, axis=-1)
+        # materialize the streamed channels' scheduler write-backs AFTER
+        # every channel has dispatched: the small downloads overlap the
+        # later channels' device compute instead of adding a round trip
+        # per array per channel
+        for wb, fin in finalizers:
+            fin(np.asarray(wb))
         return total
 
     # --- offline stem render (mod.rs:444-476) -----------------------------------

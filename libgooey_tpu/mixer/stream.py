@@ -65,7 +65,18 @@ def _stream_channel(buf2, prefix_pos, prefix_w, r0, cur_i, cur_f, have_prev,
     (bank, states), wets = jax.lax.scan(
         body, (gain_bank, tuple(chain_states)), (dry, targets_seq))
     _cur, _hp, ref_out, _pt = carry
-    return bank, states, wets, ref_out, bi, bf, hps
+    # pack the host write-back into ONE small array so the scheduler
+    # update costs a single download (a tunnel round trip), not four
+    f32 = jnp.float32
+    z = f32(0.0)
+    wb = jnp.concatenate([
+        ref_out,
+        jnp.stack([bi[-1], bf[-1],
+                   bi[-2] if n_hops >= 2 else z,
+                   bf[-2] if n_hops >= 2 else z,
+                   hps[-1].astype(f32)]),
+    ])
+    return bank, states, wets, wb
 
 
 def stream_config(mixer, i):
@@ -91,12 +102,16 @@ def stream_config(mixer, i):
 
 
 def render_stream_channel(mixer, i, K: int, targets_np, cfg):
-    """Render K blocks of channel ``i`` through the device hop scan.
+    """Dispatch K blocks of channel ``i`` through the device hop scan.
 
-    Returns the wet ``[K, 2, B]`` device array, or None when the batch is
+    Returns ``(wets, wb, finalize)`` — the wet ``[K, 2, B]`` device
+    array, the packed scheduler write-back (device array), and a closure
+    ``finalize(wb_host)`` that applies it — or None when the batch is
     shorter than the current hop remainder (caller falls back to the
-    host-planned path).  Mutates the channel's scheduler/chain/gain state
-    exactly as K per-block renders would.
+    host-planned path).  Callers dispatch every channel first and
+    materialize the (small) write-backs afterwards, so the downloads
+    overlap the other channels' device compute instead of serializing
+    one tunnel round trip per array per channel.
     """
     ch = mixer.channels[i]
     B = mixer.block
@@ -142,7 +157,7 @@ def render_stream_channel(mixer, i, K: int, targets_np, cfg):
     mixer._upload_if_dirty(i)
     base = ch.active_region * mixer.capacity
     buf2 = mixer._dev_buffers[i][:, base:base + int(L)]
-    bank, new_states, wets, ref_out, bi, bf, hps = _stream_channel(
+    bank, new_states, wets, wb = _stream_channel(
         buf2, jnp.asarray(ppos), jnp.asarray(pw), jnp.int32(r0),
         jnp.float32(np.floor(v)), jnp.float32(v - np.floor(v)),
         jnp.asarray(have_prev), jnp.asarray(ref_tail),
@@ -156,23 +171,31 @@ def render_stream_channel(mixer, i, K: int, targets_np, cfg):
     )
     mixer._gain_banks[i] = bank
     ch.chain.states = list(new_states)
+    prev_cur_start = getattr(host, "cur_start_v", None)
+    prev_cur_step = getattr(host, "cur_step", cfg.step)
 
-    bests = np.asarray(bi, np.float64) + np.asarray(bf, np.float64)
-    hps = np.asarray(hps)
-    if n_hops >= 2:
-        host.prev_start_v = float(bests[-2])
-        host.prev_step = cfg.step
-    else:
-        host.prev_start_v = float(getattr(host, "cur_start_v", bests[-1]))
-        host.prev_step = float(getattr(host, "cur_step", cfg.step))
-    host.cur_start_v = float(bests[-1])
-    host.cur_step = cfg.step
-    host.had_prev_for_cur = bool(hps[-1])
-    host.have_prev = True
-    host.prev_tail_mono = np.asarray(ref_out, np.float32)
-    host.analysis_cursor = float(
-        np.mod(w.lo + bests[-1], w.len) if w.wraps else (w.lo + bests[-1]))
-    host.drain_idx = int((T - r0) - (n_hops - 1) * hop)
-    host._buffer_sr = ch.buffer.sample_rate
-    ch.cursor = host.analysis_cursor
-    return wets
+    def finalize(wb_host):
+        wb_host = np.asarray(wb_host, np.float64)
+        ref_out = wb_host[:hop].astype(np.float32)
+        last_i, last_f, prev_i, prev_f, last_hp = wb_host[hop:hop + 5]
+        best_last = last_i + last_f
+        if n_hops >= 2:
+            host.prev_start_v = prev_i + prev_f
+            host.prev_step = cfg.step
+        else:
+            host.prev_start_v = (prev_cur_start if prev_cur_start is not None
+                                 else best_last)
+            host.prev_step = float(prev_cur_step)
+        host.cur_start_v = best_last
+        host.cur_step = cfg.step
+        host.had_prev_for_cur = bool(last_hp > 0.5)
+        host.have_prev = True
+        host.prev_tail_mono = ref_out
+        host.analysis_cursor = float(
+            np.mod(w.lo + best_last, w.len) if w.wraps
+            else (w.lo + best_last))
+        host.drain_idx = int((T - r0) - (n_hops - 1) * hop)
+        host._buffer_sr = ch.buffer.sample_rate
+        ch.cursor = host.analysis_cursor
+
+    return wets, wb, finalize
