@@ -61,6 +61,10 @@ FX_MODULES = {
     "spring": fx_spring,
     "plate": fx_plate,
 }
+#: global-FX name -> mixer/chain.py effect id (for merged pallas runs)
+_FX_CHAIN_ID = {"saturation": 2, "lowpass": 0, "tilt": 4, "delay": 1,
+                "compressor": 3, "spring": 6, "plate": 9}
+
 FX_DEFAULT_TARGETS = {
     "saturation": [0.3, 0.3, 1.0],
     "lowpass": [8000.0, 0.2],
@@ -388,16 +392,53 @@ def _render_all(
     mono = mono_sum * master_traj
 
     # --- global FX chain (user-ordered; limiter pinned last) -------------------
-    for fx_name in fx_order:
+    # On TPU, maximal runs of >=2 mergeable effects execute as ONE merged
+    # pallas_call (ops/pallas_chain.py) — the bus is launch-bound at
+    # ~20 us per in-graph call.  The sidechained compressor and the plate
+    # keep their own calls and split the chain into runs.
+    from libgooey_tpu.mixer.chain import FUSE_RUNS as _fuse
+
+    fx_list = list(fx_order)
+    use_fused = (_fuse != "off" and jax.default_backend() == "tpu"
+                 and len(fx_list) >= 2)
+    i = 0
+    while i < len(fx_list):
+        fx_name = fx_list[i]
+        sidechained = fx_name == "compressor" and sidechain_voice >= 0
+        eid = _FX_CHAIN_ID.get(fx_name, -1)
+        if use_fused and not sidechained and eid >= 0:
+            from libgooey_tpu.ops import pallas_chain as _pc
+
+            if _pc.mergeable(eid, False):
+                j = i
+                while j < len(fx_list):
+                    nm = fx_list[j]
+                    e2 = _FX_CHAIN_ID.get(nm, -1)
+                    if (e2 < 0 or not _pc.mergeable(e2, False)
+                            or (nm == "compressor" and sidechain_voice >= 0)):
+                        break
+                    j += 1
+                if j - i >= 2:
+                    run_names = fx_list[i:j]
+                    sts, bus = _pc.process_run(
+                        [(_FX_CHAIN_ID[nm], False) for nm in run_names],
+                        [state["fx_" + nm] for nm in run_names], bus,
+                        [events["fx_" + nm] for nm in run_names],
+                        sample_rate=sample_rate)
+                    for nm, st in zip(run_names, sts):
+                        new_state["fx_" + nm] = st
+                    i = j
+                    continue
         mod = FX_MODULES[fx_name]
         kw = {}
-        if fx_name == "compressor" and sidechain_voice >= 0:
+        if sidechained:
             sc = _voice_row(sidechain_voice)   # static index resolution
             kw["sidechain"] = jnp.stack([sc, sc], axis=0)
         new_state["fx_" + fx_name], bus = mod.process_block(
             state["fx_" + fx_name], bus, events["fx_" + fx_name],
             sample_rate=sample_rate, **kw,
         )
+        i += 1
 
     out = limiter.soft_limit(bus, limiter_threshold)
     mono = limiter.soft_limit(mono, limiter_threshold)
