@@ -75,8 +75,11 @@ def report(config, audio_seconds, wall, note=""):
     }))
 
 
-def _render_many_rtf(voices, config, name, note):
-    """Scan N_BLOCKS kick blocks in one dispatch (bench.py's machinery)."""
+def _render_many_rtf(voices, config, name, note, pipe: int = 1):
+    """Scan N_BLOCKS kick blocks in one dispatch (bench.py's machinery).
+
+    ``pipe`` > 1 chains states through that many dependent calls per sync
+    (steady-state pipelined throughput — the r03 headline methodology)."""
     state = {
         "kick": kick_mod.init_state(voices, config),
         "pan": SmootherBank.init(np.full(voices, 0.5, np.float32)),
@@ -97,13 +100,29 @@ def _render_many_rtf(voices, config, name, note):
                   family_static=(("kick", (("feedback_path", False),
                                            ("max_harmonics", 0))),))
     run = jax.jit(lambda s: eng.render_many(s, events, **static))
-    wall = timed(run, state)
+    if pipe > 1:
+        def chained():
+            s = state
+            for _ in range(pipe):
+                s, blocks = run(s)
+            return blocks
+        wall = timed(chained) / pipe
+    else:
+        wall = timed(run, state)
     report(name, voices * N_BLOCKS * B / SR, wall, note)
 
 
 def bench_single_kick():
     _render_many_rtf(1, kick_mod.KickConfig.tight(), "single_kick_voice",
                      "1 voice")
+
+
+def bench_kick_bank_4096():
+    """The rounds-1..3 headline config (cheapest family at target scale);
+    bench.py now tracks the five-family kit + bus instead."""
+    _render_many_rtf(4096, kick_mod.KickConfig.tight(),
+                     "kick_bank_4096_voices",
+                     "4096 voices, kick only, pipelined", pipe=8)
 
 
 def bench_full_kit():
@@ -126,15 +145,20 @@ def bench_full_kit():
     report("full_drum_kit_mix", 4 * N_BLOCKS * B / SR, wall, "4 voices")
 
 
-def bench_full_kit_4096():
-    """BASELINE config-2 at target scale: a 4,096-voice five-family kit
-    (kick/snare/hihat2/tom2/bass banks, fused Pallas paths where available)
-    plus the full replicated global bus (saturation, lowpass, tilt, delay,
-    compressor, spring, plate, pinned soft limiter), scanned N_BLOCKS blocks
-    per dispatch with bench.py's sync discipline.  Reference pipeline:
-    ffi.rs:1043-1380."""
+def build_full_kit(n_blocks: int, block: int = B, sr: float = SR):
+    """State/events/static for BASELINE config-2 at target scale: a
+    4,096-voice five-family kit (kick/snare/hihat2/tom2/bass banks, fused
+    Pallas paths where available) plus the full replicated global bus
+    (saturation, lowpass, tilt, delay, compressor, spring, plate, pinned
+    soft limiter).  Reference pipeline: ffi.rs:1043-1380.  Shared by
+    bench.py (the headline metric) and bench_full_kit_4096.
+
+    Returns ``(state, events, static, total_voices)``.
+    """
     per_family = {"kick": 1024, "snare": 1024, "hihat2": 1024,
                   "tom2": 512, "bass": 512}
+    N_BLOCKS, B, SR = n_blocks, block, sr  # noqa: shadow module constants
+    COEFF = smoothing_coeff(SR)
     V = sum(per_family.values())
     state = {}
     for kind, vk in per_family.items():
@@ -190,6 +214,12 @@ def bench_full_kit_4096():
         ),
         fx_order=fx_order,
     )
+    return state, events, static, V
+
+
+def bench_full_kit_4096():
+    """Measure build_full_kit with this script's scanned-dispatch timing."""
+    state, events, static, V = build_full_kit(N_BLOCKS)
     run = jax.jit(lambda s: eng.render_many(s, events, **static))
     wall = timed(run, state)
     report("full_kit_4096_voices_plus_bus", V * N_BLOCKS * B / SR, wall,
@@ -512,6 +542,7 @@ def main():
 
     print(f"# device: {_discover_device()}", file=sys.stderr)
     bench_single_kick()
+    bench_kick_bank_4096()
     bench_full_kit()
     bench_full_kit_4096()
     bench_effects_chain()
