@@ -114,6 +114,59 @@ def _white(counter_u32, seed):
     return norm * 2.0 - 1.0
 
 
+#: voice rows per additive-triangle grid tile: [TV, B] x 3 live arrays x
+#: ~4 loop temporaries stays ~1.5 MB of VMEM at B=512
+_TRI_TILE = 128
+
+
+def _tri_bank_kernel(idx_ref, freq_ref, out_ref, *, sr, max_harmonics):
+    out_ref[...] = _triangle_additive(
+        idx_ref[...], freq_ref[...], np.float32(sr), max_harmonics)
+
+
+def triangle_additive_bank(idx_f, freq, sr, max_harmonics: int,
+                           interpret=None):
+    """Gridded [V, B] additive-triangle bank (ops/osc.py semantics).
+
+    The XLA formulation runs the 2-term Chebyshev recurrence as a
+    ``fori_loop`` whose [V, B] carries round-trip HBM every harmonic —
+    ~570 MB of traffic for a 1,024-voice 64-harmonic snare block
+    (~1.6 ms/block, the whole five-family kit's dominant cost at target
+    scale).  Here each 128-voice tile keeps the recurrence resident in
+    VMEM: total HBM traffic is the three [V, B] operands once.  The loop
+    body is byte-identical to the XLA path's (`_triangle_additive` is the
+    shared in-kernel helper the fused voice kernels already use); the
+    only deviation is Mosaic's vector sin/cos vs XLA libm (~1e-6, same
+    as every fused voice kernel twin).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    V, B = idx_f.shape
+    # operate on [B, V] (voices on lanes): the engine's logical [V, B]
+    # arrays are physically B-major (propagated from the bank kernels'
+    # [B, G, 128] outputs) — a V-major kernel here forces a whole-graph
+    # relayout around the custom call (measured 3.5x on the full kit;
+    # same rule as _bank_tilt)
+    TV = min(_TRI_TILE, max(128, ((V + 127) // 128) * 128))
+    Vp = ((V + TV - 1) // TV) * TV
+    xT = jnp.asarray(idx_f, jnp.float32).T
+    fT = jnp.asarray(freq, jnp.float32).T
+    if Vp != V:
+        xT = jnp.pad(xT, ((0, 0), (0, Vp - V)))
+        fT = jnp.pad(fT, ((0, 0), (0, Vp - V)), constant_values=1.0)
+    out = pl.pallas_call(
+        functools.partial(_tri_bank_kernel, sr=float(sr),
+                          max_harmonics=int(max_harmonics)),
+        grid=(Vp // TV,),
+        out_shape=jax.ShapeDtypeStruct((B, Vp), jnp.float32),
+        in_specs=[pl.BlockSpec((B, TV), lambda i: (0, i)),
+                  pl.BlockSpec((B, TV), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((B, TV), lambda i: (0, i)),
+        interpret=interpret,
+    )(xT, fT)
+    return out[:, :V].T
+
+
 def _triangle_additive(idx_f, freq, sr, max_harmonics):
     """Additive odd-harmonic 'triangle' (ops/osc.py triangle_additive)."""
     theta = idx_f * freq * np.float32(2.0 * np.pi / sr)

@@ -249,3 +249,25 @@ def test_kit_mega_path_matches_per_family():
     assert float(np.abs(out2_x - out2_f).max()) < 3e-5
     for k in per_family:
         assert _max_state_err(st_x[k], st_f[k]) < 4e-4, k
+
+
+def test_triangle_additive_bank_matches_xla():
+    """The gridded additive-triangle bank kernel vs the XLA fori_loop
+    formulation (ops/osc.py) — shared loop body, so interpret mode agrees
+    to f32 rounding; padded/ragged V exercises the tile padding."""
+    import numpy as np
+
+    from libgooey_tpu.ops import osc
+    from libgooey_tpu.ops import pallas_voice as pv
+
+    rng = np.random.RandomState(0)
+    sr = 44100.0
+    for V in (3, 16, 130):
+        idx = np.cumsum(np.ones((V, 256), np.float32), axis=1) - 1.0
+        base = rng.uniform(40.0, 2000.0, size=(V, 1)).astype(np.float32)
+        wob = 1.0 + 0.1 * np.sin(idx * 0.01).astype(np.float32)
+        freq = base * wob
+        ref = np.asarray(osc.triangle_additive(idx, freq, sr, 64))
+        got = np.asarray(pv.triangle_additive_bank(idx, freq, sr, 64,
+                                                   interpret=True))
+        assert np.abs(got - ref).max() < 2e-5, V

@@ -126,6 +126,30 @@ def test_stream_loop_seam_restarts():
     np.testing.assert_allclose(got, ref, atol=1.5e-3, rtol=0)
 
 
+def test_stream_warp_change_between_batches():
+    """BPM (warp) changes between batched renders: the static config is
+    rebuilt per batch and the written-back scheduler state must continue
+    exactly like the per-block host path does."""
+    buf = _noise_buffer(seed=9)
+    ref_m = _mixer(buf)  # bpm 180 -> warp 1.5
+    refs = [np.asarray(ref_m.render_block()) for _ in range(6)]
+    ref_m.set_bpm(100.0)  # warp ~0.833 mid-stream
+    refs += [np.asarray(ref_m.render_block()) for _ in range(6)]
+    ref = np.concatenate(refs, axis=-1)
+
+    old = wsola.USE_DEVICE_SEARCH
+    wsola.USE_DEVICE_SEARCH = True
+    try:
+        m = _mixer(buf)
+        a = np.asarray(m.render_blocks(6))
+        m.set_bpm(100.0)
+        b = np.asarray(m.render_blocks(6))
+    finally:
+        wsola.USE_DEVICE_SEARCH = old
+    got = np.concatenate([a, b], axis=-1)
+    np.testing.assert_allclose(got, ref, atol=1.5e-3, rtol=0)
+
+
 def test_stream_ineligible_cases_fall_back():
     from libgooey_tpu.mixer import stream as stream_mod
 
