@@ -361,7 +361,10 @@ class GranulatorHost:
     def active_grain_count(self, now: int) -> int:
         return int((self.main_end > now).sum() + (self.rel_end > now).sum())
 
-    def collect_events(self, block_start: int, block_size: int) -> SpawnEvents:
+    def collect_events(self, block_start: int, block_size: int,
+                       device: bool = True) -> SpawnEvents:
+        """``device=False`` keeps the event arrays host-side (numpy) for
+        span planners that stack K blocks before one upload."""
         ev = {
             "slot": np.full(MAX_SPAWNS_PER_BLOCK, -1, np.int32),
             "offset": np.zeros(MAX_SPAWNS_PER_BLOCK, np.int32),
@@ -395,6 +398,8 @@ class GranulatorHost:
                         if self.next_grain_time > self.cloud_end:
                             self.cloud_active = False
                         guard += 1
+        if not device:
+            return SpawnEvents(**ev)
         return SpawnEvents(**{key: jnp.asarray(v) for key, v in ev.items()})
 
     def _spawn(self, ev, k, now: int, offset: int) -> int:

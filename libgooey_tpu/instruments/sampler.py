@@ -236,7 +236,8 @@ class SamplerRackHost:
         self.voice_age[idx] = self._age
         return idx
 
-    def collect_events(self, block_start: int, block_size: int) -> StartEvents:
+    def collect_events(self, block_start: int, block_size: int,
+                       device: bool = True) -> StartEvents:
         if self.pattern_running:
             for trig in self.sequencer.tick_block(block_size):
                 slot = trig.note if trig.note is not None else 0
@@ -264,6 +265,9 @@ class SamplerRackHost:
             vel[k] = velocity
             self.voice_end[v] = now + int(fr / (ssr / self.sr)) + 1
         self._starts.clear()
+        if not device:
+            return StartEvents(voice=voice, offset=offset, base=base,
+                               frames=frames, increment=inc, velocity=vel)
         return StartEvents(
             voice=jnp.asarray(voice), offset=jnp.asarray(offset),
             base=jnp.asarray(base), frames=jnp.asarray(frames),

@@ -155,7 +155,7 @@ class Mixer:
         self.clip_grid.after_tick(B)
         return total
 
-    def render_blocks(self, n_blocks: int):
+    def render_blocks(self, n_blocks: int, collect_beats=None):
         """Batched offline render: plan ``n_blocks`` blocks on the host,
         then dispatch ONE scanned device program per channel.
 
@@ -168,6 +168,12 @@ class Mixer:
 
         A channel whose window wrap-ness changes mid-batch is split into
         maximal uniform-wrap runs (wrap-ness is a trace-static read mode).
+
+        ``collect_beats``: optional list — appends one
+        ``(transport_beat, transport_running)`` tuple per block, read
+        BEFORE that block's ``before_tick`` (the value
+        ``GooeyEngine._render_one_block`` sees for the same block); used
+        by the product span planner.
         """
         from libgooey_tpu.mixer import stream as stream_mod
 
@@ -178,6 +184,9 @@ class Mixer:
         plans = [[] for _ in self.channels]   # per channel: (pos, w, base, len, wrap)
         targets = [[] for _ in self.channels]
         for _k in range(K):
+            if collect_beats is not None:
+                collect_beats.append((self.clip_grid.transport_beat,
+                                      self.clip_grid.transport_running))
             actions = self.clip_grid.before_tick(self.channels, B)
             any_solo = any(ch.soloed for ch in self.channels)
             for i, ch in enumerate(self.channels):

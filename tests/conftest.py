@@ -29,13 +29,22 @@ except (OSError, ValueError):
 
 # jax is pre-imported in this image with JAX_PLATFORMS=axon; the env var is
 # therefore ignored — override through the config API (backend not yet
-# initialized at conftest time).
+# initialized at conftest time).  XLA_FLAGS *is* still honored: it's read at
+# backend initialization, which hasn't happened yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Pin XLA:CPU codegen to the portable ISA baseline (see cache_dirs.ISA_PIN):
+# cached CPU executables must not carry host-specific AVX-512/AMX code that
+# a migrated-to harness machine could mis-execute (r4's one-in-two-runs
+# 5.8e5 state divergence in a fully deterministic seeded twin test).
+from cache_dirs import pin_cpu_isa  # noqa: E402
+
+pin_cpu_isa()
 
 # XLA:CPU compiles are ~0.4 s per distinct op in this image; persist them.
 # MUST be (a) a dir separate from the TPU/driver cache (.jax_cache) and

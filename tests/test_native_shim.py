@@ -32,9 +32,10 @@ def test_build_and_run_c_smoke():
     # CPU run — must use the machine-keyed CPU cache, never .jax_cache
     # (the TPU/driver cache), so foreign-host AOT entries are never loaded
     # and CPU entries never leak into the driver cache.
-    from cache_dirs import cpu_cache_dir
+    from cache_dirs import cpu_cache_dir, pin_cpu_isa
 
     env["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir()
+    pin_cpu_isa(env)  # entries must match the conftest's portable-ISA pin
     # the embedded interpreter must resolve the same checkout
     env["PYTHONPATH"] = str(REPO)
     proc = subprocess.run(

@@ -41,13 +41,24 @@ FAMILIES = {
 
 
 def _max_state_err(sa, sb):
-    worst = 0.0
-    for la, lb in zip(jax.tree_util.tree_leaves(sa), jax.tree_util.tree_leaves(sb)):
+    """Worst |a-b| over all state leaves.  Every compared leaf is a REAL
+    carried state (the fused paths' finish steps slice pad rows and unwritten
+    scratch columns away before building the state; PARITY.md Appendix C) —
+    so any large error here is a genuine divergence, and the assert message
+    names the offending leaf to make one-shot flakes diagnosable."""
+    worst, worst_path = 0.0, None
+    la_paths = jax.tree_util.tree_flatten_with_path(sa)[0]
+    lb_leaves = jax.tree_util.tree_leaves(sb)
+    for (path, la), lb in zip(la_paths, lb_leaves):
         if la.size:
             e = float(jnp.max(jnp.abs(
                 jnp.asarray(la, jnp.float32) - jnp.asarray(lb, jnp.float32))))
-            assert not np.isnan(e), "NaN state leaf"
-            worst = max(worst, e)
+            assert not np.isnan(e), f"NaN state leaf at {jax.tree_util.keystr(path)}"
+            if e > worst:
+                worst, worst_path = e, jax.tree_util.keystr(path)
+    if worst >= 4e-4:
+        raise AssertionError(
+            f"state divergence {worst} at leaf {worst_path}")
     return worst
 
 

@@ -20,7 +20,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from cache_dirs import cpu_cache_dir  # noqa: E402
+from cache_dirs import cpu_cache_dir, pin_cpu_isa  # noqa: E402
 
 ALL = [
     "drums", "bass_sequencer", "chords", "effects_lab", "granular",
@@ -57,6 +57,7 @@ def main():
              if not f.startswith("--xla_force_host_platform_device_count")]
     flags.append("--xla_force_host_platform_device_count=8")
     env["XLA_FLAGS"] = " ".join(flags)
+    pin_cpu_isa(env)  # match the conftest's portable-ISA codegen
     failed = []
     for mod in mods:
         code = PREAMBLE.format(repo=REPO, cache=cache, mod=mod)
