@@ -311,6 +311,17 @@ def bench_sequenced_submix():
     report("sequencer_into_submixes", B / SR, wall,
            "full product pipeline, 1 block/dispatch — tunnel-RTT bound")
 
+    # the planned-span path: the SAME product pipeline, K blocks per
+    # scanned dispatch (gooey._span_render) — how gooey_engine_render
+    # actually runs a multi-block host callback / offline render
+    K = 16
+    g.render(K * B)  # warm the span graph
+    def run_span():
+        return g.render(K * B)
+    wall = timed(run_span, iters=3, warmup=1) / K
+    report("sequencer_into_submixes_span", B / SR, wall,
+           f"full product pipeline, {K} blocks/dispatch (planned span)")
+
 
 def bench_interactive_pipelined():
     """The interactive realtime story (engine_output.rs:293-311 contract).

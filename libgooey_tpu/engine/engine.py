@@ -179,13 +179,18 @@ def _render_all(
     """
     static = {k: dict(v) for k, v in family_static}
     new_state = dict(state)
-    if psum_axis is not None:
-        # per-shard mode: routes/sidechain index GLOBAL voice slots, which
-        # local shards cannot resolve — the GSPMD path covers those
-        assert not lfo_routes and sidechain_voice < 0, (
-            "lfo_routes/sidechain are not supported under shard_map; "
-            "use the GSPMD (fused_banks=False) path instead"
-        )
+
+    def _global_rows(n_local):
+        """Global row ids of a family bank's local rows.  Single device:
+        identity.  Under shard_map each shard holds an equal slice of every
+        family, so global row = local row + shard_index * local_size —
+        this is what lets GLOBAL-voice-indexed features (LFO route slots,
+        the sidechain tap) run inside the sharded program instead of
+        forcing the GSPMD path."""
+        rows = jnp.arange(n_local, dtype=jnp.int32)
+        if psum_axis is not None:
+            rows = rows + jax.lax.axis_index(psum_axis) * n_local
+        return rows
 
     # --- LFO value trajectories (device-side, from host-carried phases) ------
     lfo_trajs = None
@@ -266,11 +271,14 @@ def _render_all(
                     bank.target[:, idx, None],
                     (bank.target.shape[0], block_size),
                 )
+                rows = _global_rows(bank.target.shape[0])
                 for (li, _k, slot, rp, depth) in kind_routes:
                     if rp != pname:
                         continue
                     val = lfo_mod.bipolar_to_target(lfo_trajs[li] * depth)
-                    tgt = tgt.at[slot].set(val)
+                    # row-mask select == .at[slot].set, and stays correct
+                    # per-shard (rows are GLOBAL ids)
+                    tgt = jnp.where((rows == slot)[:, None], val[None, :], tgt)
                 from libgooey_tpu.ops import scan as gscan
 
                 overrides[pname] = gscan.onepole(
@@ -432,7 +440,25 @@ def _render_all(
         mod = FX_MODULES[fx_name]
         kw = {}
         if sidechained:
-            sc = _voice_row(sidechain_voice)   # static index resolution
+            if psum_axis is None:
+                sc = _voice_row(sidechain_voice)   # static index resolution
+            else:
+                # the owning shard masks its row out; one [B] all-reduce
+                # rides ICI with the mix psum (the ONLY other cross-voice
+                # traffic), and the compressor then runs replicated from
+                # identical inputs on every shard
+                sc = jnp.zeros(block_size, jnp.float32)
+                remaining = sidechain_voice
+                for vout in voice_outs:
+                    Vl = vout.shape[0]
+                    Vf = Vl * jax.lax.axis_size(psum_axis)
+                    if 0 <= remaining < Vf:
+                        mask = (_global_rows(Vl) == remaining).astype(
+                            jnp.float32)
+                        sc = jnp.einsum("v,vb->b", mask, vout)
+                        break
+                    remaining -= Vf
+                sc = jax.lax.psum(sc, psum_axis)
             kw["sidechain"] = jnp.stack([sc, sc], axis=0)
         new_state["fx_" + fx_name], bus = mod.process_block(
             state["fx_" + fx_name], bus, events["fx_" + fx_name],
@@ -903,17 +929,19 @@ class Engine:
                                       trig.velocity))
         if len(self.midi_out) > 64:   # MIDI_EVENT_CAPACITY, silent overflow drop
             self.midi_out = self.midi_out[-64:]
-        events = {"block_start": jnp.asarray(np.int32(self.sample_count))}
+        # events stay HOST-side (numpy): the jitted render converts at
+        # dispatch, and the span planner stacks K blocks before one upload
+        events = {"block_start": np.int32(self.sample_count)}
         for k in kinds:
             V = len(self._targets[k]) * _lanes_per_slot(k)
             offs, vels, freqs = _pack_triggers(pend[k], V, B)
-            events[k + "_off"] = jnp.asarray(offs)
-            events[k + "_vel"] = jnp.asarray(vels)
+            events[k + "_off"] = offs
+            events[k + "_vel"] = vels
             if k == "poly":
-                events["poly_freq"] = jnp.asarray(freqs)
-                events["poly_rel"] = jnp.asarray(poly_rel)
+                events["poly_freq"] = freqs
+                events["poly_rel"] = poly_rel
             elif k == "bass":
-                events["bass_freq"] = jnp.asarray(freqs)
+                events["bass_freq"] = freqs
         if self.lfo_routes:
             phases, incs, amounts, offsets = [], [], [], []
             for cfg in self.lfos:
@@ -921,12 +949,12 @@ class Engine:
                 incs.append(cfg.freq() / self.sample_rate)
                 amounts.append(cfg.amount if cfg.enabled else 0.0)
                 offsets.append(cfg.offset)
-            events["lfo_phase"] = jnp.asarray(np.array(phases, np.float32))
-            events["lfo_inc"] = jnp.asarray(np.array(incs, np.float32))
-            events["lfo_amount"] = jnp.asarray(np.array(amounts, np.float32))
-            events["lfo_offset"] = jnp.asarray(np.array(offsets, np.float32))
+            events["lfo_phase"] = np.array(phases, np.float32)
+            events["lfo_inc"] = np.array(incs, np.float32)
+            events["lfo_amount"] = np.array(amounts, np.float32)
+            events["lfo_offset"] = np.array(offsets, np.float32)
         for name in self.fx_order:
-            events["fx_" + name] = jnp.asarray(self.fx_targets[name])
+            events["fx_" + name] = np.asarray(self.fx_targets[name])
         return events
 
     def drain_midi_out(self):

@@ -108,6 +108,110 @@ _fx_chain_jit = _jax.jit(
 DEFAULT_CHANNEL_KINDS = ("kick", "snare", "hihat2", "tom2")
 
 
+@_functools.partial(_jax.jit, static_argnames=(
+    "kinds", "sample_rate", "block_size", "smooth_coeff", "family_static",
+    "lfo_routes", "fx_key", "limiter_enabled", "grain_read", "voice_read",
+    "rack_slots", "graph_rack_keys", "graph_coeff", "sidechain_voice"))
+def _span_render(carry, consts, xs, *, kinds, sample_rate, block_size,
+                 smooth_coeff, family_static, lfo_routes, fx_key,
+                 limiter_enabled, grain_read, voice_read, rack_slots,
+                 graph_rack_keys, graph_coeff, sidechain_voice):
+    """K product blocks as ONE device program (lax.scan over blocks).
+
+    The scanned step is the device half of ``GooeyEngine._render_one_block``
+    — instruments (ffi.rs:1043-1380 order) → granulator → loop mixer (its
+    pre-rendered ``[K, 2, B]`` stream rides in ``xs``) → sampler racks →
+    mixer graph → master → global FX → limiter — with the host half
+    (sequencers, perf clock, param staging) pre-planned into per-block
+    events by ``GooeyEngine._plan_span``.  Host param mutations that the
+    per-block path applies between dispatches (blend snaps, per-step note
+    overrides + restores) arrive as per-block ``stage_tgt``/``stage_snap``
+    events, exactly mirroring ``Engine._stage_kind``.  One dispatch per
+    span amortizes the tunnel/dispatch floor K× (the realtime budget
+    engine_output.rs:305-311 is per block; the span is how an offline or
+    lookahead host render meets it on a remote device).
+    """
+    from libgooey_tpu.core.smoother import smooth_block
+
+    sqrt_half = np.float32(np.sqrt(0.5))
+
+    def step(c, x):
+        e_state = dict(c["engine"])
+        # param staging (Engine._stage_kind semantics, per block)
+        for kind in kinds:
+            st = e_state[kind]
+            tgt = x["stage_tgt"][kind]
+            if isinstance(getattr(st, "params", None), SmootherBank):
+                bank = st.params.with_targets(tgt)
+                snap = x["stage_snap"][kind][:, None]
+                cur = jnp.where(snap, bank.target, bank.current)
+                e_state[kind] = st._replace(
+                    params=SmootherBank(current=cur, target=bank.target))
+            else:  # tom2: plain (unsmoothed) params
+                e_state[kind] = st._replace(params=tgt)
+        e_state["pan"] = e_state["pan"].with_targets(x["pan_tgt"])
+        e_state["gain"] = e_state["gain"].with_targets(x["gain_tgt"])
+
+        ev = dict(x["ev"])
+        ev["source_matrix"] = consts["source_matrix"]
+        e_state, sources, all_voices, voice_peaks = eng._render_all(
+            e_state, ev, kinds=kinds, sample_rate=sample_rate,
+            block_size=block_size, smooth_coeff=smooth_coeff,
+            limiter_threshold=1.0, family_static=family_static,
+            lfo_routes=lfo_routes, fx_order=(), sidechain_voice=-1,
+            collect_sources=True,
+        )
+        bs = ev["block_start"]
+
+        gran_state, gout = gran_mod.render_block(
+            c["gran"], x["gran"], bs, sample_rate=sample_rate,
+            block_size=block_size, smooth_coeff=smooth_coeff,
+            grain_read=grain_read,
+        )
+        sources = sources.at[graph_mod.SOURCE_GRANULATOR].set(
+            jnp.stack([gout * sqrt_half, gout * sqrt_half]))
+        sources = sources.at[graph_mod.SOURCE_LOOPMIXER].set(x["loop_out"])
+
+        rack_states = []
+        for i, slot in enumerate(rack_slots):
+            rs, rout = samp_mod.render_block(
+                c["racks"][i], x["racks"][i], bs, sample_rate=sample_rate,
+                block_size=block_size, voice_read=voice_read,
+            )
+            rack_states.append(rs)
+            sources = sources.at[graph_mod.SOURCE_SAMPLER_BASE + slot].set(rout)
+
+        gbank, gracks, master_bus, gpeaks = graph_mod.graph_block(
+            c["gbank"], consts["graph_targets"], sources,
+            consts["graph_routing"], c["gracks"], consts["graph_rack_targets"],
+            coeff=graph_coeff, block_size=block_size, sample_rate=sample_rate,
+            rack_keys=graph_rack_keys,
+        )
+
+        master, mtraj = smooth_block(c["master"], smooth_coeff, block_size)
+        bus = master_bus * mtraj[None, :]
+        sidechain = None
+        if sidechain_voice >= 0:
+            sc = all_voices[sidechain_voice]
+            sidechain = jnp.stack([sc, sc], axis=0)
+        fx_states, bus = _fx_chain_block(
+            c["fx"], bus, consts["fx_targets"], fx_key, sidechain,
+            consts["limiter_threshold"], sample_rate=sample_rate,
+            limiter_enabled=limiter_enabled,
+        )
+
+        c2 = dict(
+            engine=e_state, gran=gran_state, racks=tuple(rack_states),
+            fx=fx_states, master=master, gbank=gbank, gracks=gracks,
+            strip_peak=jnp.maximum(
+                c["strip_peak"], voice_peaks[consts["strip_idx"]]),
+            graph_peak=jnp.maximum(c["graph_peak"], gpeaks),
+        )
+        return c2, bus
+
+    return jax.lax.scan(step, carry, xs)
+
+
 class GooeyEngine:
     def __init__(self, sample_rate: float = 44100.0, block_size: int = 512):
         self.sr = float(sample_rate)
@@ -188,6 +292,10 @@ class GooeyEngine:
 
         self._smooth_coeff = smoothing_coeff(self.sr)
         self._source_matrix = None
+        #: multi-block `render(frames)` calls go through the planned-span
+        #: scan (one device dispatch for K blocks); tests/benches can force
+        #: the per-block path by clearing this
+        self.span_rendering = True
 
         # Jitted per-block instrument programs.  render_block functions are
         # plain traceable fns; calling them EAGERLY here ran the granulator
@@ -243,8 +351,8 @@ class GooeyEngine:
             return False
         name = self._strip_name(strip)
         kind, slot = self.engine._names[name]
+        self.engine._snap_queue.append((kind, slot))  # before the setter (see blend steps)
         self.engine.set_config(name, b.blend(x, y))
-        self.engine._snap_queue.append((kind, slot))
         self.blend_pos[strip] = (float(x), float(y))
         return True
 
@@ -409,6 +517,31 @@ class GooeyEngine:
         m[graph_mod.SOURCE_POLYSYNTH, self.engine._global_voice_index("poly")] = 1.0
         return m
 
+    def _stage_strip_gating(self):
+        """Stage strip mixer settings into engine pan/gain (solo-aware);
+        gates INACTIVE kit instruments of each channel to zero.  Idempotent
+        — runs at the top of every block (and once before a span's state
+        build so the first `_build_state` starts from gated values exactly
+        like the per-block path)."""
+        e = self.engine
+        any_solo = bool(self.strip_solo.any())
+        for strip in range(NUM_KIT_CHANNELS + 1):
+            audible = (not self.strip_mute[strip]) and (
+                (not any_solo) or self.strip_solo[strip]
+            )
+            for kind in INSTRUMENT_KINDS:
+                nm = f"ch{strip}_{kind}" if strip < NUM_KIT_CHANNELS else None
+                if nm and nm in e._names:
+                    active = kind == self.channel_kind[strip]
+                    e.set_gain(nm, self.strip_gain[strip]
+                               if (active and audible) else 0.0)
+                    e.set_pan(nm, float(self.strip_pan[strip]))
+            if strip == NUM_KIT_CHANNELS:
+                e.set_gain("bass", self.strip_gain[strip] if audible else 0.0)
+                e.set_pan("bass", float(self.strip_pan[strip]))
+        e.set_gain("poly", 1.0)
+        e.set_pan("poly", 0.5)  # poly is center-panned (ffi.rs:1291)
+
     # --- the render pipeline (ffi.rs:1043-1380) ------------------------------------------------------
 
     def render(self, frames: int) -> np.ndarray:
@@ -431,16 +564,272 @@ class GooeyEngine:
             return np.zeros(frames * 2, np.float32)
 
     def _render_blocks(self, frames: int) -> np.ndarray:
-        # dispatch every block before materializing any: JAX dispatch is
-        # async, so host event prep for block N+1 overlaps device compute
-        # for block N (the interactive pipelining engine_output.rs:293-311
-        # gets from its callback/prefetch split)
+        # Multi-block renders go through the planned-span scan: ONE device
+        # dispatch for all K blocks (ffi.rs:2067 renders arbitrary `frames`
+        # in one call; per-block dispatch made that tunnel-RTT-bound here).
+        K = (frames + self.block - 1) // self.block
+        if K >= 2 and self.span_rendering:
+            return np.asarray(self._render_span(K))[:, :frames]
+        # single block (or span disabled): dispatch every block before
+        # materializing any — JAX dispatch is async, so host event prep for
+        # block N+1 overlaps device compute for block N (the interactive
+        # pipelining engine_output.rs:293-311 gets from its callback split)
         outs = []
         rendered = 0
         while rendered < frames:
             outs.append(self._render_one_block())
             rendered += self.block
         return np.concatenate([np.asarray(o) for o in outs], axis=-1)[:, :frames]
+
+    # --- planned-span render (one scanned dispatch for K blocks) ----------------
+
+    def _plan_host_block(self, beat: float, running: bool):
+        """Host half of `_render_one_block` for ONE planned block.
+
+        Mirrors steps 2-5 + strip gating of `_render_one_block` exactly
+        (same call order, same queues); the engine param mutations it
+        triggers land in the block's stage snapshot instead of in
+        `engine._state` (the caller holds `engine._state = None` so the
+        eager `_stage_kind` is inert).  Returns the block's event dict +
+        stage/gran/rack event snapshots.  test_gooey_span pins this
+        against the per-block path sample-for-sample.
+        """
+        B = self.block
+        e = self.engine
+
+        for rack in self.racks:
+            if rack:
+                rack.activate_start_if_due(beat)
+
+        for strip, seq in enumerate(self.sequencers):
+            name = self._strip_name(strip)
+            kind, slot = e._names[name]
+            for trig in seq.tick_block(B):
+                if trig.blend is not None and self.blenders[strip] is not None:
+                    cfg = self.blenders[strip].blend(*trig.blend)
+                    e._snap_queue.append((kind, slot))
+                    e.set_config(name, cfg)
+                if trig.note is not None and kind != "bass":
+                    mod = FAMILIES[kind]
+                    pname = mod.PARAM_NAMES[0]
+                    saved = e.get_param(name, pname)
+                    freq = music.midi_to_freq(trig.note)
+                    lo, hi = getattr(mod, "FREQ_RANGE", (30.0, 120.0))
+                    e._snap_queue.append((kind, slot))
+                    e.set_param(name, pname,
+                                float(np.clip((freq - lo) / (hi - lo), 0, 1)))
+                    e._trigger_queue.append(((kind, slot), trig.velocity,
+                                             trig.offset))
+                    if not any(n == name and p == pname
+                               for n, p, _ in self._post_restore):
+                        self._post_restore.append((name, pname, saved))
+                else:
+                    e._trigger_queue.append(((kind, slot), trig.velocity,
+                                             trig.offset))
+                if len(self.midi_out) < 64:
+                    self.midi_out.append((self.sample_count + trig.offset,
+                                          name, trig.velocity))
+        for strip, velocity in self._pending_triggers:
+            name = self._strip_name(strip)
+            e._trigger_queue.append((e._names[name], velocity, 0))
+        self._pending_triggers.clear()
+
+        action = self.performance.update_clock(beat, running)
+        self.performance.applying_playback = True
+        if action is not None:
+            if action[0] == "trigger":
+                ev_ = action[1]
+                self._apply_chord(ev_.root, ev_.scale_type, ev_.degree,
+                                  ev_.voicing, ev_.preset, ev_.octave,
+                                  ev_.velocity)
+            else:
+                self._release_chord()
+        for hit in self.performance.take_sampler_hits():
+            self.sampler_trigger(hit.rack, hit.slot, hit.velocity,
+                                 from_playback=True)
+        self.performance.applying_playback = False
+
+        self._stage_strip_gating()
+
+        ev = e._collect_events()
+
+        # stage snapshot: targets + snap masks (Engine._stage_kind, staged)
+        stage_tgt, stage_snap = {}, {}
+        for kind in e.instrument_kinds():
+            stage_tgt[kind] = np.stack(e._targets[kind]).astype(np.float32)
+            mask = np.zeros(len(e._targets[kind]), bool)
+            for k2, s2 in e._snap_queue:
+                if k2 == kind:
+                    mask[s2] = True
+            stage_snap[kind] = mask
+        e._snap_queue.clear()
+        for kind in e.instrument_kinds():
+            e._dirty[kind] = False
+        pan_tgt = np.asarray(e._pan, np.float32).copy()
+        gain_tgt = np.asarray(e._gain, np.float32).copy()
+        e._mix_dirty = False
+
+        gran_ev = self.gran_host.collect_events(self.sample_count, B,
+                                                device=False)
+        rack_evs = []
+        for rack in self.racks:
+            if rack is not None:
+                rack_evs.append(rack.collect_events(self.sample_count, B,
+                                                    device=False))
+
+        # per-step note overrides restore AFTER this block's trigger latched
+        # (per-block path: set_param + snap after the dispatch → next stage)
+        for name, pname, saved in self._post_restore:
+            e.set_param(name, pname, saved)
+            e._snap_queue.append(e._names[name])
+        self._post_restore = []
+
+        e.sample_count += B
+        self.sample_count += B
+        return dict(ev=ev, stage_tgt=stage_tgt, stage_snap=stage_snap,
+                    pan_tgt=pan_tgt, gain_tgt=gain_tgt, gran=gran_ev,
+                    racks=tuple(rack_evs))
+
+    def _render_span(self, K: int):
+        """Render K blocks via ONE scanned dispatch → ``[2, K*B]``."""
+        B = self.block
+        e = self.engine
+
+        for i, rack in enumerate(self.racks):
+            if rack is not None and rack.arena_dirty:
+                self.rack_states[i] = self.rack_states[i]._replace(
+                    arena=jnp.asarray(rack.arena))
+                rack.arena_dirty = False
+
+        # 1. loop mixer: its own batched scan (mixer.render_blocks), which
+        # also yields the per-block transport beats the planner needs
+        beats = []
+        loop_out = self.mixer.render_blocks(K, collect_beats=beats)
+        loop_seq = loop_out.reshape(2, K, B).transpose(1, 0, 2)   # [K, 2, B]
+
+        # 2. host planning: K blocks of events with eager staging disabled
+        if self._source_matrix is None:
+            self._source_matrix = self._build_source_matrix()
+        if self._strip_voice_idx is None:
+            self._strip_voice_idx = np.asarray(
+                [e._global_voice_index(self._strip_name(s))
+                 for s in range(NUM_KIT_CHANNELS + 1)], np.int32)
+        # gate strips BEFORE the state build/flush: on the very first render
+        # `_stage` runs `_build_state`, whose pan/gain banks must start from
+        # the gated values exactly like the per-block path (which gates
+        # before its first `_stage`) — else block 0 ramps from defaults
+        self._stage_strip_gating()
+        e._stage()                      # flush pending host writes first
+        carry_engine = dict(e._state)
+        e._state = None
+        try:
+            plans = [self._plan_host_block(beat, running)
+                     for beat, running in beats]
+        finally:
+            e._state = carry_engine
+
+        # 3. normalize ragged trigger shapes (a multi-trigger block widens
+        # every block of that kind to [V, Kmax]; rare, correct, slower)
+        kinds = e.instrument_kinds()
+        for kind in kinds:
+            offs = [p["ev"][kind + "_off"] for p in plans]
+            km = max(o.shape[1] if o.ndim == 2 else 1 for o in offs)
+            if km == 1 and all(o.ndim == 1 for o in offs):
+                continue
+            for p in plans:
+                evd = p["ev"]
+                for suffix, fill in (("_off", B), ("_vel", 0.0)):
+                    a = evd[kind + suffix]
+                    a2 = a[:, None] if a.ndim == 1 else a
+                    pad = np.full((a2.shape[0], km - a2.shape[1]), fill,
+                                  a2.dtype)
+                    evd[kind + suffix] = np.concatenate([a2, pad], axis=1)
+                fkey = {"poly": "poly_freq", "bass": "bass_freq"}.get(kind)
+                if fkey is not None:
+                    a = evd[fkey]
+                    a2 = a[:, None] if a.ndim == 1 else a
+                    pad = np.zeros((a2.shape[0], km - a2.shape[1]), a2.dtype)
+                    evd[fkey] = np.concatenate([a2, pad], axis=1)
+
+        # 4. stack the per-block plans into scan inputs
+        import jax.tree_util as jtu
+
+        xs = jtu.tree_map(lambda *ls: np.stack(ls), *plans)
+        xs["loop_out"] = loop_seq
+
+        enabled_entries = [
+            (i, ent) for i, ent in enumerate(self.fx.entries)
+            if self.fx_enabled.get(ent.effect_id, False)
+        ]
+        fx_key = tuple((ent.effect_id, _fx_flag(ent))
+                       for _, ent in enabled_entries)
+        sc_voice = -1
+        if self.sidechain_strip is not None and any(
+            ent.effect_id == chain_mod.EFFECT_COMPRESSOR
+            for _, ent in enabled_entries
+        ):
+            sc_voice = int(e._global_voice_index(
+                self._strip_name(self.sidechain_strip)))
+
+        g = self.graph
+        if g._smooth is None:
+            g._smooth = SmootherBank.init(g._strip_targets())
+        if g._routing_dev is None:
+            g._routing_dev = jnp.asarray(g.routing_matrix())
+        if g._targets_host is None:
+            g._targets_host = jnp.asarray(g._strip_targets())
+        rack_slots = tuple(i for i, r in enumerate(self.racks)
+                           if r is not None)
+
+        carry = dict(
+            engine=carry_engine,
+            gran=self.gran_state,
+            racks=tuple(self.rack_states[i] for i in rack_slots),
+            fx=tuple(self.fx.states[i] for i, _ in enabled_entries),
+            master=self.master,
+            gbank=g._smooth,
+            gracks=tuple(tuple(t.rack.states) for t in g.tracks),
+            strip_peak=self._strip_peak_dev,
+            graph_peak=jnp.zeros(len(g.tracks), jnp.float32),
+        )
+        consts = dict(
+            source_matrix=jnp.asarray(self._source_matrix),
+            graph_targets=g._targets_host,
+            graph_routing=g._routing_dev,
+            graph_rack_targets=tuple(tuple(t.rack.targets_list())
+                                     for t in g.tracks),
+            fx_targets=tuple(np.asarray(ent.targets)
+                             for _, ent in enabled_entries),
+            limiter_threshold=jnp.float32(self.limiter_threshold),
+            strip_idx=jnp.asarray(self._strip_voice_idx),
+        )
+        carry2, bus_seq = _span_render(
+            carry, consts, xs,
+            kinds=kinds, sample_rate=self.sr, block_size=B,
+            smooth_coeff=self._smooth_coeff, family_static=e._static_key(),
+            lfo_routes=e._routes_static(), fx_key=fx_key,
+            limiter_enabled=bool(self.limiter_enabled),
+            grain_read=_GRAIN_READ, voice_read=_GRAIN_READ,
+            rack_slots=rack_slots,
+            graph_rack_keys=tuple(t.rack.static_key() for t in g.tracks),
+            graph_coeff=g._coeff, sidechain_voice=sc_voice,
+        )
+
+        # 5. land the final carry back in the host objects
+        e._state = dict(carry2["engine"])
+        self.gran_state = carry2["gran"]
+        for i, slot in enumerate(rack_slots):
+            self.rack_states[slot] = carry2["racks"][i]
+        for (i, _), st in zip(enabled_entries, carry2["fx"]):
+            self.fx.states[i] = st
+        self.master = carry2["master"]
+        g._smooth = carry2["gbank"]
+        for t, st in zip(g.tracks, carry2["gracks"]):
+            t.rack.states = list(st)
+        self._strip_peak_dev = carry2["strip_peak"]
+        g.record_peaks(carry2["graph_peak"])
+
+        return bus_seq.transpose(1, 0, 2).reshape(2, -1)    # [2, K*B]
 
     def _render_one_block(self):
         B = self.block
@@ -459,8 +848,13 @@ class GooeyEngine:
             for trig in seq.tick_block(B):
                 if trig.blend is not None and self.blenders[strip] is not None:
                     cfg = self.blenders[strip].blend(*trig.blend)
-                    e.set_config(name, cfg)
+                    # queue the snap BEFORE the setter: set_config eager-
+                    # stages (and consumes pending snaps for the kind), so
+                    # the reversed order starved the snap until the next
+                    # dirty event — the reference snaps at the trigger
+                    # (ffi.rs:1163-1205 snap_params)
                     e._snap_queue.append((kind, slot))
+                    e.set_config(name, cfg)
                 if trig.note is not None and kind != "bass":
                     # per-step MIDI note → param-0 override (save/restore):
                     # the trigger latches the note-derived frequency
@@ -469,8 +863,8 @@ class GooeyEngine:
                     saved = e.get_param(name, pname)
                     freq = music.midi_to_freq(trig.note)
                     lo, hi = getattr(mod, "FREQ_RANGE", (30.0, 120.0))
+                    e._snap_queue.append((kind, slot))  # before the setter (see blend)
                     e.set_param(name, pname, float(np.clip((freq - lo) / (hi - lo), 0, 1)))
-                    e._snap_queue.append((kind, slot))
                     e._trigger_queue.append(((kind, slot), trig.velocity,
                                              trig.offset))
                     # two note steps for the same strip in one block: keep
@@ -510,24 +904,7 @@ class GooeyEngine:
         # 6+7. instrument banks → panned source frames (LFO routes inside)
         if self._source_matrix is None:
             self._source_matrix = self._build_source_matrix()
-        # stage strip mixer settings into engine pan/gain (solo-aware)
-        any_solo = bool(self.strip_solo.any())
-        for strip in range(NUM_KIT_CHANNELS + 1):
-            audible = (not self.strip_mute[strip]) and (
-                (not any_solo) or self.strip_solo[strip]
-            )
-            # gate INACTIVE kit instruments of this channel to zero
-            for kind in INSTRUMENT_KINDS:
-                nm = f"ch{strip}_{kind}" if strip < NUM_KIT_CHANNELS else None
-                if nm and nm in e._names:
-                    active = kind == self.channel_kind[strip]
-                    e.set_gain(nm, self.strip_gain[strip] if (active and audible) else 0.0)
-                    e.set_pan(nm, float(self.strip_pan[strip]))
-            if strip == NUM_KIT_CHANNELS:
-                e.set_gain("bass", self.strip_gain[strip] if audible else 0.0)
-                e.set_pan("bass", float(self.strip_pan[strip]))
-        e.set_gain("poly", 1.0)
-        e.set_pan("poly", 0.5)  # poly is center-panned (ffi.rs:1291)
+        self._stage_strip_gating()
 
         e._stage()
         events = e._collect_events()
@@ -547,9 +924,8 @@ class GooeyEngine:
         # (one entry per note-bearing step — several strips may carry notes
         # in the same block, each must get its frequency param back)
         for name, pname, saved in self._post_restore:
+            e._snap_queue.append(e._names[name])  # before the setter (see blend)
             e.set_param(name, pname, saved)
-            kind, slot = e._names[name]
-            e._snap_queue.append((kind, slot))
         self._post_restore = []
 
         # strip peaks: fold into the device accumulator — NO host sync here

@@ -41,16 +41,13 @@ MAX_TRACK_GAIN = 2.0
 import functools
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("coeff", "block_size", "sample_rate", "rack_keys"),
-)
-def _graph_render_jit(bank, targets, source_frames, routing,
-                      rack_states, rack_targets, *,
-                      coeff, block_size, sample_rate, rack_keys):
-    """Whole-graph block render as ONE jitted computation (the product
-    path otherwise dispatches ~20 eager ops + per-track chains per
-    block).  rack_keys: per-track static chain keys."""
+def graph_block(bank, targets, source_frames, routing,
+                rack_states, rack_targets, *,
+                coeff, block_size, sample_rate, rack_keys):
+    """Whole-graph block render as one traceable function (jitted by
+    `_graph_render_jit` for the per-block path; inlined into the product
+    span scan by gooey._span_render).  rack_keys: per-track static chain
+    keys."""
     bank = bank.with_targets(targets)
     bank, traj = smooth_block(bank, coeff, block_size)              # [T,3,B]
     tracks_in = jnp.einsum("ts,scb->tcb", routing, source_frames)   # [T,2,B]
@@ -81,6 +78,12 @@ def _graph_render_jit(bank, targets, source_frames, routing,
               else jnp.zeros_like(source_frames[0]))
     peaks_arr = jnp.stack(peaks) if peaks else jnp.zeros((0,))
     return bank, tuple(new_states), master, peaks_arr
+
+
+_graph_render_jit = functools.partial(
+    jax.jit,
+    static_argnames=("coeff", "block_size", "sample_rate", "rack_keys"),
+)(graph_block)
 
 
 class Track:

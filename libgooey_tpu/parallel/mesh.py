@@ -17,15 +17,18 @@ event arrays are ``[V]``-sharded like the state.
 
 Two sharded execution paths:
 
-* **GSPMD** (plain jit over sharded arrays): flexible — LFO routes,
-  sidechain, any feature — but must pass ``fused_banks=False``: a
-  pallas_call does not partition under GSPMD, so sharded state would be
-  gathered to one chip.
+* **GSPMD** (plain jit over sharded arrays): flexible — any feature incl.
+  poly — but must pass ``fused_banks=False``: a pallas_call does not
+  partition under GSPMD, so sharded state would be gathered to one chip.
 * **shard_map** (:func:`render_all_sharded`): runs ``engine._render_all``
   per shard on LOCAL voice slices, so the fused Pallas instrument-bank
   kernels stay on the fast path; the mix is an explicit ``psum`` of one
-  ``[2, B]`` frame per block.  Routes/sidechain (global-voice-indexed)
-  are not supported here — use GSPMD for those.
+  ``[2, B]`` frame per block.  This path carries the FULL product scope:
+  LFO routes and the compressor sidechain resolve their global voice ids
+  per-shard (``axis_index`` row masks; the sidechain tap is one extra
+  [B] psum), the user-ordered bus chain + limiter run replicated after
+  the mix psum, and ``collect_sources`` shards the source-matrix scatter.
+  Only poly stays GSPMD-only (slot-level params vs lane-level voices).
 
 ``tests/test_parallel.py`` and ``__graft_entry__.dryrun_multichip`` pin the
 sharded==single-device equality for the full kit (kick/snare/hihat2/tom2/
@@ -79,6 +82,53 @@ def _voice_spec_tree(tree, mesh: Mesh, *, overrides=None):
     return out
 
 
+def _event_specs(events, kinds, mesh):
+    """Key-aware PartitionSpecs for an engine event dict: per-family
+    trigger/velocity/freq arrays shard on their leading (voice) axis,
+    ``source_matrix`` on its column axis, everything else (block_start,
+    lfo_*, fx_*) is replicated.  Key-aware, NOT shape-heuristic: an
+    ``lfo_phase`` of shape [8] on an 8-device mesh must stay replicated."""
+    voice_keys = set()
+    for k in kinds:
+        voice_keys.update((k + "_off", k + "_vel"))
+    voice_keys.update(("poly_freq", "poly_rel", "bass_freq"))
+    specs = {}
+    for key, val in events.items():
+        arr = jax.numpy.asarray(val)
+        if key == "source_matrix":
+            specs[key] = P(None, VOICE_AXIS)
+        elif key in voice_keys:
+            specs[key] = P(*((VOICE_AXIS,) + (None,) * (arr.ndim - 1)))
+        else:
+            specs[key] = jax.tree_util.tree_map(lambda x: P(), val)
+    return specs
+
+
+def _state_specs(state, kinds, events, mesh):
+    """Key-aware PartitionSpecs for the engine state: instrument-bank
+    leaves shard iff their leading dim is that family's voice count
+    (packed chain states like ``[2, K]`` oversampler leaves on a 2-device
+    mesh must NOT shard); pan/gain shard; master/fx_* replicate."""
+    specs = {}
+    for key, sub in state.items():
+        if key in kinds:
+            Vk = int(jax.numpy.asarray(events[key + "_off"]).shape[0])
+
+            def spec_of(x, Vk=Vk):
+                x = jax.numpy.asarray(x)
+                if x.ndim >= 1 and x.shape[0] == Vk:
+                    return P(*((VOICE_AXIS,) + (None,) * (x.ndim - 1)))
+                return P()
+
+            specs[key] = jax.tree_util.tree_map(spec_of, sub)
+        elif key in ("pan", "gain"):
+            specs[key] = jax.tree_util.tree_map(
+                lambda x: P(VOICE_AXIS), sub)
+        else:
+            specs[key] = jax.tree_util.tree_map(lambda x: P(), sub)
+    return specs
+
+
 def render_all_sharded(state, events, *, mesh: Mesh, **static):
     """One engine block over the mesh, KEEPING the fused Pallas bank path.
 
@@ -86,31 +136,43 @@ def render_all_sharded(state, events, *, mesh: Mesh, **static):
     each shard renders its local voice slice (fused pallas_calls included —
     they are per-shard programs, not GSPMD-partitioned ops), then the
     ``[2, B]`` mix and ``[B]`` mono sum all-reduce with ``psum`` and the
-    replicated bus chain runs identically on every shard.
+    replicated bus chain + limiter run identically on every shard.  This is
+    the ONE path that carries the full product: fused banks, LFO routes
+    (global slot ids resolved per-shard via ``axis_index``), the
+    sidechained compressor (owning shard masks its tap, one [B] psum), the
+    user-ordered bus chain, and — with ``collect_sources=True`` — the
+    mixer-graph source scatter (source_matrix column-sharded, [S, 2, B]
+    psum).
 
     ``state``/``events`` follow ``shard_voice_tree``'s placement convention.
-    Returns ``(new_state, stereo[2, B], mono[B])`` with per-voice state
-    sharded and bus outputs replicated.  Static kwargs are
-    ``engine._render_all``'s; ``fused_banks`` defaults to True here.
+    Returns ``(new_state, stereo[2, B], mono[B])`` — or, with
+    ``collect_sources``, ``(new_state, sources[S, 2, B], all_voices[V, B],
+    voice_peaks[V])`` with the voice-axis outputs restored to family-concat
+    order.  Static kwargs are ``engine._render_all``'s; ``fused_banks``
+    defaults to True here.  ``poly`` is not supported under shard_map (its
+    slot-level param bank does not share the lane-level voice axis) — use
+    the GSPMD path for poly-bearing configs.
     """
     from libgooey_tpu.engine import engine as eng
 
     static = dict(static)
     static.setdefault("fused_banks", True)
     static["psum_axis"] = VOICE_AXIS
-    assert not static.get("collect_sources"), (
-        "collect_sources needs a [S, V] source_matrix spec; use GSPMD"
-    )
+    kinds = static["kinds"]
+    if "poly" in kinds:
+        raise ValueError("poly is not supported under shard_map; "
+                         "use the GSPMD (fused_banks=False) path")
+    collect = bool(static.get("collect_sources"))
 
     # The flat mixer banks (pan/gain) index voices in family-concat order
     # [f0 voices..., f1 voices...].  Inside shard_map each shard
     # concatenates its LOCAL family slices, so the global order of the
     # per-shard voice axis becomes shard-major interleaved:
     #   shard s rows = [f0[s*v0/D:(s+1)*v0/D], f1[...], ...]
-    # Permute pan/gain into that order before sharding (and back after) so
-    # each shard's local slice carries exactly its own voices' mix params.
+    # Permute pan/gain (and source_matrix columns) into that order before
+    # sharding (and back after) so each shard's local slice carries exactly
+    # its own voices' mix params.
     D = mesh.devices.size
-    kinds = static["kinds"]
     sizes = [events[k + "_off"].shape[0] for k in kinds]
     assert all(v % D == 0 for v in sizes), (
         f"family voice counts {sizes} must divide the mesh size {D}")
@@ -131,12 +193,25 @@ def render_all_sharded(state, events, *, mesh: Mesh, **static):
         return st
 
     state = permute_mix(state, perm)
-    state_specs = _voice_spec_tree(state, mesh)
-    event_specs = _voice_spec_tree(events, mesh)
+    if collect:
+        events = dict(events)
+        events["source_matrix"] = jax.numpy.asarray(
+            events["source_matrix"])[:, perm]
+    state_specs = _state_specs(state, kinds, events, mesh)
+    event_specs = _event_specs(events, kinds, mesh)
 
     def local_step(st, ev):
         return eng._render_all(st, ev, **static)
 
+    if collect:
+        out_specs = (state_specs, P(), P(VOICE_AXIS), P(VOICE_AXIS))
+        new_state, sources, all_voices, peaks = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(state_specs, event_specs), out_specs=out_specs,
+            check_vma=False,
+        )(state, events)
+        return (permute_mix(new_state, inv), sources,
+                all_voices[inv], peaks[inv])
     new_state, out, mono = jax.shard_map(
         local_step,
         mesh=mesh,
