@@ -264,9 +264,10 @@ def bench_preserve_pitch_loops():
             wsola.USE_DEVICE_SEARCH = False
 
     # device-resident hop scan (ops/wsola_stream.py): the whole WSOLA loop
-    # — search, grain reads, overlap-add — runs inside one lax.scan, so a
-    # 32-block batch is ONE dispatch instead of one round trip per hop
-    K = 32
+    # — search, grain reads, overlap-add — runs inside one lax.scan (all 4
+    # channels in ONE channel-batched scan since r5), so a K-block batch is
+    # ONE dispatch instead of one round trip per hop
+    K = 128
     wsola.USE_DEVICE_SEARCH = True
     try:
         m = Mixer(SR, block_size=B, buffer_capacity=1 << 16)
@@ -286,6 +287,35 @@ def bench_preserve_pitch_loops():
         wall = timed(run, iters=5, warmup=1) / K
         report("preserve_pitch_4loops_device_stream", 4 * B / SR, wall,
                f"4 WSOLA channels, warp 1.5, {K}-block batched hop scan")
+    finally:
+        wsola.USE_DEVICE_SEARCH = False
+
+    # the same 4 channels driven by the CLIP GRID with the transport
+    # RUNNING — live session playback, the headline feature WSOLA exists
+    # for.  No action is scheduled inside the span, so every channel stays
+    # on the batched device scan (stream_config's beat-horizon check)
+    wsola.USE_DEVICE_SEARCH = True
+    try:
+        m = Mixer(SR, block_size=B, buffer_capacity=1 << 16)
+        m.set_bpm(180.0)
+        for col, ch in enumerate(m.channels):
+            tone = (rng.randn(44100) * 0.3).astype(np.float32)
+            buf = StereoSampleBuffer.from_channels(tone, tone, SR, 120.0)
+            m.clip_grid.load(col, 0, buf, 120.0)
+        m.clip_grid.transport_start(m.channels)
+        for col in range(4):
+            m.clip_grid.launch_at(col, 0, 0.0)
+        m.render_blocks(2)  # land the launches, warm graphs
+        m.render_blocks(K)
+        m.render_blocks(K)
+
+        def run_grid():
+            return m.render_blocks(K)
+
+        wall = timed(run_grid, iters=5, warmup=1) / K
+        report("preserve_pitch_4loops_running_transport", 4 * B / SR, wall,
+               f"4 WSOLA clips under a RUNNING clip-grid transport, "
+               f"{K}-block batched hop scan")
     finally:
         wsola.USE_DEVICE_SEARCH = False
 
@@ -313,14 +343,15 @@ def bench_sequenced_submix():
 
     # the planned-span path: the SAME product pipeline, K blocks per
     # scanned dispatch (gooey._span_render) — how gooey_engine_render
-    # actually runs a multi-block host callback / offline render
-    K = 16
-    g.render(K * B)  # warm the span graph
-    def run_span():
-        return g.render(K * B)
-    wall = timed(run_span, iters=3, warmup=1) / K
-    report("sequencer_into_submixes_span", B / SR, wall,
-           f"full product pipeline, {K} blocks/dispatch (planned span)")
+    # actually runs a multi-block host callback / offline render.
+    # K=16 is a 186 ms realtime lookahead; K=64 the offline/bounce span.
+    for K in (16, 64):
+        g.render(K * B)  # warm the span graph
+        def run_span(K=K):
+            return g.render(K * B)
+        wall = timed(run_span, iters=3, warmup=1) / K
+        report(f"sequencer_into_submixes_span{K}", B / SR, wall,
+               f"full product pipeline, {K} blocks/dispatch (planned span)")
 
 
 def bench_interactive_pipelined():

@@ -113,6 +113,18 @@ class Mixer:
             ch.engine_bpm = bpm
             ch.chain.set_bpm(bpm)
 
+    def _silent(self, i: int) -> bool:
+        """True when channel ``i`` contributes exact silence this block AND
+        skipping its host sweep + device dispatch is state-neutral: no
+        loaded or staged buffer (nothing to read or land) and an empty
+        effect chain (no tails to ring out; the gain/gate smoothers of a
+        silent channel scale zeros, so holding them is exact)."""
+        ch = self.channels[i]
+        return (ch.buffer is None and ch.pending is None
+                and ch.region_buffers[0] is None
+                and ch.region_buffers[1] is None
+                and not ch.chain.entries)
+
     def _upload_if_dirty(self, i: int):
         ch = self.channels[i]
         for r in range(2):
@@ -133,6 +145,8 @@ class Mixer:
         total = jnp.zeros((2, B), jnp.float32)
         for i, ch in enumerate(self.channels):
             ch.audible = (not ch.muted) and ((not any_solo) or ch.soloed)
+            if self._silent(i) and i not in actions:
+                continue
             self._upload_if_dirty(i)  # staged swaps upload before the sweep lands
             pos, weights, region, length, wraps = ch.sweep_positions(
                 B, actions.get(i, ())
@@ -179,7 +193,15 @@ class Mixer:
 
         B = self.block
         K = int(n_blocks)
-        stream_cfgs = [stream_mod.stream_config(self, i)
+        #: silent channels skip host sweeps AND device dispatch for the
+        #: whole span; safe to decide up front — no host API runs mid-span,
+        #: so the only way a skipped channel could wake is a scheduled grid
+        #: action, checked here
+        skip = [self._silent(i)
+                and self.clip_grid.pending[i] is None
+                and self.clip_grid.pending_retrim[i] is None
+                for i in range(len(self.channels))]
+        stream_cfgs = [stream_mod.stream_config(self, i, K)
                        for i in range(len(self.channels))]
         plans = [[] for _ in self.channels]   # per channel: (pos, w, base, len, wrap)
         targets = [[] for _ in self.channels]
@@ -191,6 +213,8 @@ class Mixer:
             any_solo = any(ch.soloed for ch in self.channels)
             for i, ch in enumerate(self.channels):
                 ch.audible = (not ch.muted) and ((not any_solo) or ch.soloed)
+                if skip[i]:
+                    continue
                 targets[i].append(
                     np.array([ch.gain_target, 1.0 if ch.audible else 0.0],
                              np.float32)
@@ -207,12 +231,22 @@ class Mixer:
 
         total = jnp.zeros((2, K * B), jnp.float32)
         finalizers = []
+        # ALL streamed channels' hop scans run as ONE vmapped dispatch
+        # (stream.render_stream_channels); channels it can't take (batch
+        # shorter than the hop remainder) fall back to host planning below
+        stream_items = [(i, stream_cfgs[i])
+                        for i in range(len(self.channels))
+                        if not skip[i] and stream_cfgs[i] is not None]
+        streamed = stream_mod.render_stream_channels(
+            self, stream_items, K,
+            {i: np.stack(targets[i]) for i, _ in stream_items},
+        ) if stream_items else {}
         for i, ch in enumerate(self.channels):
+            if skip[i]:
+                continue
             if stream_cfgs[i] is not None:
-                res = stream_mod.render_stream_channel(
-                    self, i, K, np.stack(targets[i]), stream_cfgs[i])
-                if res is not None:
-                    wets, wb, fin = res
+                if i in streamed:
+                    wets, wb, fin = streamed[i]
                     total = total + wets.transpose(1, 0, 2).reshape(2, -1)
                     finalizers.append((wb, fin))
                     continue
@@ -248,11 +282,18 @@ class Mixer:
                 k0 = k1
             total = total + jnp.concatenate(wet_runs, axis=-1)
         # materialize the streamed channels' scheduler write-backs AFTER
-        # every channel has dispatched: the small downloads overlap the
-        # later channels' device compute instead of adding a round trip
-        # per array per channel
-        for wb, fin in finalizers:
-            fin(np.asarray(wb))
+        # every channel has dispatched: each GROUP's write-back is one
+        # stacked array whose D2H was started right after the hop dispatch
+        # (stream.render_stream_channels), so it downloads while the tail
+        # programs run — one overlap-hidden transfer per group instead of
+        # a blocking round trip per channel
+        if finalizers:
+            host_wbs = {}
+            for (wb, row), fin in finalizers:
+                key = id(wb)
+                if key not in host_wbs:
+                    host_wbs[key] = np.asarray(wb)
+                fin(host_wbs[key][row])
         return total
 
     # --- offline stem render (mod.rs:444-476) -----------------------------------

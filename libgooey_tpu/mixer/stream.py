@@ -8,8 +8,10 @@ continue seamlessly — per-block rendering, another batch, or a queued
 swap all pick up exactly where the device left off.
 
 Engages from :meth:`Mixer.render_blocks` when a channel is PreservePitch
-with the device search enabled, has no pending swap, and the clip-grid
-transport is idle (grid actions need the per-block host path).
+with the device search enabled, no pending swap, and no clip-grid action
+scheduled for its column within the span (a RUNNING transport with no due
+action streams — grid actions are beat-scheduled, so the span horizon is
+known at planning time; see :func:`stream_config`).
 """
 
 from __future__ import annotations
@@ -79,8 +81,17 @@ def _stream_channel(buf2, prefix_pos, prefix_w, r0, cur_i, cur_f, have_prev,
     return bank, states, wets, wb
 
 
-def stream_config(mixer, i):
-    """Static stream config for channel ``i``, or None if ineligible."""
+def stream_config(mixer, i, n_blocks: int = 0):
+    """Static stream config for channel ``i``, or None if ineligible.
+
+    A RUNNING clip-grid transport no longer disqualifies the channel —
+    grid actions are beat-scheduled, so the host knows at span-planning
+    time whether anything can land on this column within ``n_blocks``
+    (clip_grid.rs:582+: activations fire at scheduled beats).  Only a
+    pending launch/stop/retrim for THIS column inside the span horizon
+    forces the per-block host path; live clip-grid playback — the
+    headline feature WSOLA exists for — stays on the batched device scan.
+    """
     ch = mixer.channels[i]
     if (
         not ch.playing
@@ -88,9 +99,17 @@ def stream_config(mixer, i):
         or ch.pitch_mode != PITCH_PRESERVE
         or ch.speed < 0.0
         or ch.pending is not None
-        or mixer.clip_grid.transport_running
     ):
         return None
+    grid = mixer.clip_grid
+    if grid.transport_running:
+        bps = grid.beats_per_sample()
+        horizon = grid.transport_beat + n_blocks * mixer.block * bps + bps
+        p = grid.pending[i]
+        r = grid.pending_retrim[i]
+        if (p is not None and p.beat < horizon) or (
+                r is not None and r.beat < horizon):
+            return None
     use_dev = (ch._stretcher.use_device if ch._stretcher is not None
                else wsola.USE_DEVICE_SEARCH)
     if not use_dev:
@@ -101,18 +120,12 @@ def stream_config(mixer, i):
                            w.wraps, ch.speed, ch.warp_ratio())
 
 
-def render_stream_channel(mixer, i, K: int, targets_np, cfg):
-    """Dispatch K blocks of channel ``i`` through the device hop scan.
+def _prep_channel(mixer, i, K: int, cfg):
+    """Host-side prep shared by the single-channel and batched paths.
 
-    Returns ``(wets, wb, finalize)`` — the wet ``[K, 2, B]`` device
-    array, the packed scheduler write-back (device array), and a closure
-    ``finalize(wb_host)`` that applies it — or None when the batch is
-    shorter than the current hop remainder (caller falls back to the
-    host-planned path).  Callers dispatch every channel first and
-    materialize the (small) write-backs afterwards, so the downloads
-    overlap the other channels' device compute instead of serializing
-    one tunnel round trip per array per channel.
-    """
+    Returns a dict of everything the device dispatch needs, or None when
+    the batch is shorter than the current hop remainder (caller falls
+    back to the host-planned path for this channel)."""
     ch = mixer.channels[i]
     B = mixer.block
     T = K * B
@@ -157,20 +170,16 @@ def render_stream_channel(mixer, i, K: int, targets_np, cfg):
     mixer._upload_if_dirty(i)
     base = ch.active_region * mixer.capacity
     buf2 = mixer._dev_buffers[i][:, base:base + int(L)]
-    bank, new_states, wets, wb = _stream_channel(
-        buf2, jnp.asarray(ppos), jnp.asarray(pw), jnp.int32(r0),
-        jnp.float32(np.floor(v)), jnp.float32(v - np.floor(v)),
-        jnp.asarray(have_prev), jnp.asarray(ref_tail),
-        jnp.asarray(ptail_pos), jnp.float32(pvalid),
-        jnp.asarray(host.window[:hop]), jnp.asarray(host.window[hop:]),
-        jnp.asarray(targets_np), mixer._gain_banks[i],
-        tuple(ch.chain.states), tuple(ch.chain.targets_list()),
-        cfg=cfg, n_hops=n_hops, K=K, B=B, wrap_read=bool(w.wraps),
-        chain_key=ch.chain.static_key(), sample_rate=mixer.sr,
-        coeff=mixer._coeff,
-    )
-    mixer._gain_banks[i] = bank
-    ch.chain.states = list(new_states)
+    return dict(ch=ch, host=host, w=w, L=L, hop=hop, r0=r0, n_hops=n_hops,
+                ppos=ppos, pw=pw, v=float(v), have_prev=have_prev,
+                ref_tail=ref_tail, ptail_pos=ptail_pos, pvalid=pvalid,
+                buf2=buf2, T=T)
+
+
+def _mk_finalize(mixer, i, p, cfg):
+    """The host-scheduler write-back closure (shared by both paths)."""
+    ch, host, w = p["ch"], p["host"], p["w"]
+    hop, n_hops, r0, T = p["hop"], p["n_hops"], p["r0"], p["T"]
     prev_cur_start = getattr(host, "cur_start_v", None)
     prev_cur_step = getattr(host, "cur_step", cfg.step)
 
@@ -198,4 +207,208 @@ def render_stream_channel(mixer, i, K: int, targets_np, cfg):
         host._buffer_sr = ch.buffer.sample_rate
         ch.cursor = host.analysis_cursor
 
-    return wets, wb, finalize
+    return finalize
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_hops", "wrap_read"))
+def _stream_hops_batched_jit(P3c, ptail_pos, pvalid, w1, w2, cur_i, cur_f,
+                             have_prev, ref_tail, n_active, dyn, *, cfg,
+                             n_hops: int, wrap_read: bool):
+    """Batched hop dispatch: per-channel ptail reads from the padded rows
+    + ONE vmapped hop scan + the packed per-channel write-backs."""
+    hop = cfg.hop
+    C = P3c.shape[0]
+
+    def read_ptail(rows, pos):
+        # rows = padded [3, W]; positions are pre-wrapped host coords, so a
+        # flat read at pos+4 sees exactly the host taps (pad_buffer layout)
+        return read_cubic(rows[1:3], pos + 4.0, False) * w2[None, :]
+
+    ptail = jax.vmap(read_ptail)(P3c, ptail_pos) * pvalid[:, None, None]
+    state = ((cur_i, cur_f), have_prev, ref_tail, ptail)
+    carry, bi, bf, hps, ys = dws.stream_hops_batched(
+        P3c, w1, w2, state, n_active, dyn, n_hops=n_hops, cfg=cfg)
+    _cur, _hp, ref_out, _pt = carry
+
+    # packed write-back rows [C, hop + 5]
+    f32 = jnp.float32
+    last = jnp.maximum(n_active - 1, 0)
+    prev = jnp.maximum(n_active - 2, 0)
+    ch_idx = jnp.arange(C)
+    pick = lambda a, t: a[t, ch_idx]
+    has2 = (n_active >= 2).astype(f32)
+    wb = jnp.concatenate([
+        ref_out,
+        jnp.stack([pick(bi, last), pick(bf, last),
+                   pick(bi, prev) * has2, pick(bf, prev) * has2,
+                   pick(hps, last).astype(f32)], axis=-1),
+    ], axis=-1)
+    return ys, wb
+
+
+@partial(jax.jit, static_argnames=("n_hops", "hop", "K", "B", "wrap_read",
+                                   "chain_key", "sample_rate", "coeff"))
+def _stream_tail(buf2, prefix_pos, prefix_w, r0, ys_c, targets_seq,
+                 gain_bank, chain_states, chain_targets, *, n_hops: int,
+                 hop: int, K: int, B: int, wrap_read: bool, chain_key,
+                 sample_rate: float, coeff: float):
+    """Per-channel epilogue: prefix read + slice + gain/chain scan."""
+    pre = (
+        read_cubic(buf2, prefix_pos[0], wrap_read) * prefix_w[0][None, :]
+        + read_cubic(buf2, prefix_pos[1], wrap_read) * prefix_w[1][None, :]
+    )
+    full = jnp.concatenate([pre, ys_c.transpose(1, 0, 2).reshape(2, -1)],
+                           axis=1)
+    out = jax.lax.dynamic_slice(
+        full, (0, (hop - r0).astype(jnp.int32)), (2, K * B))
+    dry = out.reshape(2, K, B).transpose(1, 0, 2)
+
+    if not chain_key:
+        # empty chain (the live clip-grid case): the K per-block smoother
+        # steps have a closed form, so the whole tail is one vectorized
+        # elementwise op instead of a K-step scan of tiny kernels.
+        # Mirrors smooth_block exactly: block k starts from block k-1's
+        # end value, with the reference's 1e-4 settle snap per sample.
+        q = jnp.float32(1.0 - coeff)
+        powers = jnp.power(q, jnp.arange(1, B + 1, dtype=jnp.float32))
+        eps = jnp.float32(1e-4)
+
+        def block_step(cur, tgt):
+            decayed = (cur - tgt)[:, None] * powers[None, :]
+            traj = tgt[:, None] + jnp.where(jnp.abs(decayed) < eps, 0.0,
+                                            decayed)
+            return traj[:, -1], traj
+
+        cur_last, trajs = jax.lax.scan(block_step, gain_bank.current,
+                                       targets_seq)            # [K, 2, B]
+        wets = dry * trajs[:, 0][:, None, :] * trajs[:, 1][:, None, :]
+        bank = type(gain_bank)(current=cur_last, target=targets_seq[-1])
+        return bank, tuple(chain_states), wets
+
+    def body(c, xs):
+        bank, states = c
+        d, tg = xs
+        bank = bank.with_targets(tg)
+        bank, traj = smooth_block(bank, coeff, B)
+        gained = d * traj[0][None, :]
+        states, wet = chain_mod.process_chain(
+            states, gained, chain_targets, chain_key, sample_rate=sample_rate
+        )
+        return (bank, tuple(states)), wet * traj[1][None, :]
+
+    (bank, states), wets = jax.lax.scan(
+        body, (gain_bank, tuple(chain_states)), (dry, targets_seq))
+    return bank, states, wets
+
+
+def render_stream_channels(mixer, items, K: int, targets_by_ch):
+    """Dispatch K blocks for SEVERAL stream channels at once.
+
+    ``items``: list of ``(i, cfg)``.  The hop scans of all channels run
+    as ONE vmapped device scan (grouped by window wrap-ness — a static
+    read mode); prefix/chain epilogues stay per-channel (their chain
+    keys are static per channel).  Returns ``{i: (wets, wb_row_index,
+    finalize)}`` plus the stacked write-back array — the caller downloads
+    it ONCE and feeds each row to its finalize (one tunnel round trip
+    for the whole batch instead of one per channel).  Channels whose
+    batch is shorter than their hop remainder are absent from the result
+    (caller falls back to the host-planned path).
+    """
+    B = mixer.block
+    preps = {}
+    for i, cfg in items:
+        p = _prep_channel(mixer, i, K, cfg)
+        if p is not None:
+            preps[i] = (cfg, p)
+    out = {}
+    # group by wrap-ness (trace-static read mode)
+    for wraps in (False, True):
+        group = [(i, cfg, p) for i, (cfg, p) in preps.items()
+                 if cfg.wraps == wraps]
+        if not group:
+            continue
+        hop = group[0][1].hop
+        U = max(cfg.U for _i, cfg, _p in group)
+        nf = max(cfg.nf for _i, cfg, _p in group)
+        grainB = max(cfg.grainB for _i, cfg, _p in group)
+        hopB = max(cfg.hopB for _i, cfg, _p in group)
+        shared = group[0][1]._replace(U=U, nf=nf, grainB=grainB, hopB=hopB)
+        n_hops = max(p["n_hops"] for _i, _cfg, p in group)
+        Wmax = max(int(p["L"]) for _i, _cfg, p in group) + 4 + U
+
+        P3_rows, dyn_rows = [], []
+        for i, cfg, p in group:
+            # padded-row construction only changes when the buffer/window/
+            # padding geometry does — cache it on the channel (rebuilding
+            # cost ~10 ms of host dispatch per batch across 4 channels)
+            ch = p["ch"]
+            key = (ch.active_region, cfg.wraps, U, Wmax)
+            cached = getattr(ch, "_p3_cache", None)
+            if (cached is not None and cached[0] == key
+                    and cached[2] is ch.buffer):
+                P3 = cached[1]
+            else:
+                buf2 = p["buf2"]
+                rows = jnp.concatenate([(buf2[0] + buf2[1])[None, :], buf2],
+                                       axis=0)
+                P3 = dws.pad_buffer(rows, cfg._replace(U=U))
+                pad = Wmax - P3.shape[1]
+                if pad:
+                    P3 = jnp.pad(P3, ((0, 0), (0, pad)))
+                ch._p3_cache = (key, P3, ch.buffer)
+            P3_rows.append(P3)
+            dyn_rows.append(dws._static_dyn(cfg))
+        P3c = jnp.stack(P3_rows)
+        dyn = {k: jnp.asarray([d[k] for d in dyn_rows], jnp.float32)
+               for k in dyn_rows[0]}
+        host0 = group[0][2]["host"]
+        w1 = jnp.asarray(host0.window[:hop])
+        w2 = jnp.asarray(host0.window[hop:])
+        ys, wb = _stream_hops_batched_jit(
+            P3c,
+            jnp.asarray(np.stack([p["ptail_pos"] for _i, _c, p in group])),
+            jnp.asarray(np.array([p["pvalid"] for _i, _c, p in group],
+                                 np.float32)),
+            w1, w2,
+            jnp.asarray(np.floor([p["v"] for _i, _c, p in group]
+                                 ).astype(np.float32)),
+            jnp.asarray(np.array([p["v"] - np.floor(p["v"])
+                                  for _i, _c, p in group], np.float32)),
+            jnp.asarray(np.array([p["have_prev"] for _i, _c, p in group])),
+            jnp.asarray(np.stack([p["ref_tail"] for _i, _c, p in group])),
+            jnp.asarray(np.array([p["n_hops"] for _i, _c, p in group],
+                                 np.int32)),
+            dyn, cfg=shared, n_hops=n_hops, wrap_read=wraps,
+        )
+        # start the write-back D2H now: it depends only on the hop scan,
+        # so the copy rides the tunnel WHILE the tail programs below run —
+        # by the time the caller materializes it, it has usually landed
+        try:
+            wb.copy_to_host_async()
+        except AttributeError:
+            pass
+        for row, (i, cfg, p) in enumerate(group):
+            ch = p["ch"]
+            bank, states, wets = _stream_tail(
+                p["buf2"], jnp.asarray(p["ppos"]), jnp.asarray(p["pw"]),
+                jnp.int32(p["r0"]), ys[:p["n_hops"], row],
+                jnp.asarray(targets_by_ch[i]), mixer._gain_banks[i],
+                tuple(ch.chain.states), tuple(ch.chain.targets_list()),
+                n_hops=p["n_hops"], hop=hop, K=K, B=B, wrap_read=wraps,
+                chain_key=ch.chain.static_key(), sample_rate=mixer.sr,
+                coeff=mixer._coeff,
+            )
+            mixer._gain_banks[i] = bank
+            ch.chain.states = list(states)
+            out[i] = (wets, (wb, row), _mk_finalize(mixer, i, p, cfg))
+    return out
+
+
+def render_stream_channel(mixer, i, K: int, targets_np, cfg):
+    """Single-channel wrapper over :func:`render_stream_channels`.
+
+    Returns ``(wets, wb, finalize)`` or None when the batch is shorter
+    than the current hop remainder (caller falls back to the host-planned
+    path)."""
+    res = render_stream_channels(mixer, [(i, cfg)], K, {i: targets_np})
+    return res.get(i)

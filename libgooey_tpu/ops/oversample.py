@@ -204,6 +204,119 @@ def _allpass_chain_paired_mx(sig, coef_pairs, y0s, x0s):
             jnp.stack(new_y2, axis=-1), jnp.stack(new_x2, axis=-1))
 
 
+#: Wide-bank chain formulation: "lifted" composes the WHOLE chain into one
+#: chunk-lifted state-space operator (one [nc, nc] matmul per chunk instead
+#: of one per section — S-fold fewer MXU passes and HBM round-trips);
+#: "toeplitz" keeps the per-section matmuls (round-4 numerics, kept for
+#: A/B and fallback).
+MX_CHAIN_IMPL = "lifted"
+
+
+@functools.lru_cache(maxsize=None)
+def _lifted_consts(pairs_key, nc):
+    """Chunk-lifted operators for a WHOLE per-phase allpass chain.
+
+    The chain of S first-order allpasses is one linear system with state
+    ``z = [y_1, x_1, .., y_S, x_S]`` (section output/input memories):
+    ``z' = A z + B u``, ``out = C z + D u``.  Lifting a chunk of ``nc``
+    samples gives (all built in f64, returned f32, per phase):
+
+    * ``U [nc, nc]``: input→output Toeplitz, ``U[k, m] = C A^(m-k-1) B``
+      (``D`` on the diagonal) — ONE matmul applies the whole chain;
+    * ``P [Z, nc]``: state→output, column m = ``(C A^m)^T``;
+    * ``T [Z, Z]``: chunk state transition ``A^nc`` (transposed for the
+      right-multiply einsum);
+    * ``Bm [nc, Z]``: input→state, row k = ``A^(nc-1-k) B``;
+    * ``T2/Bm2``: same to the SECOND-TO-LAST sample of the final chunk
+      (the HalfbandState ``*y2/*x2`` captures).
+    """
+    pairs = np.asarray(pairs_key, np.float64).reshape(-1, 2)
+    S = pairs.shape[0]
+    Z = 2 * S
+    outs = []
+    for ph in range(2):
+        a = pairs[:, ph]
+
+        def step(z, u):
+            z2 = z.copy()
+            cur = u
+            for j in range(S):
+                y = a[j] * (cur - z[2 * j]) + z[2 * j + 1]
+                z2[2 * j] = y
+                z2[2 * j + 1] = cur
+                cur = y
+            return z2, cur
+
+        A = np.zeros((Z, Z))
+        Cv = np.zeros(Z)
+        for k in range(Z):
+            e = np.zeros(Z)
+            e[k] = 1.0
+            z2, o = step(e, 0.0)
+            A[:, k] = z2
+            Cv[k] = o
+        Bv, D = step(np.zeros(Z), 1.0)
+
+        Apow = [np.eye(Z)]
+        for _m in range(nc):
+            Apow.append(Apow[-1] @ A)
+        U = np.zeros((nc, nc))
+        for m in range(nc):
+            U[m, m] = D
+            for k in range(m):
+                U[k, m] = Cv @ Apow[m - k - 1] @ Bv
+        P = np.stack([Cv @ Apow[m] for m in range(nc)], axis=1)     # [Z, nc]
+        T = Apow[nc].T                                              # [Z, Z]
+        Bm = np.stack([Apow[nc - 1 - k] @ Bv for k in range(nc)])   # [nc, Z]
+        T2 = Apow[nc - 1].T
+        Bm2 = np.stack([(Apow[nc - 2 - k] @ Bv) if k < nc - 1
+                        else np.zeros(Z) for k in range(nc)])
+        outs.append((U, P, T, Bm, T2, Bm2))
+    return tuple(
+        np.stack([outs[0][i], outs[1][i]], axis=0).astype(np.float32)
+        for i in range(6)
+    )
+
+
+def _allpass_chain_lifted_mx(sig, coef_pairs, y0s, x0s):
+    """Whole-chain chunk-lifted formulation of the paired allpass chains.
+
+    One [nc, nc] HIGHEST-precision matmul per chunk applies ALL S
+    sections at once (vs one per section), plus tiny [Z]-wide state
+    einsums — S-fold fewer MXU passes AND only one [.., N] intermediate
+    per chain instead of per section.  Constants are exact f64 lifts of
+    the recurrence (:func:`_lifted_consts`); f32 rounding differs from
+    the per-section path by reassociation only (same tolerance class as
+    the Toeplitz path vs the scans; pinned by test_oversample)."""
+    N = sig.shape[-1]
+    C = N // _NC
+    S = coef_pairs.shape[0]
+    key = tuple(np.asarray(coef_pairs, np.float64).ravel().tolist())
+    U, P, T, Bm, T2, Bm2 = (jnp.asarray(c) for c in _lifted_consts(key, _NC))
+    HI = jax.lax.Precision.HIGHEST
+    # state z = [y_1, x_1, ..] per phase: [2, ..., Z]
+    parts = []
+    for j in range(S):
+        parts += [y0s[..., j], x0s[..., j]]
+    z = jnp.stack(parts, axis=-1)
+    b = sig.reshape(sig.shape[:-1] + (C, _NC))
+    y_in = jnp.einsum("p...ck,pkm->p...cm", b, U, precision=HI)
+    zs = []
+    for c in range(C):
+        zs.append(z)
+        z = (jnp.einsum("p...s,pst->p...t", z, T, precision=HI)
+             + jnp.einsum("p...k,pks->p...s", b[..., c, :], Bm, precision=HI))
+    z_all = jnp.stack(zs, axis=-2)                       # [p, ..., C, Z]
+    y = y_in + jnp.einsum("p...cs,psm->p...cm", z_all, P, precision=HI)
+    out = y.reshape(sig.shape)
+    z_m1 = (jnp.einsum("p...s,pst->p...t", zs[-1], T2, precision=HI)
+            + jnp.einsum("p...k,pks->p...s", b[..., C - 1, :], Bm2,
+                         precision=HI))
+    pick = lambda zz, o: jnp.stack([zz[..., 2 * j + o] for j in range(S)],
+                                   axis=-1)
+    return out, pick(z, 0), pick(z, 1), pick(z_m1, 0), pick(z_m1, 1)
+
+
 def _allpass_chain_paired(sig, coef_pairs, y0s, x0s):
     """Run BOTH polyphase chains as one batched stack of first-order
     allpasses ``y = a*x + x_prev - a*y_prev``.
@@ -215,13 +328,16 @@ def _allpass_chain_paired(sig, coef_pairs, y0s, x0s):
     of chaining the phases separately, with identical per-lane numerics.
 
     Wide voice banks (>= ``_MX_MIN_BATCH`` flattened lanes, block a
-    multiple of ``_NC``) route to the MXU Toeplitz path instead.
+    multiple of ``_NC``) route to the MXU path instead (lifted whole-chain
+    by default; see ``MX_CHAIN_IMPL``).
     """
     batch = 1
     for dsz in sig.shape[1:-1]:
         batch *= dsz
     N = sig.shape[-1]
     if batch >= _MX_MIN_BATCH and N % _NC == 0 and N >= 2:
+        if MX_CHAIN_IMPL == "lifted":
+            return _allpass_chain_lifted_mx(sig, coef_pairs, y0s, x0s)
         return _allpass_chain_paired_mx(sig, coef_pairs, y0s, x0s)
     new_y, new_x, new_y2, new_x2 = [], [], [], []
     bshape = (2,) + (1,) * (sig.ndim - 1)

@@ -171,31 +171,31 @@ def _pmin(a, b):
 
 # --- the hop scan ------------------------------------------------------------
 
-def stream_hops(P3, w1, w2, state, *, n_hops: int, cfg: StreamConfig):
-    """Run ``n_hops`` WSOLA hops on device.
+def _hop_once(carry, P3, w1, w2, d, cfg: StreamConfig):
+    """One WSOLA hop for one channel.
 
-    ``P3``: ``[3, 4+L+U]`` padded rows (mono = L+R, left, right) from
-    :func:`pad_buffer`.  ``w1``/``w2``: the COLA window halves ``[hop]``.
-    ``state``: ``(cur_i, cur_f, have_prev, ref_tail[hop],
-    ptail[2, hop])`` — virtual cursor pair, whether a previous grain
-    exists, its windowed mono tail (NCC reference) and windowed stereo
-    second half (overlap-add partner).
-
-    Returns ``(state', bests_i[n], bests_f[n], hps[n], ys[n, 2, hop])``.
+    ``d`` maps the per-channel NUMERIC parameters (step, hopw_i/f, rad,
+    ms_i/f, wl_i/f, L) to scalars — python floats when traced statically
+    (:func:`stream_hops`, numerics identical to round 4) or 0-d traced
+    arrays from the channel-batched vmap path (:func:`stream_hops_batched`).
+    ``cfg`` supplies only the STRUCTURAL statics (hop, win_n, U, nf,
+    hopB, grainB, wraps).
     """
     f32 = jnp.float32
-    step = f32(cfg.step)
+    _c = lambda v: jnp.asarray(v, jnp.float32)
+    step = _c(d["step"])
     eps = f32(_EPS)
     ZERO = (f32(0.0), f32(0.0))
-    HOPW = (f32(cfg.hopw_i), f32(cfg.hopw_f))
-    RAD = (f32(cfg.rad), f32(0.0))
-    MS = (f32(cfg.ms_i), f32(cfg.ms_f))
+    HOPW = (_c(d["hopw_i"]), _c(d["hopw_f"]))
+    RAD = (_c(d["rad"]), f32(0.0))
+    MS = (_c(d["ms_i"]), _c(d["ms_f"]))
     jc = jnp.arange(NC, dtype=jnp.float32)
     jf = jnp.arange(cfg.nf, dtype=jnp.float32)
     row_off = jnp.arange(3, dtype=jnp.float32) * cfg.U
 
     def read_windows(uflat, p0s, B):
-        r = grain_read_cubic(uflat, p0s, jnp.full(p0s.shape, step), B=B)
+        r = grain_read_cubic(uflat, p0s,
+                             jnp.broadcast_to(step, p0s.shape), B=B)
         return r[:, : cfg.hop]
 
     def scores(uflat, p0s, valid, ref, re):
@@ -206,66 +206,224 @@ def stream_hops(P3, w1, w2, state, *, n_hops: int, cfg: StreamConfig):
         sc = jnp.where(ok, num / (jnp.sqrt(re) * jnp.sqrt(ce)), 0.0)
         return jnp.where(valid, sc, -jnp.inf)
 
+    cur, have_prev, ref_tail, ptail = carry
+    raw = _add(cur, HOPW)
+    wrapped = _lt(MS, raw)  # raw_target > max_start (max_start > 0 here)
+    # host: search_center = 0 if wrapped else max(raw_target, 0) — the
+    # cursor can sit below the loop window (negative virtual coords)
+    ctr = _sel(wrapped, ZERO, _pmax(raw, ZERO))
+    hp_cur = have_prev & ~wrapped
+
+    lo = _pmax(_sub(ctr, RAD), ZERO)
+    hi = _pmin(_add(ctr, RAD), MS)
+    search_ok = _lt(lo, hi)
+
+    anchor = lo[0]
+    sb = _c(d["wl_i"]) + anchor
+    if cfg.wraps:
+        L = _c(d["L"])
+        sb = jnp.where(sb >= L, sb - L, sb)
+    uwin3 = jax.lax.dynamic_slice(
+        P3, (0, sb.astype(jnp.int32)), (3, cfg.U))
+    uflat = uwin3.reshape(-1)
+
+    def rel(p):
+        return (p[0] - anchor) + (p[1] + (_c(d["wl_f"]) + f32(4.0)))
+
+    # coarse stage
+    dd = (hi[0] - lo[0]) + (hi[1] - lo[1])
+    stride = jnp.maximum(dd / COARSE_STEPS, 1.0)
+    q = dd / stride
+    nc_valid = jnp.floor(q + 1e-5) + 1.0
+    base = rel(lo)
+    re = ref_tail @ ref_tail
+    sc = scores(uwin3[0], base + jc * stride, jc < nc_valid,
+                ref_tail, re)
+    ci = jnp.argmax(sc)
+    best_c = jc[ci] * stride            # offset from lo
+
+    # fine stage (1-sample steps around the coarse winner)
+    f_lo = jnp.maximum(best_c - stride, 0.0)
+    f_hi = jnp.minimum(best_c + stride, dd)
+    nf_valid = jnp.floor(f_hi - f_lo + 1e-9) + 1.0
+    sf = scores(uwin3[0], base + f_lo + jf, jf < nf_valid,
+                ref_tail, re)
+    fi = jnp.argmax(sf)
+    best_off = jnp.where(sf[fi] > sc[ci], f_lo + jf[fi], best_c)
+
+    searched = _norm(lo[0], lo[1] + best_off)
+    best = _sel(hp_cur & search_ok, searched, ctr)
+
+    # the chosen grain: [3, win_n] = mono, left, right
+    g3 = grain_read_cubic(
+        uflat, rel(best) + row_off,
+        jnp.broadcast_to(step, (3,)), B=cfg.grainB)[:, : cfg.win_n]
+    y = g3[1:3, : cfg.hop] * w1[None, :] + jnp.where(hp_cur, 1.0, 0.0) * ptail
+    new_ref = g3[0, cfg.hop:] * w2
+    new_ptail = g3[1:3, cfg.hop:] * w2[None, :]
+
+    out = (best[0], best[1], hp_cur, y)
+    return (best, jnp.ones((), bool), new_ref, new_ptail), out
+
+
+def _static_dyn(cfg: StreamConfig):
+    return dict(step=float(cfg.step), hopw_i=float(cfg.hopw_i),
+                hopw_f=float(cfg.hopw_f), rad=float(cfg.rad),
+                ms_i=float(cfg.ms_i), ms_f=float(cfg.ms_f),
+                wl_i=float(cfg.wl_i), wl_f=float(cfg.wl_f),
+                L=float(cfg.L))
+
+
+def stream_hops(P3, w1, w2, state, *, n_hops: int, cfg: StreamConfig):
+    """Run ``n_hops`` WSOLA hops on device (single channel, static cfg).
+
+    ``P3``: ``[3, 4+L+U]`` padded rows (mono = L+R, left, right) from
+    :func:`pad_buffer`.  ``w1``/``w2``: the COLA window halves ``[hop]``.
+    ``state``: ``(cur_i, cur_f, have_prev, ref_tail[hop],
+    ptail[2, hop])`` — virtual cursor pair, whether a previous grain
+    exists, its windowed mono tail (NCC reference) and windowed stereo
+    second half (overlap-add partner).
+
+    Returns ``(state', bests_i[n], bests_f[n], hps[n], ys[n, 2, hop])``.
+    """
+    d = _static_dyn(cfg)
+
     def body(carry, _):
-        cur, have_prev, ref_tail, ptail = carry
-        raw = _add(cur, HOPW)
-        wrapped = _lt(MS, raw)  # raw_target > max_start (max_start > 0 here)
-        # host: search_center = 0 if wrapped else max(raw_target, 0) — the
-        # cursor can sit below the loop window (negative virtual coords)
-        ctr = _sel(wrapped, ZERO, _pmax(raw, ZERO))
-        hp_cur = have_prev & ~wrapped
-
-        lo = _pmax(_sub(ctr, RAD), ZERO)
-        hi = _pmin(_add(ctr, RAD), MS)
-        search_ok = _lt(lo, hi)
-
-        anchor = lo[0]
-        sb = f32(cfg.wl_i) + anchor
-        if cfg.wraps:
-            sb = jnp.where(sb >= cfg.L, sb - cfg.L, sb)
-        uwin3 = jax.lax.dynamic_slice(
-            P3, (0, sb.astype(jnp.int32)), (3, cfg.U))
-        uflat = uwin3.reshape(-1)
-
-        def rel(p):
-            return (p[0] - anchor) + (p[1] + f32(cfg.wl_f + 4.0))
-
-        # coarse stage
-        d = (hi[0] - lo[0]) + (hi[1] - lo[1])
-        stride = jnp.maximum(d / COARSE_STEPS, 1.0)
-        q = d / stride
-        nc_valid = jnp.floor(q + 1e-5) + 1.0
-        base = rel(lo)
-        re = ref_tail @ ref_tail
-        sc = scores(uwin3[0], base + jc * stride, jc < nc_valid,
-                    ref_tail, re)
-        ci = jnp.argmax(sc)
-        best_c = jc[ci] * stride            # offset from lo
-
-        # fine stage (1-sample steps around the coarse winner)
-        f_lo = jnp.maximum(best_c - stride, 0.0)
-        f_hi = jnp.minimum(best_c + stride, d)
-        nf_valid = jnp.floor(f_hi - f_lo + 1e-9) + 1.0
-        sf = scores(uwin3[0], base + f_lo + jf, jf < nf_valid,
-                    ref_tail, re)
-        fi = jnp.argmax(sf)
-        best_off = jnp.where(sf[fi] > sc[ci], f_lo + jf[fi], best_c)
-
-        searched = _norm(lo[0], lo[1] + best_off)
-        best = _sel(hp_cur & search_ok, searched, ctr)
-
-        # the chosen grain: [3, win_n] = mono, left, right
-        g3 = grain_read_cubic(
-            uflat, rel(best) + row_off,
-            jnp.full((3,), step), B=cfg.grainB)[:, : cfg.win_n]
-        y = g3[1:3, : cfg.hop] * w1[None, :] + jnp.where(hp_cur, 1.0, 0.0) * ptail
-        new_ref = g3[0, cfg.hop:] * w2
-        new_ptail = g3[1:3, cfg.hop:] * w2[None, :]
-
-        out = (best[0], best[1], hp_cur, y)
-        return (best, jnp.ones((), bool), new_ref, new_ptail), out
+        return _hop_once(carry, P3, w1, w2, d, cfg)
 
     carry, (bi, bf, hps, ys) = jax.lax.scan(body, state, None, length=n_hops)
+    return carry, bi, bf, hps, ys
+
+
+def _hop_once_batched(carry, P3c, w1, w2, d, cfg: StreamConfig):
+    """One hop for C channels at once — `_hop_once`'s math with an
+    explicit leading channel axis.
+
+    The MXU window reads are CHANNEL-FLATTENED into single
+    `grain_read_cubic` calls over the concatenated union windows (a
+    vmapped pallas_call does not lower on Mosaic, and one wide call
+    beats C narrow ones anyway); everything else is elementwise on [C]
+    or batched einsums.  ``d``: dict of [C] f32 per-channel parameters.
+    """
+    f32 = jnp.float32
+    C = P3c.shape[0]
+    step = d["step"]                                       # [C]
+    eps = f32(_EPS)
+    zc = jnp.zeros((C,), f32)
+    ZERO = (zc, zc)
+    HOPW = (d["hopw_i"], d["hopw_f"])
+    RAD = (d["rad"], zc)
+    MS = (d["ms_i"], d["ms_f"])
+    jc = jnp.arange(NC, dtype=jnp.float32)
+    jf = jnp.arange(cfg.nf, dtype=jnp.float32)
+    row_off = jnp.arange(3, dtype=jnp.float32) * cfg.U     # [3]
+    chan_off = (jnp.arange(C, dtype=jnp.float32) * (3 * cfg.U))  # [C]
+
+    cur, have_prev, ref_tail, ptail = carry
+    raw = _add(cur, HOPW)
+    wrapped = _lt(MS, raw)
+    ctr = _sel(wrapped, ZERO, _pmax(raw, ZERO))
+    hp_cur = have_prev & ~wrapped
+
+    lo = _pmax(_sub(ctr, RAD), ZERO)
+    hi = _pmin(_add(ctr, RAD), MS)
+    search_ok = _lt(lo, hi)
+
+    anchor = lo[0]                                         # [C]
+    sb = d["wl_i"] + anchor
+    if cfg.wraps:
+        sb = jnp.where(sb >= d["L"], sb - d["L"], sb)
+    uwin3 = jax.vmap(
+        lambda p3, s: jax.lax.dynamic_slice(p3, (0, s), (3, cfg.U))
+    )(P3c, sb.astype(jnp.int32))                           # [C, 3, U]
+    uflat = uwin3.reshape(-1)                              # [C*3*U]
+
+    def rel(p):
+        return (p[0] - anchor) + (p[1] + (d["wl_f"] + f32(4.0)))
+
+    def scores(p0s, valid, nrows):
+        """p0s [C, n] channel-relative mono starts -> NCC scores [C, n]."""
+        starts = (p0s + chan_off[:, None]).reshape(-1)
+        steps = jnp.broadcast_to(step[:, None], p0s.shape).reshape(-1)
+        cand = grain_read_cubic(uflat, starts, steps, B=cfg.hopB)
+        cand = cand[:, : cfg.hop].reshape(C, nrows, cfg.hop)
+        num = jnp.einsum("cnh,ch->cn", cand, ref_tail)
+        ce = jnp.einsum("cnh,cnh->cn", cand, cand)
+        ok = (ce > eps) & (re > eps)[:, None]
+        sc = jnp.where(ok, num / (jnp.sqrt(re)[:, None] * jnp.sqrt(ce)), 0.0)
+        return jnp.where(valid, sc, -jnp.inf)
+
+    # coarse stage
+    dd = (hi[0] - lo[0]) + (hi[1] - lo[1])                 # [C]
+    stride = jnp.maximum(dd / COARSE_STEPS, 1.0)
+    q = dd / stride
+    nc_valid = jnp.floor(q + 1e-5) + 1.0
+    base = rel(lo)                                         # [C]
+    re = jnp.einsum("ch,ch->c", ref_tail, ref_tail)
+    sc = scores(base[:, None] + jc[None, :] * stride[:, None],
+                jc[None, :] < nc_valid[:, None], NC)
+    ci = jnp.argmax(sc, axis=-1)                           # [C]
+    best_c = jc[ci] * stride
+
+    # fine stage
+    f_lo = jnp.maximum(best_c - stride, 0.0)
+    f_hi = jnp.minimum(best_c + stride, dd)
+    nf_valid = jnp.floor(f_hi - f_lo + 1e-9) + 1.0
+    sf = scores(base[:, None] + f_lo[:, None] + jf[None, :],
+                jf[None, :] < nf_valid[:, None], cfg.nf)
+    fi = jnp.argmax(sf, axis=-1)
+    cix = jnp.arange(C)
+    best_off = jnp.where(sf[cix, fi] > sc[cix, ci], f_lo + jf[fi], best_c)
+
+    searched = _norm(lo[0], lo[1] + best_off)
+    best = _sel(hp_cur & search_ok, searched, ctr)
+
+    # chosen grains: one call over [C*3] rows
+    gstarts = (rel(best)[:, None] + row_off[None, :]
+               + chan_off[:, None])                        # [C, 3]
+    gsteps = jnp.broadcast_to(step[:, None], (C, 3)).reshape(-1)
+    g3 = grain_read_cubic(uflat, gstarts.reshape(-1), gsteps,
+                          B=cfg.grainB)[:, : cfg.win_n].reshape(C, 3,
+                                                                cfg.win_n)
+    y = (g3[:, 1:3, : cfg.hop] * w1[None, None, :]
+         + jnp.where(hp_cur, 1.0, 0.0)[:, None, None] * ptail)
+    new_ref = g3[:, 0, cfg.hop:] * w2[None, :]
+    new_ptail = g3[:, 1:3, cfg.hop:] * w2[None, None, :]
+
+    out = (best[0], best[1], hp_cur, y)
+    return (best, jnp.ones((C,), bool), new_ref, new_ptail), out
+
+
+def stream_hops_batched(P3c, w1, w2, state, n_active, dyn, *, n_hops: int,
+                        cfg: StreamConfig):
+    """Run up to ``n_hops`` hops for C channels in ONE scan.
+
+    ``P3c``: ``[C, 3, W]`` padded rows (channels padded to a shared
+    ``4 + Lmax + U``); ``state``: the per-channel state tuple with a
+    leading C axis on every leaf; ``n_active [C]``: each channel's true
+    hop count (hops past it keep the carry frozen and produce don't-care
+    ``ys`` the caller never slices into); ``dyn``: dict of ``[C]`` f32
+    arrays (step/hopw/rad/ms/wl/L).  ``cfg`` carries the shared
+    structural statics — ``hop``/``win_n``/``hopB``/``grainB`` are
+    engine-rate constants, ``U``/``nf`` the batch maxima, ``wraps`` must
+    be uniform (callers group channels by wrap-ness).
+
+    Per-channel math mirrors `_hop_once` (`_hop_once_batched`); only the
+    batching axis and the channel-flattened kernel reads are new.
+    """
+    def body(carry, h):
+        new_carry, out = _hop_once_batched(carry, P3c, w1, w2, dyn, cfg)
+        keep = h < n_active                                    # [C]
+
+        def sel(n, o):
+            k = keep.reshape((keep.shape[0],) + (1,) * (n.ndim - 1))
+            return jnp.where(k, n, o)
+
+        merged = jax.tree_util.tree_map(sel, new_carry, carry)
+        return merged, out
+
+    carry, (bi, bf, hps, ys) = jax.lax.scan(
+        body, state, jnp.arange(n_hops))
     return carry, bi, bf, hps, ys
 
 

@@ -155,3 +155,37 @@ def test_bank_toeplitz_path_matches_scan_path():
 
     err = np.max(np.abs(bank - narrow))
     assert err < 1e-5, f"max path divergence {err}"
+
+
+def test_lifted_chain_matches_toeplitz_and_scan():
+    """The whole-chain lifted operator (MX_CHAIN_IMPL="lifted") must match
+    the per-section Toeplitz matmuls AND the exact associative-scan path to
+    f32 reassociation (~1e-6): same recurrence, exact f64-lifted constants,
+    different association only."""
+    import libgooey_tpu.ops.oversample as o
+
+    rng = np.random.RandomState(0)
+    V, B = 128, 512
+    x = jnp.asarray(rng.randn(2, V, B).astype(np.float32) * 0.4)
+    for stage in (o.STAGE1, o.STAGE2):
+        pairs = o._pairs(stage)
+        S = pairs.shape[0]
+        y0 = jnp.asarray(rng.randn(2, V, S).astype(np.float32) * 0.1)
+        x0 = jnp.asarray(rng.randn(2, V, S).astype(np.float32) * 0.1)
+        prev = o.MX_CHAIN_IMPL
+        try:
+            o.MX_CHAIN_IMPL = "toeplitz"
+            ref = [np.asarray(v) for v in
+                   o._allpass_chain_paired(x, pairs, y0, x0)]
+            o.MX_CHAIN_IMPL = "lifted"
+            got = [np.asarray(v) for v in
+                   o._allpass_chain_paired(x, pairs, y0, x0)]
+        finally:
+            o.MX_CHAIN_IMPL = prev
+        for r, g in zip(ref, got):
+            assert np.abs(r - g).max() < 2e-6
+        # vs the exact scan path (small batch stays on scans)
+        scan = [np.asarray(v) for v in o._allpass_chain_paired(
+            x[:, :8], pairs, y0[:, :8], x0[:, :8])]
+        for s, g in zip(scan, got):
+            assert np.abs(s - g[:, :8]).max() < 2e-6

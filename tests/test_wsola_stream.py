@@ -168,3 +168,54 @@ def test_stream_ineligible_cases_fall_back():
         assert out.shape == (2, 6 * B)
     finally:
         wsola.USE_DEVICE_SEARCH = old
+
+
+def test_stream_engages_under_running_transport():
+    """A RUNNING clip-grid transport with no action scheduled inside the
+    span keeps every channel on the batched device scan (r4 Weak #5: the
+    stream path used to disengage exactly during live clip-grid use), and
+    the result still matches the per-block host path."""
+    from libgooey_tpu.mixer import stream as stream_mod
+    from libgooey_tpu.mixer import wsola as wsola_mod
+    from libgooey_tpu.mixer.mixer import Mixer
+    from libgooey_tpu.mixer.stereo_buffer import StereoSampleBuffer
+
+    rng = np.random.RandomState(3)
+    K = 8
+
+    def mk():
+        m = Mixer(SR, block_size=B, buffer_capacity=1 << 16)
+        m.set_bpm(180.0)
+        for col in range(2):
+            tone = (rng.randn(22050) * 0.3).astype(np.float32)
+            buf = StereoSampleBuffer.from_channels(tone, tone, SR, 120.0)
+            m.clip_grid.load(col, 0, buf, 120.0)
+        m.clip_grid.transport_start(m.channels)
+        for col in range(2):
+            m.clip_grid.launch_at(col, 0, 0.0)
+        return m
+
+    rng_state = rng.get_state()
+    wsola_mod.USE_DEVICE_SEARCH = True
+    try:
+        ma = mk()
+        rng.set_state(rng_state)
+        mb = mk()
+        # land the launches identically on both
+        a0 = np.asarray(ma.render_blocks(1))
+        b0 = np.concatenate([np.asarray(mb.render_block())], axis=-1)
+        np.testing.assert_allclose(a0, b0, atol=2e-5)
+        # batched span under the RUNNING transport must be eligible...
+        assert all(
+            stream_mod.stream_config(ma, i, K) is not None
+            for i in range(2)
+        ), "running transport must not disqualify streaming"
+        # ...and match K per-block host renders
+        a = np.asarray(ma.render_blocks(K))
+        b = np.concatenate(
+            [np.asarray(mb.render_block()) for _ in range(K)], axis=-1)
+        assert np.abs(a - b).max() < 1e-3   # device-vs-host search class
+        assert np.abs(a).max() > 1e-4
+        assert abs(ma.clip_grid.transport_beat - mb.clip_grid.transport_beat) < 1e-9
+    finally:
+        wsola_mod.USE_DEVICE_SEARCH = False
