@@ -72,7 +72,7 @@ class HiHat2Oracle:
         self.tgt = dict(self.cur)
         self.slope24 = filter_slope == 1
         self.pink_sel = noise_color == 1
-        self.salt = np.uint32(voice_salt) * np.uint32(0x9E3779B9)
+        self.salt = np.uint32((int(voice_salt) * 0x9E3779B9) & 0xFFFFFFFF)
         self.trig_sample = -(2**30)
         self.vel = F(1.0)
         # f64 phase accumulators = the exact mod-1 recurrence.  DOCUMENTED
