@@ -23,7 +23,8 @@ from libgooey_tpu.core import dsp
 from libgooey_tpu.core.envelope import ADSR, amplitude
 from libgooey_tpu.core.smoother import SmootherBank
 from libgooey_tpu.effects import waveshaper as ws
-from libgooey_tpu.instruments.common import NEVER, VoiceBlock
+from libgooey_tpu.instruments.common import (NEVER, VoiceBlock,
+                                             use_ws_bank as _use_ws_bank)
 from libgooey_tpu.ops.oversample import OversamplerState, stateful as stateful_oversample
 from libgooey_tpu.ops import filters, osc
 from libgooey_tpu.ops import scan as gscan
@@ -269,13 +270,27 @@ def render_block(
 
     # --- pre-filter saturation ---------------------------------------------------
     od = ptraj("overdrive")
-    os_wrap, os_box = stateful_oversample(state.ovs, os_mode)
-    saturated = jnp.where(
-        od > 0.001,
-        ws.process(mix, 1.0 + od * 9.0, mix=1.0,
-                   oversample=None if os_mode == 1 else os_wrap),
-        mix,
-    )
+    drive = 1.0 + od * 9.0
+    if _use_ws_bank(mix, os_mode):
+        # fused voice-bank 4x waveshaper (ops/pallas_fx.ws4_bank; see
+        # instruments/snare.py) — ws.process semantics with mix == 1
+        from libgooey_tpu.ops import pallas_fx
+
+        sat, nst = pallas_fx.ws4_bank(mix, drive,
+                                      pallas_fx.pack_ws4_bank(state.ovs))
+        shaped = jnp.where(drive <= 1.0, mix, sat)
+        shaped = jnp.where(jnp.isfinite(mix), shaped, 0.0)
+        saturated = jnp.where(od > 0.001, shaped, mix)
+        ws_ovs_out = pallas_fx.unpack_ws4_bank(nst, state.ovs)
+    else:
+        os_wrap, os_box = stateful_oversample(state.ovs, os_mode)
+        saturated = jnp.where(
+            od > 0.001,
+            ws.process(mix, drive, mix=1.0,
+                       oversample=None if os_mode == 1 else os_wrap),
+            mix,
+        )
+        ws_ovs_out = os_box["state"]
 
     # --- swept SVF low-pass --------------------------------------------------------
     fenv = amplitude(ADSR(0.001, fd, 0.0, fd * 0.1, 1.0, fc), elapsed)
@@ -297,7 +312,7 @@ def render_block(
 
     new_state = BassState(
         ovs=frz.hold_where(jnp.all(od <= 0.001, axis=-1),
-                           state.ovs, os_box["state"]),
+                           state.ovs, ws_ovs_out),
         params=vb.advance_bank(),
         trig_sample=vb.latch(vb.block_start + vb.trig_offset, state.trig_sample),
         velocity=vb.latch(vel_new, state.velocity),

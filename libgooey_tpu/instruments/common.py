@@ -207,3 +207,20 @@ def fm_snap_block(phase0, elapsed, sample_rate, *, attack=0.001, decay=0.008,
     phase = jnp.asarray(phase0, jnp.float32)[..., None] + gscan.cumsum_bank(dphi)
     y = jnp.sin(phase) * env
     return jnp.mod(phase[..., -1], 2.0 * jnp.pi), y
+
+
+def use_ws_bank(x, os_mode: int, min_voices: int = 128) -> bool:
+    """Gate for the fused voice-bank 4x waveshaper (pallas_fx.ws4_bank).
+
+    Mirrors the fbws fast-path gate: engaged on TPU for wide banks unless
+    pallas_voice.IMPL == "xla" (the twin tests' XLA reference side), or
+    forced everywhere with IMPL == "pallas" (interpret-mode CPU tests).
+    """
+    import jax
+
+    from libgooey_tpu.ops import pallas_voice as pv
+
+    if os_mode != 4 or getattr(x, "ndim", 0) != 2 or x.shape[0] < min_voices:
+        return False
+    return ((jax.default_backend() == "tpu" and pv.IMPL != "xla")
+            or pv.IMPL == "pallas")

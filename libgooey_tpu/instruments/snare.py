@@ -30,7 +30,9 @@ from libgooey_tpu.core import dsp
 from libgooey_tpu.core.envelope import ADSR, amplitude
 from libgooey_tpu.core.smoother import SmootherBank
 from libgooey_tpu.effects import waveshaper as ws
-from libgooey_tpu.instruments.common import NEVER, VoiceBlock, phase_mod_env
+from libgooey_tpu.instruments.common import (NEVER, VoiceBlock,
+                                             phase_mod_env,
+                                             use_ws_bank as _use_ws_bank)
 from libgooey_tpu.ops import filters, osc
 from libgooey_tpu.ops.oversample import OversamplerState, stateful as stateful_oversample
 
@@ -313,9 +315,24 @@ def render_block(
 
     # --- overdrive: plain tanh waveshaper, drive = 1 + od*9 (snare.rs:1166) ---
     drive = 1.0 + ptraj("overdrive") * 9.0
-    os_wrap, os_box = stateful_oversample(state.ovs, os_mode)
-    shaped = ws.process(total, drive, mix=1.0,
-                        oversample=None if os_mode == 1 else os_wrap)
+    if _use_ws_bank(total, os_mode):
+        # fused voice-bank kernel: the whole 4x chain + tanh(v*d)*comp in
+        # vregs (ops/pallas_fx.ws4_bank) — the XLA oversampler's
+        # per-section intermediates cost ~275 us/block at headline voice
+        # counts, the kernel ~45 us.  Same bypass/finite semantics as
+        # ws.process with mix == 1.
+        from libgooey_tpu.ops import pallas_fx
+
+        sat, nst = pallas_fx.ws4_bank(total, drive,
+                                      pallas_fx.pack_ws4_bank(state.ovs))
+        ws_ovs_out = pallas_fx.unpack_ws4_bank(nst, state.ovs)
+        shaped = jnp.where(drive <= 1.0, total, sat)
+        shaped = jnp.where(jnp.isfinite(total), shaped, 0.0)
+    else:
+        os_wrap, os_box = stateful_oversample(state.ovs, os_mode)
+        shaped = ws.process(total, drive, mix=1.0,
+                            oversample=None if os_mode == 1 else os_wrap)
+        ws_ovs_out = os_box["state"]
 
     amp_env = amplitude(
         ADSR(0.001, jnp.maximum(amp_decay_s, 0.001), 0.0, 1.0, 1.0, amp_curve), elapsed
@@ -329,7 +346,7 @@ def render_block(
     new_state = SnareState(
         params=vb.advance_bank(),
         ovs=frz.hold_where(jnp.all(drive <= 1.0, axis=-1),
-                           state.ovs, os_box["state"]),
+                           state.ovs, ws_ovs_out),
         filter_type=state.filter_type,
         trig_sample=vb.latch(vb.block_start + vb.trig_offset, state.trig_sample),
         velocity=vb.latch(vel_new, state.velocity),

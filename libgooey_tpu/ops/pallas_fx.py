@@ -1802,6 +1802,163 @@ def fbws_bank(u, comp_signed, packed, *, interpret=None):
     return dc.reshape(B, Vp).T[:V], nst.reshape(_FBWS_S_OUT, Vp)[:, :V]
 
 
+def _ws4_bank_kernel(x_ref, d_ref, cp_ref, st_ref, y_ref, nst_ref, *, B):
+    """Fused plain-waveshaper-at-4x over a [B, GT, 128] voice tile.
+
+    ``effects/waveshaper.py process`` semantics with mix == 1: the
+    nonlinearity is ``tanh(v * d) * cp`` evaluated per 4x subsample with
+    the enclosing ENGINE sample's drive/compensation (repeat_to_rate), so
+    ``d``/``cp`` ride as engine-rate trajectories and the four subsamples
+    of sample ``s`` share ``d[s]``/``cp[s]``.  Same polyphase chains and
+    packed-state layout as `_fbws_bank_kernel` (the dc rows pass through
+    untouched — the waveshaper has no DC blocker, waveshaper.rs); bypass
+    (drive <= 1) is a whole-sample output select done by the CALLER, the
+    oversampler history advances unconditionally exactly like the XLA
+    ws.process path (block-granular freeze stays outside).
+    """
+    C1_0, C1_1, C2_0, C2_1 = _fbws_stage_coefs()
+
+    def ld(name):
+        k, n = _FBWS_IN_IDX[name]
+        if n == 1:
+            return st_ref[k]
+        return tuple(st_ref[k + j] for j in range(n))
+
+    c0 = {name: ld(name) for name, _ in _FBWS_CORE_LAYOUT}
+
+    def phase_a(c, u, d, cp):
+        c = dict(c)
+        e1, c["u1y0"], c["u1x0"] = _ap_chain_seq(u, c["u1y0"], c["u1x0"], C1_0)
+        o1, c["u1y1"], c["u1x1"] = _ap_chain_seq(u, c["u1y1"], c["u1x1"], C1_1)
+        s0, c["u2y0"], c["u2x0"] = _ap_chain_seq(e1, c["u2y0"], c["u2x0"], C2_0)
+        s1, c["u2y1"], c["u2x1"] = _ap_chain_seq(e1, c["u2y1"], c["u2x1"], C2_1)
+        t0 = jnp.tanh(s0 * d) * cp
+        t1 = jnp.tanh(s1 * d) * cp
+        a0, c["d2y0"], c["d2x0"] = _ap_chain_seq(t0, c["d2y0"], c["d2x0"], C2_0)
+        a1, c["d2y1"], c["d2x1"] = _ap_chain_seq(
+            c["d2x1d"], c["d2y1"], c["d2x1"], C2_1)
+        d0 = 0.5 * (a0 + a1)
+        c["d2x1d"] = t1
+        return c, o1, d0
+
+    def phase_b(c, o1, d0, d, cp):
+        c = dict(c)
+        s2, c["u2y0"], c["u2x0"] = _ap_chain_seq(o1, c["u2y0"], c["u2x0"], C2_0)
+        s3, c["u2y1"], c["u2x1"] = _ap_chain_seq(o1, c["u2y1"], c["u2x1"], C2_1)
+        t2 = jnp.tanh(s2 * d) * cp
+        t3 = jnp.tanh(s3 * d) * cp
+        b0, c["d2y0"], c["d2x0"] = _ap_chain_seq(t2, c["d2y0"], c["d2x0"], C2_0)
+        b1, c["d2y1"], c["d2x1"] = _ap_chain_seq(
+            c["d2x1d"], c["d2y1"], c["d2x1"], C2_1)
+        d1 = 0.5 * (b0 + b1)
+        c["d2x1d"] = t3
+        e0, c["d1y0"], c["d1x0"] = _ap_chain_seq(d0, c["d1y0"], c["d1x0"], C1_0)
+        e1, c["d1y1"], c["d1x1"] = _ap_chain_seq(
+            c["d1x1d"], c["d1y1"], c["d1x1"], C1_1)
+        y = 0.5 * (e0 + e1)
+        c["d1x1d"] = d1
+        return c, y
+
+    def body(s, c):
+        d = d_ref[s]
+        cp = cp_ref[s]
+        c, o1, d0 = phase_a(c, x_ref[s], d, cp)
+        c, y = phase_b(c, o1, d0, d, cp)
+        y_ref[s] = y
+        return c
+
+    c = jax.lax.fori_loop(0, B - 1, body, c0, unroll=1)
+
+    caps = {}
+    for st_name, y2_name in (("u1y0", "u1y2_0"), ("u1x0", "u1x2_0"),
+                             ("u1y1", "u1y2_1"), ("u1x1", "u1x2_1"),
+                             ("d1y0", "d1y2_0"), ("d1x0", "d1x2_0"),
+                             ("d1y1", "d1y2_1"), ("d1x1", "d1x2_1")):
+        caps[y2_name] = c[st_name]
+    d = d_ref[B - 1]
+    cp = cp_ref[B - 1]
+    c, o1, d0 = phase_a(c, x_ref[B - 1], d, cp)
+    for st_name, y2_name in (("u2y0", "u2y2_0"), ("u2x0", "u2x2_0"),
+                             ("u2y1", "u2y2_1"), ("u2x1", "u2x2_1"),
+                             ("d2y0", "d2y2_0"), ("d2x0", "d2x2_0"),
+                             ("d2y1", "d2y2_1"), ("d2x1", "d2x2_1")):
+        caps[y2_name] = c[st_name]
+    c, y = phase_b(c, o1, d0, d, cp)
+    y_ref[B - 1] = y
+
+    out_vals = dict(c)
+    out_vals.update(caps)
+    for name, _ in _FBWS_CORE_LAYOUT + _FBWS_Y2_LAYOUT:
+        k, n = _FBWS_OUT_IDX[name]
+        v = out_vals[name]
+        if n == 1:
+            nst_ref[k] = v
+        else:
+            for j in range(n):
+                nst_ref[k + j] = v[j]
+
+
+def pack_ws4_bank(ovs):
+    """[V]-batched OversamplerState -> packed [S_in, V] for ws4_bank
+    (the fbws layout with zero DC rows — the waveshaper has none)."""
+    import types
+
+    V = ovs.up1.ap0.shape[0]
+    z = jnp.zeros((V,), jnp.float32)
+    return pack_fbws_bank(types.SimpleNamespace(ovs=ovs, dc_x1=z, dc_y1=z))
+
+
+def unpack_ws4_bank(nst, ovs):
+    """Packed [S_out, V] -> new OversamplerState (DC rows discarded)."""
+    import types
+
+    new_ovs, _dcx, _dcy = unpack_fbws_bank(
+        nst, types.SimpleNamespace(ovs=ovs))
+    return new_ovs
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ws4_bank(x, drive, packed, *, interpret=None):
+    """Fused voice-bank plain waveshaper at 4x (waveshaper.rs semantics,
+    mix == 1): the whole polyphase chain + tanh(v*d)*comp runs
+    sample-sequential in vregs — the XLA formulation's per-section
+    [V, 2B/4B] intermediates cost ~275 us/block at 1,024 voices, this
+    kernel ~45 us (same class as fbws_bank).  ``x``: [V, B] UNdriven
+    input; ``drive``: [V, B] raw drive trajectory.  Returns
+    ``(sat [V, B], new_packed [S_out, V])``; caller applies the bypass
+    select and block-granular freeze (instruments/snare.py, bass.py).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    V, B = x.shape
+    Vp, G = _bank_pad(V, _FBWS_BANK_GROUPS)
+
+    d = jnp.maximum(jnp.asarray(drive, jnp.float32), 1.0 + 1e-6)
+    comp = jnp.tanh(jnp.float32(0.5)) / jnp.tanh(0.5 * d)
+    xT = _bank_tilt(x, 0.0, V, Vp, B)
+    dT = _bank_tilt(d, 1.0, V, Vp, B)
+    cT = _bank_tilt(comp, 1.0, V, Vp, B)
+    sp = jnp.pad(jnp.asarray(packed, jnp.float32),
+                 ((0, 0), (0, Vp - V))).reshape(_FBWS_S_IN, G, 128)
+
+    GT = _FBWS_BANK_GROUPS
+    big = pl.BlockSpec((B, GT, 128), lambda i: (0, i, 0))
+    y, nst = pl.pallas_call(
+        functools.partial(_ws4_bank_kernel, B=B),
+        grid=(G // GT,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, G, 128), jnp.float32),
+            jax.ShapeDtypeStruct((_FBWS_S_OUT, G, 128), jnp.float32),
+        ),
+        in_specs=[big, big, big,
+                  pl.BlockSpec((_FBWS_S_IN, GT, 128), lambda i: (0, i, 0))],
+        out_specs=(big,
+                   pl.BlockSpec((_FBWS_S_OUT, GT, 128), lambda i: (0, i, 0))),
+        interpret=interpret,
+    )(xT, dT, cT, sp)
+    return y.reshape(B, Vp).T[:V], nst.reshape(_FBWS_S_OUT, Vp)[:, :V]
+
+
 # ---------------------------------------------------------------------------
 # Voice-bank Kellet pink-noise filter (gen/pink_noise.rs:26-66): three
 # parallel one-poles + direct term over [V, B] banks

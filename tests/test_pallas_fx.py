@@ -628,3 +628,34 @@ def test_affine1_bank_matches_linrec1_and_maxlin():
     ymx = gscan.maxlin(ya, yb, yc, jnp.zeros(V, jnp.float32))
     np.testing.assert_allclose(np.asarray(ymk), np.asarray(ymx),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_ws4_bank_matches_xla_waveshaper():
+    """The fused voice-bank 4x waveshaper (snare/bass overdrive fast path)
+    vs effects/waveshaper.process through the XLA oversampler: same
+    chains, lane-sequential vs scan numerics (~1e-5 class)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libgooey_tpu.effects import waveshaper as ws
+    from libgooey_tpu.ops import pallas_fx
+    from libgooey_tpu.ops.oversample import OversamplerState, stateful
+
+    rng = np.random.RandomState(0)
+    V, B = 16, 128
+    x = jnp.asarray(rng.randn(V, B).astype(np.float32) * 0.4)
+    drive = jnp.asarray((1.0 + rng.rand(V, B) * 8.0).astype(np.float32))
+    drive = drive.at[3].set(0.5)    # a fully-bypassed voice
+    st = OversamplerState.init((V,))
+    wrap, box = stateful(st, 4)
+    ref = ws.process(x, drive, mix=1.0, oversample=wrap)
+    sat, nst = pallas_fx.ws4_bank(x, drive, pallas_fx.pack_ws4_bank(st),
+                                  interpret=True)
+    got = jnp.where(drive <= 1.0, x, sat)
+    got = jnp.where(jnp.isfinite(x), got, 0.0)
+    assert float(jnp.abs(ref - got).max()) < 3e-5
+    new_ref = box["state"]
+    new_got = pallas_fx.unpack_ws4_bank(nst, st)
+    for a, b in zip(jax.tree_util.tree_leaves(new_ref),
+                    jax.tree_util.tree_leaves(new_got)):
+        assert float(jnp.abs(a - b).max()) < 3e-5
