@@ -45,6 +45,7 @@ def _compare(ga, gb, frames, tol=TOL):
     return a
 
 
+@pytest.mark.slow
 def test_span_sequencers_swing_gating_fx():
     def setup(g):
         for ch in range(4):
@@ -97,6 +98,7 @@ def test_span_blend_and_note_steps():
     _compare(ga, gb, 4 * B)
 
 
+@pytest.mark.slow
 def test_span_lfo_routes_and_sidechain():
     def setup(g):
         g.engine.set_lfo(0, frequency_hz=3.0, amount=0.8)
@@ -115,6 +117,7 @@ def test_span_lfo_routes_and_sidechain():
     _compare(ga, gb, 4 * B)
 
 
+@pytest.mark.slow
 def test_span_granulator_racks_and_perf():
     def setup(g):
         rng = np.random.default_rng(5)
@@ -135,6 +138,7 @@ def test_span_granulator_racks_and_perf():
     _compare(ga, gb, 4 * B)
 
 
+@pytest.mark.slow
 def test_span_loops_and_clip_grid():
     def setup(g):
         from libgooey_tpu.mixer.stereo_buffer import StereoSampleBuffer
@@ -151,6 +155,7 @@ def test_span_loops_and_clip_grid():
     _compare(ga, gb, 4 * B)
 
 
+@pytest.mark.slow
 def test_span_peaks_and_midi_match():
     def setup(g):
         g.sequencers[0].set_pattern_string("x.x.x.x.x.x.x.x.")
@@ -164,6 +169,7 @@ def test_span_peaks_and_midi_match():
     np.testing.assert_allclose(pa, pb, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_span_multi_trigger_block():
     """Two triggers for one voice in one block widen the span's trigger
     events to [V, K] slots (the per-block path's VoiceBlock multi-trigger
@@ -178,6 +184,7 @@ def test_span_multi_trigger_block():
     _compare(ga, gb, 8 * B)
 
 
+@pytest.mark.slow
 def test_span_respects_host_automation_between_calls():
     def setup(g):
         g.sequencers[0].set_pattern_string("x.x.x.x.x.x.x.x.")
