@@ -77,6 +77,35 @@ def smooth_block(bank: SmootherBank, coeff, block: int):
     return SmootherBank(current=new_cur, target=tgt), traj
 
 
+def smooth_block_lazy(bank: SmootherBank, coeff, block: int):
+    """:func:`smooth_block` without materializing the ``[..., block]``
+    trajectory.
+
+    Returns ``(new_bank, traj_slice)`` where ``traj_slice(lo, hi)``
+    rebuilds ``traj[lo:hi]`` from the per-lane scalars and the shared
+    ``powers`` vector — the same expressions in the same order as
+    :func:`smooth_block`, so values are identical.  Callers that consume
+    disjoint lane slices (the engine's per-family mix) let XLA fuse the
+    rebuild into each consumer's epilogue instead of writing and
+    re-reading a full-bank trajectory from HBM (4 x [4096, 512] f32 =
+    ~34 MB/block at headline voice counts, ~60 us at the roofline)."""
+    cur, tgt = bank.current, bank.target
+    delta = cur - tgt
+    q = 1.0 - jnp.asarray(coeff, jnp.float32)
+    powers = jnp.power(q, jnp.arange(1, block + 1, dtype=jnp.float32))
+
+    def traj_slice(lo=None, hi=None):
+        sl = slice(lo, hi)
+        decayed = delta[sl][..., None] * powers
+        return tgt[sl][..., None] + jnp.where(
+            jnp.abs(decayed) < SMOOTHER_SETTLE_EPS, 0.0, decayed
+        )
+
+    last = delta * powers[-1]
+    new_cur = tgt + jnp.where(jnp.abs(last) < SMOOTHER_SETTLE_EPS, 0.0, last)
+    return SmootherBank(current=new_cur, target=tgt), traj_slice
+
+
 def smooth_advance(bank: SmootherBank, coeff, block: int) -> SmootherBank:
     """Advance a smoother bank by ``block`` samples WITHOUT materializing the
     trajectory (for fused kernels that compute it internally).  Bit-identical

@@ -27,12 +27,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from libgooey_tpu.core import dsp
-from libgooey_tpu.core.constants import DEFAULT_BLOCK_SIZE, DEFAULT_SAMPLE_RATE
+from libgooey_tpu.core.constants import (
+    DEFAULT_BLOCK_SIZE,
+    DEFAULT_SAMPLE_RATE,
+    SMOOTHER_SETTLE_EPS,
+)
 from libgooey_tpu.core.smoother import (
     SmootherBank,
     smoothing_coeff,
     smooth_advance,
     smooth_block,
+    smooth_block_lazy,
 )
 from libgooey_tpu.effects import (
     compressor as fx_compressor,
@@ -370,22 +375,51 @@ def _render_all(
         gain_bank = smooth_advance(state["gain"], smooth_coeff, block_size)
         mix = jnp.stack([suml, sumr], axis=0)
     else:
-        pan_bank, pan_traj = smooth_block(state["pan"], smooth_coeff, block_size)
-        gain_bank, gain_traj = smooth_block(state["gain"], smooth_coeff, block_size)
-        gl, gr = dsp.pan_gains(pan_traj)
+        pan_bank, pan_slice = smooth_block_lazy(state["pan"], smooth_coeff, block_size)
+        gain_bank, gain_slice = smooth_block_lazy(state["gain"], smooth_coeff, block_size)
+
         # per-family accumulation: each family's pan/gain/mix fuses into its
-        # own bank epilogue, no [sum V, B] concat/relayout (see _all_voices)
-        mixl = jnp.zeros(block_size, jnp.float32)
-        mixr = jnp.zeros(block_size, jnp.float32)
-        mono_sum = jnp.zeros(block_size, jnp.float32)
-        idx = 0
-        for out in voice_outs:
-            V = out.shape[0]
-            shaped = out * gain_traj[idx:idx + V]
-            mixl = mixl + jnp.sum(shaped * gl[idx:idx + V], axis=0)
-            mixr = mixr + jnp.sum(shaped * gr[idx:idx + V], axis=0)
-            mono_sum = mono_sum + jnp.sum(shaped, axis=0)
-            idx += V
+        # own bank epilogue, no [sum V, B] concat/relayout (see _all_voices).
+        # Trajectories rebuild lazily per family slice (smooth_block_lazy):
+        # the slices are disjoint so no work repeats, and XLA keeps the
+        # rebuild in-register instead of round-tripping 4 full-bank [V, B]
+        # trajectory arrays through HBM.
+        def _mix_loop(pan_const: bool):
+            def f(_):
+                mixl = jnp.zeros(block_size, jnp.float32)
+                mixr = jnp.zeros(block_size, jnp.float32)
+                mono = jnp.zeros(block_size, jnp.float32)
+                idx = 0
+                for out in voice_outs:
+                    V = out.shape[0]
+                    if pan_const:
+                        glv, grv = dsp.pan_gains(
+                            state["pan"].target[idx:idx + V])
+                        gl, gr = glv[:, None], grv[:, None]
+                    else:
+                        gl, gr = dsp.pan_gains(pan_slice(idx, idx + V))
+                    shaped = out * gain_slice(idx, idx + V)
+                    mixl = mixl + jnp.sum(shaped * gl, axis=0)
+                    mixr = mixr + jnp.sum(shaped * gr, axis=0)
+                    mono = mono + jnp.sum(shaped, axis=0)
+                    idx += V
+                return mixl, mixr, mono
+            return f
+
+        # Per-sample pan gains are two [V, B] transcendentals (~100 us/block
+        # at 4,096 voices — the mix reduce's dominant cost), but the settle
+        # snap makes the pan trajectory EXACTLY equal to the target once
+        # |delta * q| < eps at the block's first sample (|decayed| is
+        # monotone decreasing, so settled-at-0 means settled all block).
+        # Device-side branch: settled banks (the steady state — pan writes
+        # are rare) mix with [V] per-lane gains, identical values by the
+        # snap; unsettled blocks keep the exact per-sample path.
+        _q = jnp.float32(1.0) - jnp.asarray(smooth_coeff, jnp.float32)
+        pan_settled = jnp.all(
+            jnp.abs((state["pan"].current - state["pan"].target) * _q)
+            < SMOOTHER_SETTLE_EPS)
+        mixl, mixr, mono_sum = jax.lax.cond(
+            pan_settled, _mix_loop(True), _mix_loop(False), None)
         mix = jnp.stack([mixl, mixr], axis=0)
 
     if psum_axis is not None:
@@ -510,7 +544,13 @@ def render_many(state: dict, events_stacked: dict, **static):
         st2, out, _mono = _render_all(st, ev, **static)
         return st2, out
 
-    return jax.lax.scan(step, state, events_stacked)
+    # unroll=2: halves the per-iteration xs-slice / carry-copy overhead
+    # (~90 us/block of tiny copy/DUS kernels in the device trace) and lets
+    # XLA schedule across adjacent blocks; measured 2290 -> 2110 us/block
+    # on the 4,096-voice kit together with the linrec1 bank rerouting
+    # (ops/scan.py _BANK1_MAX_V).  Higher unroll factors regress (compile
+    # blow-up, no further win at unroll=4).
+    return jax.lax.scan(step, state, events_stacked, unroll=2)
 
 
 class Engine:

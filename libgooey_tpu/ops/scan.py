@@ -88,13 +88,18 @@ def _rows(shape) -> int:
     return n
 
 
-#: First-order recurrences route to the bank kernel only for SMALL banks:
-#: at headline V the associative scan's operand fusion wins (the chunked
-#: linrec1 kernel above measured a ~2x headline regression), while at
-#: product voice counts the scan's ~6 log-depth kernels dominate the
-#: graph floor.  "xla" disables the kernel entirely.
+#: First-order recurrences route to the bank kernel for banks up to
+#: 4,096 rows.  The chunked linrec1 kernel above (pallas_scan) measured a
+#: ~2x headline regression from operand-fusion loss, but the flat
+#: affine1_bank kernel is a different trade: one HBM round trip per call
+#: (~4 us at [1024, 512]) vs the associative scan's ~9 slice/pad stages
+#: (~8 us each at that shape, ~114 us/block total across the composed
+#: kit's surviving scans — device trace, round 5).  Composed with
+#: render_many's unroll=2 the rerouting measured 2290 -> 2110 us/block on
+#: the 4,096-voice kit; alone (unroll=1) it is parity within window noise,
+#: so the cap is sized to the headline bank.  "xla" disables the kernel.
 LINREC1_BANK_IMPL = "auto"
-_BANK1_MAX_V = 512
+_BANK1_MAX_V = 4096
 
 
 def _bank1_enabled(a, axis) -> bool:
